@@ -1,0 +1,171 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "suite_total", "value": <sum of baseline-shape seconds>,
+   "unit": "sec", "queries": {...}, "sf": 0.1}
+
+The four BASELINE.md shapes (q1_pricing_summary / q3_join_agg_topk /
+events_window / wordcount) are timed exactly as the baseline measured them
+(warmed run, collect()) so the driver's 2x gate compares like for like;
+additional registry queries are reported informationally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+from mrs_mapreduce_spark.catalog import table  # noqa: E402
+from mrs_mapreduce_spark.exprs import pround  # noqa: E402
+from mrs_mapreduce_spark.registry import load_all  # noqa: E402
+from mrs_mapreduce_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# --- the four BASELINE.md shapes, exactly as measured there ---------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc"
+            ),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_join_agg_topk(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+        .orderBy(F.desc("rev"))
+        .limit(10)
+    )
+
+
+def events_window(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.sum("value").over(w_cum).alias("cum"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("user_id", "rn")
+        .limit(10)
+    )
+
+
+def timed(fn, *args, runs: int = 3):
+    """Warm once, then median of ``runs`` timed collect()s."""
+    fn(*args).collect()
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(*args).collect()
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def timed_wordcount_rdd(spark, sf_dir, runs: int = 3):
+    def run():
+        rdd = (
+            table(spark, sf_dir, "documents")
+            .select("text")
+            .rdd.flatMap(lambda r: r[0].split())
+            .map(lambda w: (w, 1))
+            .reduceByKey(lambda a, b: a + b)
+        )
+        return rdd.takeOrdered(10, key=lambda kv: (-kv[1], kv[0]))
+
+    run()
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+#: extra registry queries reported informationally (extension coverage)
+EXTRA = [
+    "window_frame",
+    "dedup_exact",
+    "dedup_minhash",
+    "similarity_topk",
+    "text_tfidf",
+    "stream_session",
+    "join_asof",
+]
+
+
+def main() -> None:
+    spark = get_session("mrs-bench")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    registry = load_all()
+
+    queries: dict[str, float] = {}
+    queries["q1_pricing_summary"] = timed(q1_pricing_summary, spark, SF_DIR)
+    queries["q3_join_agg_topk"] = timed(q3_join_agg_topk, spark, SF_DIR)
+    queries["events_window"] = timed(events_window, spark, SF_DIR)
+    queries["wordcount"] = timed_wordcount_rdd(spark, SF_DIR)
+
+    baseline_total = sum(queries.values())
+
+    for name in EXTRA:
+        try:
+            queries[name] = timed(registry[name].builder, spark, SF_DIR, runs=1)
+        except Exception:
+            queries[name] = -1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total",
+                "value": round(baseline_total, 4),
+                "unit": "sec",
+                "queries": {k: round(v, 4) for k, v in queries.items()},
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Table catalog over the driver's parquet fixtures.
+
+Capability parity: ``mrs/job.py::Job.file_data`` + ``mrs/fileformats.py``
+readers (SURVEY.md §2 A1/A3) — the reference's "catalog" is a list of input
+file paths whose reader yields ``(offset, line)`` pairs. Here the catalog is
+schema-on-read parquet into DataFrames, which buys predicate pushdown, column
+pruning and vectorized scans from Catalyst for free (SURVEY.md §4.3).
+
+Scale design (100 TB): a table is a *path*, not a materialized object —
+``spark.read.parquet`` plans splits from footer metadata only, so a 100 TB
+table costs the driver one file listing. Filters/projections written against
+these DataFrames reach the scan (``PushedFilters`` / ``ReadSchema`` in
+``.explain``). The events NANOS shim is a single projection, applied after
+the scan, and does not block pushdown on the other columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+#: All fixture tables (FIXTURES.md; TESTDATA.md lists eight, two more exist).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame.
+
+    ``events`` gets the TIMESTAMP(NANOS) shim (FIXTURES.md): the parquet
+    int64-nanos column is exposed both as ``ts_ns`` (exact raw nanos, used
+    for ordering and oracle comparisons via DuckDB ``epoch_ns``) and as
+    ``ts`` (microsecond ``timestamp_ntz``, used for window()/date_trunc).
+    ``ts_ns div 1000`` is integer division — no double round-trip, exact.
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql paths)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,129 @@
+"""String, date/time and math scalar functions (B20–B22).
+
+Capability parity: arbitrary Python string/date/math code inside a Mrs
+``map`` (SURVEY.md §2.B). Engine form: built-in ``pyspark.sql.functions``
+— JVM-side, codegen'd, pushdown-friendly — never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..exprs import pround
+from ..registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS lo,
+           upper(c_mktsegment) AS up,
+           length(c_name) AS len,
+           substr(c_name, 1, 8) AS pre,
+           reverse(c_name) AS rev,
+           concat_ws('-', c_mktsegment, c_name) AS cw,
+           replace(c_name, 'e', '_') AS repl,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           levenshtein(c_mktsegment, 'BUILDING') AS lev,
+           trim(concat(' ', c_name, ' ')) AS trimmed
+    FROM customer
+    """,
+    survey="B20",
+    scale="All codegen'd JVM expressions — narrow, zero shuffle, column-pruned scan.",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over customer names."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lo"),
+        F.upper("c_mktsegment").alias("up"),
+        F.length("c_name").alias("len"),
+        F.substring("c_name", 1, 8).alias("pre"),
+        F.reverse("c_name").alias("rev"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("cw"),
+        F.replace(F.col("c_name"), F.lit("e"), F.lit("_")).alias("repl"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev"),
+        F.trim(F.concat(F.lit(" "), "c_name", F.lit(" "))).alias("trimmed"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+           last_day(CAST(o_orderdate AS DATE)) AS meod,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+               AS days_to_2002,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+    survey="B21",
+    scale="Pure projection; date_trunc buckets are also valid partition keys at scale.",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family over order dates (timestamp_ntz)."""
+    o = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).alias("y"),
+        F.month(od).alias("m"),
+        F.dayofmonth(od).alias("d"),
+        F.quarter(od).alias("q"),
+        F.date_trunc("month", od).cast("date").alias("mstart"),
+        F.last_day(od.cast("date")).alias("meod"),
+        F.date_add(od.cast("date"), 30).alias("plus30"),
+        F.datediff(F.lit("2002-01-01").cast("date"), od.cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.expr("cast(to_unix_timestamp(o_orderdate) as long)").alias("epoch_s"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * 0.1, 2) AS tenth,
+           round(abs(l_discount - 0.05), 4) AS absd,
+           CAST(ceil(l_quantity) AS BIGINT) AS ce,
+           CAST(floor(l_quantity) AS BIGINT) AS fl,
+           round(sqrt(l_quantity), 6) AS sq,
+           round(ln(l_extendedprice), 6) AS lnp,
+           round(log10(l_extendedprice), 6) AS lgp,
+           round(pow(l_quantity, 2), 2) AS p2,
+           CAST(l_orderkey % 7 AS BIGINT) AS m7,
+           CAST(sign(l_tax - 0.04) AS DOUBLE) AS sg
+    FROM lineitem
+    """,
+    survey="B22",
+    scale="Codegen'd arithmetic; constant subexpressions fold at plan time.",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family over lineitem measures."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        pround(F.col("l_extendedprice") * 0.1, 2).alias("tenth"),
+        pround(F.abs(F.col("l_discount") - 0.05), 4).alias("absd"),
+        F.ceil("l_quantity").alias("ce"),
+        F.floor("l_quantity").alias("fl"),
+        pround(F.sqrt("l_quantity"), 6).alias("sq"),
+        pround(F.log("l_extendedprice"), 6).alias("lnp"),
+        pround(F.log10("l_extendedprice"), 6).alias("lgp"),
+        pround(F.pow("l_quantity", F.lit(2)), 2).alias("p2"),
+        F.pmod("l_orderkey", F.lit(7)).cast("long").alias("m7"),
+        F.signum(F.col("l_tax") - 0.04).alias("sg"),
+    )

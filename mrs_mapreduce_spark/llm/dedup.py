@@ -1,0 +1,358 @@
+"""Deduplication family (SURVEY.md §2.D D1/D2 + prompt-mandated variants).
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard and embedding-cosine near-dup
+— every variant a pure DataFrame plan with an exact SQL oracle. Hash
+discipline: all hashing is md5 (identical in Spark and DuckDB) and
+min-hashes compare *hex strings lexicographically*, so no engine-specific
+integer hash (murmur/xxhash differ across engines) ever enters a declared
+result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..exprs import pround
+from ..registry import register
+
+#: number of MinHash permutations (md5-salted) and LSH banding layout
+_SEEDS = 16
+_BANDS = 4
+_ROWS_PER_BAND = _SEEDS // _BANDS
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sh) — k-word shingles via a higher-order sequence transform.
+
+    No self-join, no window: the shingle array is built inside codegen from
+    the split array, then exploded once.
+    """
+    sh = F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - {k - 1}),"
+        f" i -> concat_ws(' ', "
+        + ", ".join(
+            f"element_at(split(text, ' '), i + {j})" for j in range(k)
+        )
+        + "))"
+    )
+    # guard BEFORE building the sequence: sequence(1, n) with n < 1 would
+    # count downward in Spark, not return empty
+    return docs.filter(F.size(F.split("text", " ")) >= k).select(
+        "doc_id", F.explode(sh).alias("sh")
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS h,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+    survey="D1",
+    scale="""
+    Exact dedup = groupBy on a 128-bit content hash: the shuffle carries
+    (16-byte hash, id), never the text. At 100 TB: hash at scan time,
+    partial-aggregate map-side; survivors rejoin the corpus by id. The
+    equivalent one-liner is dropDuplicates on the hash — this form also
+    reports cluster sizes.
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate clustering on normalized text hash."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    ).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_minhash",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM words WHERE len(ws) >= 3),
+    sig AS (SELECT doc_id, CAST(seed AS INT) AS seed,
+                   min(md5(sh || '|' || CAST(seed AS VARCHAR))) AS minhash
+            FROM sh CROSS JOIN generate_series(0, 15) AS s(seed)
+            GROUP BY doc_id, seed)
+    SELECT doc_id, seed, minhash FROM sig
+    """,
+    survey="D2 (MinHash signatures)",
+    scale="""
+    Signature build: shingle explode -> per-(doc, seed) min — one
+    partial-aggregated groupBy; the md5-salted "permutations" need no
+    shared state. Output is 16 rows/doc regardless of document size, so
+    downstream LSH banding touches signatures, never text. At 100 TB use
+    128 seeds and pivot to an array column to cut row count.
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: min md5(shingle | seed) per doc per seed."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    seeded = sh.join(
+        F.broadcast(
+            sh.sparkSession.range(_SEEDS).select(
+                F.col("id").cast("int").alias("seed")
+            )
+        )
+    )
+    return seeded.groupBy("doc_id", "seed").agg(
+        F.min(
+            F.md5(F.concat("sh", F.lit("|"), F.col("seed").cast("string")))
+        ).alias("minhash")
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM words WHERE len(ws) >= 3),
+    sig AS (SELECT doc_id, CAST(seed AS INT) AS seed,
+                   min(md5(sh || '|' || CAST(seed AS VARCHAR))) AS minhash
+            FROM sh CROSS JOIN generate_series(0, 15) AS s(seed)
+            GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    ssets AS (SELECT doc_id, sh FROM sh GROUP BY doc_id, sh),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             count(sb.sh) AS inter_n,
+             any_value(na.n) + any_value(nb.n) - count(sb.sh) AS union_n
+      FROM cand c
+      JOIN ssets sa ON sa.doc_id = c.doc_a
+      LEFT JOIN ssets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      JOIN (SELECT doc_id, count(*) AS n FROM ssets GROUP BY doc_id) na
+        ON na.doc_id = c.doc_a
+      JOIN (SELECT doc_id, count(*) AS n FROM ssets GROUP BY doc_id) nb
+        ON nb.doc_id = c.doc_b
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b,
+           round(inter_n * 1.0 / union_n, 4) AS jaccard
+    FROM verified
+    WHERE inter_n * 1.0 / union_n >= 0.5
+    """,
+    survey="D2 (MinHash + LSH banding + pair verification)",
+    scale="""
+    Full near-dup pipeline: band signatures (4 bands x 4 rows) -> join on
+    band_key buckets candidates (the LSH step: only same-bucket pairs are
+    compared, never all pairs) -> exact Jaccard verify on shingle sets for
+    candidates only. At 100 TB the band join is the only shuffle touching
+    all docs, and its key is a 16-byte hash; skewed buckets (boilerplate
+    docs) are AQE-split, and a bucket-size cap (drop buckets > B members
+    as boilerplate) bounds the quadratic verify stage.
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded candidate pairs verified by exact shingle Jaccard."""
+    d = table(spark, sf_dir, "documents")
+    sig = dedup_minhash(spark, sf_dir)
+    bands = sig.groupBy(
+        "doc_id", (F.col("seed") / _ROWS_PER_BAND).cast("int").alias("band")
+    ).agg(
+        F.md5(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.struct("seed", "minhash"))
+                ).minhash,
+                ",",
+            )
+        ).alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ssets = shingles(d).distinct()
+    sizes = ssets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(ssets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            ssets.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.sh") == F.col("sa.sh")),
+            "left",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.col("sb.sh")).alias("inter_n"))
+    )
+    verified = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter_n"))
+        .withColumn("jac", F.col("inter_n") * 1.0 / F.col("union_n"))
+    )
+    return verified.filter(F.col("jac") >= 0.5).select(
+        "doc_a", "doc_b", pround("jac", 4).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    bits AS (
+      SELECT doc_id, b,
+             sum(tf * (2 * ((CAST(floor(
+                     (strpos('0123456789abcdef',
+                             substr(md5(w), 1 + b // 4, 1)) - 1)
+                     / power(2, b % 4)) AS INT)) % 2) - 1)) AS s
+      FROM tf CROSS JOIN generate_series(0, 15) AS g(b)
+      GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0
+                         THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    survey="D2 (SimHash fingerprints)",
+    scale="""
+    SimHash: tf-weighted +/-1 vote per hash bit, sign -> fingerprint.
+    Two partial-aggregated groupBys; the 16x bit fanout multiplies the
+    (doc, word) relation, not the corpus. Near-dup candidates then come
+    from grouping on fingerprint prefixes (hamming-ball blocking) —
+    constant-size state per doc, no pairwise stage until blocked.
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit tf-weighted SimHash fingerprint per document."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    bits_dim = F.broadcast(
+        spark.range(16).select(F.col("id").cast("int").alias("b"))
+    )
+    # bit b of the word's 16-bit md5 prefix, built from hex chars so the
+    # arithmetic is engine-portable (no murmur/xxhash)
+    bit = F.expr(
+        "cast(floor((instr('0123456789abcdef',"
+        " substring(md5(w), 1 + cast(b / 4 as int), 1)) - 1)"
+        " / power(2, b % 4)) as int) % 2"
+    )
+    votes = (
+        tf.join(bits_dim)
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.col("tf") * (2 * bit - 1)).alias("s"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.pow(F.lit(2), F.col("b")).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH wsets AS (SELECT DISTINCT doc_id, lang, source, w
+                   FROM (SELECT doc_id, lang, source,
+                                unnest(string_split(text, ' ')) AS w
+                         FROM documents)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM wsets GROUP BY doc_id),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_n
+      FROM wsets a JOIN wsets b
+        ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(inter_n * 1.0 / (na.n + nb.n - inter_n), 4) AS jaccard
+    FROM pair_inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE inter_n * 1.0 / (na.n + nb.n - inter_n) >= 0.9
+    """,
+    survey="D2 (blocked n-gram Jaccard)",
+    scale="""
+    Word-set Jaccard with (lang, source) blocking: the pair join is keyed
+    on (block, word), so only same-block docs sharing a word ever meet —
+    intersection counts come out of one groupBy, no array materialization.
+    Block sizing is the scale lever: at 100 TB block on a stronger key
+    (e.g. simhash prefix) to keep per-block membership bounded.
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-set Jaccard within (lang, source) blocks."""
+    d = table(spark, sf_dir, "documents")
+    wsets = d.select(
+        "doc_id", "lang", "source",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    sizes = wsets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = wsets.alias("a")
+    b = wsets.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jac",
+            F.col("inter_n") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter_n")),
+        )
+    )
+    return scored.filter(F.col("jac") >= 0.9).select(
+        "doc_a", "doc_b", pround("jac", 4).alias("jaccard")
+    )

@@ -1,0 +1,220 @@
+"""Similarity search over embedding columns (SURVEY.md §2.D D3).
+
+Brute-force cosine top-k as the exact baseline, IVF-style cluster-pruned
+search as the scale path, and cosine near-dup pairs with label blocking.
+Float discipline: every dot product casts elements to double BEFORE
+multiplying and accumulates left-to-right on both engines, so cosines are
+bit-identical and threshold filters cannot diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..exprs import pround
+from ..registry import register
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Order-stable double-precision dot product of two float arrays."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: str | Column) -> Column:
+    """Euclidean norm with the same accumulation discipline as :func:`dot`."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+#: DuckDB spelling of the same accumulation order (list_transform over a
+#: 1-based range, summed left to right). {a}/{b} are column names.
+_DUCK_DOT = (
+    "list_aggregate(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+)
+
+
+def _duck_cos(a: str, b: str) -> str:
+    d = _DUCK_DOT.format(a=a, b=b)
+    na = _DUCK_DOT.format(a=a, b=a)
+    nb = _DUCK_DOT.format(a=b, b=b)
+    return f"({d} / (sqrt({na}) * sqrt({nb})))"
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    scored AS (SELECT q.q_id, e.vec_id AS cand_id,
+                      {_duck_cos('qv', 'embedding')} AS cos
+               FROM q CROSS JOIN embeddings e
+               WHERE e.vec_id <> q.q_id)
+    SELECT q_id, cand_id, round(cos, 6) AS cos_sim, rk
+    FROM (SELECT q_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, cand_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+    survey="D3 (brute-force cosine top-k baseline)",
+    scale="""
+    Exact ANN baseline: the query set broadcasts (10 vectors), candidates
+    stream — no shuffle of the big side; per-query top-k via rank-limited
+    window. 100 TB path: this exact plan with the query side capped, or
+    switch to similarity_ivf when the query set itself is large. All
+    vector math is JVM-side higher-order functions — no Python.
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 10 query vectors."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine("qv", "embedding").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "cand_id", pround("cos", 6).alias("cos_sim"), "rk")
+    )
+
+
+@register(
+    "similarity_ivf",
+    oracle=f"""
+    WITH cb AS (SELECT vec_id AS code_id, embedding AS cv FROM embeddings
+                WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, code_id, embedding
+      FROM (SELECT e.vec_id, cb.code_id, e.embedding,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_duck_cos('embedding', 'cv')} DESC,
+                                cb.code_id) AS rk
+            FROM embeddings e CROSS JOIN cb)
+      WHERE rk = 1),
+    q AS (SELECT vec_id AS q_id, code_id AS q_code, embedding AS qv
+          FROM assigned WHERE vec_id < 10),
+    scored AS (SELECT q.q_id, a.vec_id AS cand_id,
+                      {_duck_cos('qv', 'a.embedding')} AS cos
+               FROM q JOIN assigned a ON a.code_id = q.q_code
+               WHERE a.vec_id <> q.q_id)
+    SELECT q_id, cand_id, round(cos, 6) AS cos_sim, rk
+    FROM (SELECT q_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, cand_id) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    survey="D3 (IVF-pruned approximate search — the scale path)",
+    scale="""
+    IVF structure: a fixed codebook (here: first 16 vectors; in production
+    k-means centroids via iterative_converge's loop) partitions the corpus
+    by nearest-centroid; queries probe ONLY their own cell, cutting
+    compared candidates by ~#cells. The cell id is a partitioning column:
+    at 100 TB, cluster-prune becomes partition-prune on disk. Recall/cost
+    is tuned by probing the nprobe nearest cells instead of 1.
+    """,
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors searching only the query's IVF cell."""
+    e = table(spark, sf_dir, "embeddings")
+    cb = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code_id"), F.col("embedding").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), "code_id"
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "embedding",
+            "code_id",
+            cosine("embedding", "cv").alias("cos_c"),
+        )
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "code_id")
+    )
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("code_id").alias("q_code"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q), F.col("code_id") == F.col("q_code")
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine("qv", "embedding").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "cand_id", pround("cos", 6).alias("cos_sim"), "rk")
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_duck_cos('a.embedding', 'b.embedding')} AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
+    FROM pairs WHERE cos >= 0.2
+    """,
+    survey="D2/D3 (embedding-cosine near-duplicate pairs)",
+    scale="""
+    Semantic near-dup with label blocking: the self-join is keyed on the
+    block, so candidate pairs are per-block quadratic, not corpus
+    quadratic. At 100 TB the block key is an IVF cell or LSH bucket
+    (random-hyperplane signs), giving the same plan with bounded blocks;
+    the threshold filter runs on the unrounded cosine so both engines
+    keep the identical pair set.
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.2) within label blocks."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.2)
+        .select("vec_a", "vec_b", pround("cos", 4).alias("cos_sim"))
+    )

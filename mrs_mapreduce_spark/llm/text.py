@@ -1,0 +1,298 @@
+"""Text analysis for corpus curation (SURVEY.md §2.D D4).
+
+Tokenization, tf-idf, language ID, quality scoring, token counting and
+document fingerprinting — all as pure DataFrame plans (no Python UDFs in
+any hot path), each with an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..exprs import pround
+from ..registry import register
+
+
+def tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, word) pairs — whitespace tokenization of ``text``."""
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           count(DISTINCT source) AS n_sources,
+           round(avg(len(string_split(text, ' '))), 2) AS avg_words
+    FROM documents GROUP BY lang
+    """,
+    survey="D4",
+    scale="Single partial-aggregated groupBy on a low-cardinality key.",
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pround(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        pround(F.avg(F.size(F.split("text", " "))), 2).alias("avg_words"),
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (SELECT tf.doc_id, tf.w,
+                      round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+               FROM tf JOIN df USING (w) CROSS JOIN n
+               WHERE tf.doc_id < 50)
+    SELECT doc_id, w AS word, tfidf, rk
+    FROM (SELECT doc_id, w, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, w) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    survey="D4 (tf-idf)",
+    scale="""
+    tf and df are two partial-aggregated groupBys over the token stream;
+    df (|vocab| rows) is broadcast back onto tf — no shuffle of the big
+    side for the idf join. Top-3-per-doc uses rank-limit pushdown
+    (WindowGroupLimit). At 100 TB the token explode never materializes:
+    it is pipelined between the scan and the partial aggregates.
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (smoothed idf), deterministic ties."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = tokens(docs)
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(df), "word")
+        .select(
+            "doc_id",
+            "word",
+            pround(
+                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tfidf", "rk")
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH tok AS (SELECT d.doc_id, d.lang, unnest(string_split(d.text, ' ')) AS w
+                 FROM documents d),
+    lw AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY lang, w),
+    markers AS (SELECT lang AS marker_lang, w
+                FROM (SELECT lang, w,
+                             row_number() OVER (PARTITION BY lang
+                                                ORDER BY c DESC, w) AS rk
+                      FROM lw)
+                WHERE rk <= 3),
+    hits AS (SELECT t.doc_id, m.marker_lang, count(*) AS n_hits
+             FROM tok t JOIN markers m ON t.w = m.w
+             WHERE t.doc_id < 200
+             GROUP BY t.doc_id, m.marker_lang)
+    SELECT doc_id, marker_lang AS pred_lang, n_hits
+    FROM (SELECT doc_id, marker_lang, n_hits,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY n_hits DESC, marker_lang) AS rk
+          FROM hits)
+    WHERE rk = 1
+    """,
+    survey="D4 (language identification, n-gram-frequency heuristic)",
+    scale="""
+    Self-calibrating lang-ID: marker extraction is a groupBy + windowed
+    top-k (tiny output: |langs|*3 rows) broadcast onto the token stream —
+    the scoring join is map-side, zero shuffle of tokens. Real-world
+    variant swaps markers for a static char-n-gram profile table;
+    identical plan shape.
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict language from corpus-derived marker words (argmax hits)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    lw = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    w_top = Window.partitionBy("lang").orderBy(F.desc("c"), "w")
+    markers = (
+        lw.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("lang").alias("marker_lang"), "w")
+    )
+    hits = (
+        tok.filter(F.col("doc_id") < 200)
+        .join(F.broadcast(markers), "w")
+        .groupBy("doc_id", "marker_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_hits"), "marker_lang"
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("marker_lang").alias("pred_lang"), "n_hits")
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    stop AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY w
+                            ORDER BY c DESC, w LIMIT 20)),
+    per_doc AS (
+      SELECT t.doc_id,
+             count(*) AS n_words,
+             count(DISTINCT t.w) AS n_uniq,
+             sum(CASE WHEN s.w IS NOT NULL THEN 1 ELSE 0 END) AS n_stop,
+             sum(length(t.w)) AS sum_len
+      FROM tok t LEFT JOIN stop s ON t.w = s.w
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_words,
+           round(n_uniq * 1.0 / n_words, 4) AS uniq_ratio,
+           round(n_stop * 1.0 / n_words, 4) AS stop_ratio,
+           round(sum_len * 1.0 / n_words, 4) AS avg_word_len,
+           round(0.4 * (n_uniq * 1.0 / n_words)
+                 + 0.4 * (1 - n_stop * 1.0 / n_words)
+                 + 0.2 * least(sum_len * 1.0 / n_words / 10, 1.0), 4)
+               AS quality
+    FROM per_doc
+    """,
+    survey="D4 (quality scoring: length/stopword/uniqueness heuristics)",
+    scale="""
+    Stopword list = windowed top-20 (broadcast); the per-doc pass is one
+    partial-aggregated groupBy over the token stream. Heuristic weights
+    are illustrative; the plan shape (tiny broadcast + single agg) is the
+    scalable part.
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score from corpus-relative heuristics."""
+    docs = table(spark, sf_dir, "documents")
+    tok = tokens(docs)
+    stop = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "word")
+        .limit(20)
+        .select(F.col("word").alias("stop_w"))
+    )
+    joined = tok.join(
+        F.broadcast(stop), tok.word == F.col("stop_w"), "left"
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("word").alias("n_uniq"),
+        F.sum(
+            F.when(F.col("stop_w").isNotNull(), 1).otherwise(0)
+        ).alias("n_stop"),
+        F.sum(F.length("word")).alias("sum_len"),
+    )
+    uniq_ratio = F.col("n_uniq") * 1.0 / F.col("n_words")
+    stop_ratio = F.col("n_stop") * 1.0 / F.col("n_words")
+    avg_len = F.col("sum_len") * 1.0 / F.col("n_words")
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        pround(uniq_ratio, 4).alias("uniq_ratio"),
+        pround(stop_ratio, 4).alias("stop_ratio"),
+        pround(avg_len, 4).alias("avg_word_len"),
+        pround(
+            0.4 * uniq_ratio
+            + 0.4 * (1 - stop_ratio)
+            + 0.2 * F.least(avg_len / 10, F.lit(1.0)),
+            4,
+        ).alias("quality"),
+    )
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_alpha,
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+                w -> CAST(ceil(length(w) / 4.0) AS BIGINT)), 'sum')
+                AS BIGINT) AS n_subwords
+    FROM documents
+    """,
+    survey="D4 (token counting: whitespace + regex + BPE-ish estimate)",
+    scale="""
+    Token counting without exploding: size() over split arrays and a
+    higher-order sum — pure projection, zero shuffle. The ceil(len/4)
+    subword estimate is the standard chars/4 BPE proxy.
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace, regex and BPE-ish subword token counts per document."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias(
+            "n_alpha"
+        ),
+        F.expr(
+            "aggregate(transform(split(text, ' '),"
+            " w -> cast(ceil(length(w) / 4.0) as bigint)),"
+            " cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("n_subwords"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')), 1, 16) AS fp,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq
+    FROM documents
+    """,
+    survey="D4 (document fingerprinting)",
+    scale="""
+    Content-defined fingerprint: hash of the sorted distinct token set —
+    invariant to word order, so it catches shuffled near-copies that exact
+    dedup misses. Pure projection; the fingerprint column then feeds the
+    exact-dedup groupBy.
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant content fingerprint per document."""
+    d = table(spark, sf_dir, "documents")
+    uniq = F.array_sort(F.array_distinct(F.split("text", " ")))
+    return d.select(
+        "doc_id",
+        F.substring(F.md5(F.array_join(uniq, " ")), 1, 16).alias("fp"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_uniq"),
+    )

@@ -1,0 +1,364 @@
+"""Mrs-parity layer: the reference's exact programming model on Spark RDDs.
+
+Capability parity (SURVEY.md §2.A, all ``[upstream-UNVERIFIED]`` — the
+reference mount was empty, SURVEY.md §0):
+
+* ``mrs/__init__.py::MapReduce`` — user subclass with generator-style
+  ``map(key, value)`` / ``reduce(key, values)`` / optional ``combine``.
+* ``mrs/job.py::Job`` — ``local_data / file_data / map_data / reduce_data /
+  reducemap_data / wait`` building a lazy dataset DAG.
+* ``mrs/datasets.py`` — datasets = lazy RDD lineage here (Spark's DAG *is*
+  the reference's dataset DAG).
+* ``mrs/__init__.py`` partition functions — hash / mod / random.
+* ``mrs/__init__.py::IterativeMR`` — producer/consumer driver loop.
+
+Deliberate departures, documented:
+
+* Keys are sorted/grouped by their Python value (must be orderable), not by
+  serialized bytes as in ``mrs/tasks.py::ReduceTask``.
+* ``wait`` is synchronous (Spark's lazy evaluation + scheduler already
+  covers the reference's async dataset scheduling, A13).
+* Shuffle, fault tolerance, progress (A8/A13–A15) are Spark built-ins.
+
+Scale note: this layer exists for API parity and for workloads that are
+genuinely pair-at-a-time; everything relational in this engine uses
+DataFrames so Catalyst can optimize. RDD code paths serialize through
+pickle and should be reserved for logic DataFrames cannot express.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import random
+import shutil
+import tempfile
+from collections.abc import Callable, Iterable, Iterator
+from pathlib import Path
+
+from pyspark.rdd import RDD
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Partition functions (parity: mrs hash_partition / mod_partition /
+# random_partition — SURVEY.md §2.A A7)
+# ---------------------------------------------------------------------------
+
+
+def hash_partition(key, n: int) -> int:
+    """Default partitioner: md5 of the repr'd key mod n.
+
+    The reference hashes the *serialized* key; md5-of-repr keeps that
+    property (stable across interpreters and runs) without depending on
+    PYTHONHASHSEED the way Python's built-in str hash does.
+    """
+    digest = hashlib.md5(repr(key).encode("utf-8", "surrogatepass")).digest()
+    return int.from_bytes(digest[:8], "big") % n
+
+
+def mod_partition(key, n: int) -> int:
+    """Integer keys straight mod n (preserves key locality)."""
+    return int(key) % n
+
+
+def random_partition(key, n: int) -> int:
+    """Spray pairs uniformly; only safe upstream of a re-partitioning op."""
+    return random.randrange(n)
+
+
+# ---------------------------------------------------------------------------
+# Program + dataset + job
+# ---------------------------------------------------------------------------
+
+
+class MapReduce:
+    """Base class a user subclasses — the reference's program model.
+
+    ``map`` yields 0..n ``(key, value)`` pairs per input pair; ``reduce``
+    yields output *values* for one key (the framework re-attaches the key);
+    ``combine`` (optional) has reduce's signature and runs map-side.
+    """
+
+    #: optional map-side combiner: combine(key, values) -> yields values
+    combine: Callable | None = None
+
+    def map(self, key, value) -> Iterator[tuple]:
+        raise NotImplementedError
+
+    def reduce(self, key, values: Iterator) -> Iterator:
+        raise NotImplementedError
+
+
+class Dataset:
+    """A lazy pair collection — parity with ``mrs/datasets.py`` datasets.
+
+    ``splits`` is the partition count the *next* consumer sees (the
+    reference's (source, split) bucket grid collapses to RDD partitions).
+    """
+
+    def __init__(self, rdd: RDD, splits: int):
+        self.rdd = rdd
+        self.splits = splits
+        self._materialized = False
+
+    def collect(self) -> list[tuple]:
+        return self.rdd.collect()
+
+    def close(self) -> None:
+        """Free cached blocks (parity: dataset.close() frees buckets)."""
+        self.rdd.unpersist()
+
+
+def _sorted_groups(items: Iterable[tuple]) -> Iterator[tuple]:
+    """Sort a partition by key and group equal-key runs (ReduceTask prep)."""
+    for key, pairs in itertools.groupby(
+        sorted(items, key=lambda kv: kv[0]), key=lambda kv: kv[0]
+    ):
+        yield key, (v for _, v in pairs)
+
+
+def _ensure_code_shipped(sc) -> None:
+    """Ship this package to executors (mrs same-script-everywhere parity).
+
+    The reference guarantees every node runs the same script and resolves
+    functions by name (``mrs/registry.py``). Spark pickles classes/functions
+    by module reference, so workers must be able to import this package even
+    when the driver process started in an unrelated cwd — addPyFile of a
+    package zip restores that guarantee. Idempotent per SparkContext.
+    """
+    if getattr(sc, "_mrs_code_shipped", False):
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    staging = Path(tempfile.mkdtemp(prefix="mrs_pyfiles_"))
+    zip_base = staging / "mrs_mapreduce_spark"
+    archive = shutil.make_archive(
+        str(zip_base), "zip", root_dir=pkg_dir.parent, base_dir=pkg_dir.name
+    )
+    sc.addPyFile(archive)
+    sc._mrs_code_shipped = True
+
+
+class Job:
+    """Builds the lazy dataset DAG — parity with ``mrs/job.py::Job``."""
+
+    def __init__(self, spark: SparkSession, default_splits: int | None = None):
+        self.spark = spark
+        self.sc = spark.sparkContext
+        self.default_splits = default_splits or self.sc.defaultParallelism
+        _ensure_code_shipped(self.sc)
+
+    # -- sources ------------------------------------------------------------
+
+    def local_data(self, pairs: Iterable[tuple], splits: int = 2) -> Dataset:
+        """Master-side iterable of pairs → dataset (A2)."""
+        return Dataset(self.sc.parallelize(list(pairs), splits), splits)
+
+    def file_data(self, paths: list[str]) -> Dataset:
+        """Text files → (line_number, line) pairs, one source per file (A1)."""
+        rdds = [
+            self.sc.textFile(p)
+            .zipWithIndex()
+            .map(lambda t: (t[1], t[0]))
+            for p in paths
+        ]
+        union = self.sc.union(rdds)
+        return Dataset(union, union.getNumPartitions())
+
+    def dataframe_data(self, df: DataFrame, key_col: str, value_col: str) -> Dataset:
+        """Bridge a DataFrame column pair into the parity layer."""
+        rdd = df.select(key_col, value_col).rdd.map(lambda r: (r[0], r[1]))
+        return Dataset(rdd, rdd.getNumPartitions())
+
+    # -- transforms ---------------------------------------------------------
+
+    def map_data(
+        self,
+        dataset: Dataset,
+        mapper: Callable,
+        splits: int | None = None,
+        parter: Callable = hash_partition,
+        combiner: Callable | None = None,
+    ) -> Dataset:
+        """Apply a generator map; optionally combine map output per task (A5/A6)."""
+        out = dataset.rdd.flatMap(lambda kv: mapper(kv[0], kv[1]))
+        if combiner is not None:
+            out = out.mapPartitions(
+                lambda items: (
+                    (k, v)
+                    for k, vals in _sorted_groups(items)
+                    for v in combiner(k, vals)
+                )
+            )
+        ds = Dataset(out, splits or self.default_splits)
+        ds.parter = parter
+        return ds
+
+    def _shuffle(self, dataset: Dataset, splits: int, parter: Callable) -> RDD:
+        """Partition by the dataset's parter — the reference's bucket shuffle."""
+        return dataset.rdd.partitionBy(splits, lambda key: parter(key, splits))
+
+    def reduce_data(
+        self,
+        dataset: Dataset,
+        reducer: Callable,
+        splits: int | None = None,
+        parter: Callable = hash_partition,
+        outdir: str | None = None,
+    ) -> Dataset:
+        """Shuffle → sort by key → group → user reduce (A8/A9/A10).
+
+        ``outdir`` mirrors the reference's TextWriter sink: one
+        ``key<TAB>value`` text part-file per split (A4).
+        """
+        n = splits or self.default_splits
+        shuffled = self._shuffle(dataset, n, parter)
+        reduced = shuffled.mapPartitions(
+            lambda items: (
+                (k, v)
+                for k, vals in _sorted_groups(items)
+                for v in reducer(k, vals)
+            ),
+            preservesPartitioning=True,
+        )
+        if outdir is not None:
+            reduced.map(lambda kv: f"{kv[0]}\t{kv[1]}").saveAsTextFile(outdir)
+        return Dataset(reduced, n)
+
+    def reducemap_data(
+        self,
+        dataset: Dataset,
+        reducer: Callable,
+        mapper: Callable,
+        splits: int | None = None,
+        parter: Callable = hash_partition,
+    ) -> Dataset:
+        """Fused reduce→map in one task, no intermediate dataset (A11).
+
+        In Spark the fusion is structural: the mapper chains onto the
+        reducer inside the same ``mapPartitions`` closure, so both run in
+        one stage exactly like ``mrs/tasks.py::ReduceMapTask``.
+        """
+        n = splits or self.default_splits
+        shuffled = self._shuffle(dataset, n, parter)
+
+        def run(items):
+            for k, vals in _sorted_groups(items):
+                for v in reducer(k, vals):
+                    yield from mapper(k, v)
+
+        return Dataset(shuffled.mapPartitions(run), n)
+
+    # -- control ------------------------------------------------------------
+
+    def wait(self, *datasets: Dataset, timeout: float | None = None):
+        """Materialize datasets; returns the completed list (A12/A13).
+
+        Synchronous by design: Spark's lazy DAG scheduler subsumes the
+        reference's async dataset scheduling.
+        """
+        for ds in datasets:
+            if not ds._materialized:
+                ds.rdd.cache()
+                ds.rdd.count()
+                ds._materialized = True
+        return list(datasets)
+
+    def progress(self, dataset: Dataset) -> float:
+        """Progress fraction (A14): 1.0 once materialized, else 0.0."""
+        return 1.0 if dataset._materialized else 0.0
+
+
+class IterativeMR:
+    """Producer/consumer iteration driver — parity with ``IterativeMR``.
+
+    ``program.producer(job) -> [datasets]`` emits the next generation;
+    ``program.consumer(dataset) -> bool`` inspects results and returns
+    False to stop.
+    """
+
+    def __init__(self, program):
+        self.program = program
+
+    def run(self, job: Job, max_iterations: int = 100) -> int:
+        iterations = 0
+        for _ in range(max_iterations):
+            datasets = self.program.producer(job)
+            ready = job.wait(*datasets)
+            iterations += 1
+            keep_going = all(self.program.consumer(ds) for ds in ready)
+            if not keep_going:
+                break
+        return iterations
+
+
+# ---------------------------------------------------------------------------
+# Declared parity queries (driver-checked via the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "reduce_sum",
+    oracle="""
+    SELECT w AS word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    """,
+    survey="A5/A6/A10 (wordcount through the full parity layer)",
+    scale="""
+    Runs the reference's actual pipeline: generator map, map-side combine
+    (shrinks the shuffle from one pair per word occurrence to one per
+    distinct word per partition), hash shuffle, sort-group reduce. The
+    DataFrame twin of this plan (explode+groupBy) is what production code
+    should use — see bench.py for the measured gap.
+    """,
+)
+def reduce_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordcount via Job.map_data → Job.reduce_data (the Mrs hello-world)."""
+    from .examples import WordCount
+
+    program = WordCount()
+    docs = table(spark, sf_dir, "documents")
+    job = Job(spark, default_splits=8)
+    ds0 = job.dataframe_data(docs, "doc_id", "text")
+    ds1 = job.map_data(ds0, program.map, combiner=program.combine)
+    ds2 = job.reduce_data(ds1, program.reduce, splits=8)
+    return spark.createDataFrame(ds2.rdd, "word string, cnt long")
+
+
+@register(
+    "mr_reducemap",
+    oracle="""
+    SELECT substr(w, 1, 1) AS letter, count(*) AS total
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY substr(w, 1, 1)
+    """,
+    survey="A11 (reducemap fusion through the parity layer)",
+    scale="""
+    reducemap_data fuses the per-word reduce and the re-keying map into one
+    task (no intermediate dataset), then a second reduce totals per letter
+    — the reference's key iterative-algorithm optimization, structurally
+    reproduced: two stages total, not three.
+    """,
+)
+def mr_reducemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordcount → reducemap re-keys counts by first letter → total."""
+    from .examples import WordCount
+
+    program = WordCount()
+    docs = table(spark, sf_dir, "documents")
+    job = Job(spark, default_splits=8)
+    ds0 = job.dataframe_data(docs, "doc_id", "text")
+    ds1 = job.map_data(ds0, program.map, combiner=program.combine)
+    # fused: reduce per word, immediately re-key by first letter
+    ds2 = job.reducemap_data(
+        ds1,
+        program.reduce,
+        lambda word, count: iter([(word[:1], count)]),
+        splits=8,
+    )
+    ds3 = job.reduce_data(ds2, program.reduce, splits=4)
+    return spark.createDataFrame(ds3.rdd, "letter string, total long")

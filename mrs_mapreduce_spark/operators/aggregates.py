@@ -1,0 +1,222 @@
+"""Aggregation operators.
+
+Capability parity: the reference's ``reduce`` (A10,
+``mrs/tasks.py::ReduceTask``) with map-side ``combine`` (A6) — SURVEY.md
+§2.A/§2.B B9–B12. Every groupBy here compiles to partial→final
+``HashAggregateExec`` (the combine/reduce split the reference implements by
+hand), with map-side partial aggregation shrinking the shuffle exactly like
+a Mrs combiner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..exprs import pround
+from ..registry import register
+
+
+@register(
+    "groupby_agg",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           round(avg(l_quantity), 2) AS avg_qty,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey="B9 (flagship, TPC-H Q1 shape)",
+    scale="""
+    Filter pushes to the parquet scan; partial HashAggregate runs map-side
+    (combiner parity) so the exchange carries ~6 grouped rows per task, not
+    the fact table. At 100 TB this plan's shuffle is KBs. Low-cardinality
+    group keys -> no skew concern.
+    """,
+)
+def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the engine's flagship query."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc"),
+            pround(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_custs,
+           count(*) AS cnt
+    FROM orders GROUP BY o_orderstatus
+    """,
+    survey="B10",
+    scale="""
+    count(DISTINCT) expands to a two-phase aggregate (dedup on
+    (status, custkey), then count) — two shuffles. At 100 TB prefer
+    approx_count_distinct (HLL sketch, one shuffle of fixed-size sketches)
+    unless exactness is required; see agg_approx_distinct.
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase reduce in Mrs terms)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # estimator-specific (HLL++): rows-only check by design
+    survey="B10",
+    scale="""
+    HyperLogLog++ sketch: one shuffle of constant-size state per group —
+    THE 100 TB answer to distinct counting. No SQL oracle because DuckDB's
+    approx estimator differs; correctness covered by a unit test asserting
+    <=2% relative error vs the exact count at sf0.001.
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct customers per order status (HLL++)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    survey="B11",
+    scale="""
+    Rollup = Expand (one emitted row per grouping set) + single hash
+    aggregate: one shuffle regardless of grouping-set count. The Expand
+    multiplies map output rows by #sets — keep set count small or pre-
+    aggregate at the finest granularity first at extreme scale.
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals with grouping_id (verified bit-order == DuckDB)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    survey="B11",
+    scale="Cube = Expand x 4 grouping sets; same single-shuffle shape as rollup.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations over two dimensions."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        pround(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+               AS statuses,
+           count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey="B12",
+    scale="""
+    collect_set materializes the group's distinct values in executor memory
+    — bounded here (2 statuses). At 100 TB never collect an unbounded
+    group; cap with slice() or aggregate to sketches instead. sort_array
+    before output: collect order is nondeterministic (SURVEY §7.4).
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested/list aggregation, canonicalized by sorting (B12)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("l_linestatus")), ","
+        ).alias("statuses"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_discount), 6) AS covar_qd,
+           round(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey="B9 (statistical aggregates)",
+    scale="""
+    stddev/var/corr/covar are algebraic (single-pass partial aggregation).
+    percentile() is exact and holds the group's values — at 100 TB switch
+    to approx_percentile (t-digest sketch, constant memory).
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family with exact median."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pround(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        pround(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        pround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        pround(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qd"),
+        # median over l_quantity (integral values): exact-percentile
+        # interpolation on price doubles differs between engines in the
+        # last cent; quantity midpoints are exact halves on both
+        pround(F.expr("percentile(l_quantity, 0.5)"), 2).alias("med_qty"),
+        pround(F.min("l_extendedprice"), 2).alias("min_price"),
+        pround(F.max("l_extendedprice"), 2).alias("max_price"),
+    )

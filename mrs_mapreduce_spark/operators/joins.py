@@ -1,0 +1,354 @@
+"""Join operators.
+
+Capability parity: SURVEY.md §2.B B3–B8. Mrs has no native join; users build
+reduce-side joins (tag both inputs with the join key, merge per key in one
+reduce — ``mrs/tasks.py::ReduceTask``) and map-side joins (small table
+loaded in every map task). Here joins are declarative: Catalyst picks
+broadcast-hash / shuffled-hash / sort-merge, and AQE re-picks at runtime
+from observed sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..exprs import pround
+from ..registry import register
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_odate,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY rev DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    survey="B3 (TPC-H Q3 shape)",
+    scale="""
+    Reduce-side join parity, planned: customer (filtered) broadcasts under
+    AQE's threshold; orders⋈lineitem sort-merge-joins on o_orderkey with
+    both sides hash-partitioned once. Top-10 runs as TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a global sort.
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain + aggregate + deterministic top-10."""
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev")
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_odate"),
+            "rev",
+        )
+        .orderBy(F.desc("rev"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT r.r_name,
+           count(*) AS n_cust,
+           round(sum(c.c_acctbal), 2) AS bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    survey="B4",
+    scale="""
+    Map-side join parity: nation (25 rows) and region (5 rows) are
+    broadcast() explicitly — the fact side streams through with ZERO
+    shuffle before aggregation. At 100 TB this is the only sane plan for
+    dimension joins; explicit broadcast() documents intent even where AQE
+    would discover it.
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast (map-side) dimension joins."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            pround(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    survey="B5",
+    scale="""
+    Left outer preserves customers with no orders (NULL-extended). Same
+    shuffle shape as inner; AQE skew-join splits oversized custkey
+    partitions if order counts are skewed.
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join; unmatched left rows survive with NULL aggregates."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            pround(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           cn.n_cust,
+           sn.n_supp
+    FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+          FROM customer WHERE c_acctbal > 5000 GROUP BY c_nationkey) cn
+    FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp
+               FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey) sn
+      ON cn.nk = sn.nk
+    """,
+    survey="B5",
+    scale="""
+    Full outer join of two pre-aggregated sides: aggregate BEFORE joining
+    so the join input is |distinct keys|, not |rows| — the classic
+    shuffle-minimization rewrite. Full outer forces sort-merge (no
+    broadcast possible on either side preserving both).
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on both sides."""
+    cn = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, cn.c_nk == sn.s_nk, "full").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+    """,
+    survey="B6",
+    scale="""
+    left_semi ships only the probe side's keys and stops at first match —
+    strictly less work than inner+distinct. Broadcast-able when the
+    filtered key set is small.
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join (customers having at least one finished order)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    """,
+    survey="B6",
+    scale="Anti join = NOT EXISTS; same physical shape as semi.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (customers with no orders at all)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT a.s_nationkey AS nk,
+           count(*) AS n_pairs,
+           round(sum(a.s_acctbal - b.s_acctbal), 2) AS gap_sum
+    FROM supplier a
+    JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey
+     AND a.s_acctbal > b.s_acctbal
+    GROUP BY a.s_nationkey
+    """,
+    survey="B7",
+    scale="""
+    Theta join with an equi component: Catalyst joins on the equi key and
+    applies the inequality as a post-join residual — NOT a cartesian
+    product. Pure-theta (no equi key) degrades to nested-loop; always
+    surface an equi/blocking key at scale (here: nationkey).
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality self-join (dominance pairs within a nation)."""
+    a = table(spark, sf_dir, "supplier").alias("a")
+    b = table(spark, sf_dir, "supplier").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_acctbal") > F.col("b.s_acctbal")),
+        )
+        .groupBy(F.col("a.s_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            pround(
+                F.sum(F.col("a.s_acctbal") - F.col("b.s_acctbal")), 2
+            ).alias("gap_sum"),
+        )
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT b.band,
+           count(*) AS cnt,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN (VALUES ('low', 0.0, 100000.0),
+                 ('mid', 100000.0, 250000.0),
+                 ('high', 250000.0, 1e12)) AS b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+    survey="B8 (range/interval join)",
+    scale="""
+    Interval join against a tiny banding dimension: explicit broadcast()
+    makes it a BroadcastNestedLoopJoin where every probe row scans 3 bands
+    — O(n·bands), embarrassingly parallel, no shuffle. For large interval
+    tables, bucket both sides by interval grid first (turns it into an
+    equi-join on bucket + residual).
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join onto a banding dimension."""
+    orders = table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 250000.0),
+         ("high", 250000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            pround(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           (SELECT max(epoch_ns(s.ts) // 1000) FROM events s
+            WHERE s.user_id = p.user_id
+              AND s.event_type = 'signup'
+              AND epoch_ns(s.ts) <= epoch_ns(p.ts)) AS asof_signup_us
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    survey="B8 (as-of join)",
+    scale="""
+    As-of join via the union+window pattern: ONE shuffle on user_id, one
+    within-partition sort, then last(ignorenulls) carries the most recent
+    signup timestamp forward — O(n log n) per partition vs the naive
+    per-row backward scan. This is the scalable as-of plan; a correlated
+    subquery (the oracle) would be quadratic.
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (most-recent-prior-event) join between two event streams."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts_ns"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.withColumn(
+        "asof_signup_us",
+        # microseconds, not nanos: DuckDB truncates parquet TIMESTAMP_NS
+        # to its native microsecond timestamp, so the oracle can only see us
+        F.last(
+            F.when(
+                F.col("event_type") == "signup",
+                F.expr("ts_ns div 1000"),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "asof_signup_us"
+    )

@@ -1,0 +1,184 @@
+"""Map-side operators: projection, explode, partitioning, UDFs, fusion.
+
+Capability parity: the reference's generator ``map`` (A5,
+``mrs/tasks.py::MapTask``), partition functions (A7), reduce+map fusion
+(A11 ``mrs/tasks.py::ReduceMapTask``), and the everything-is-a-UDF surface
+(A18 ``mrs/registry.py``) — SURVEY.md §2.A. In Spark a 1:1 map is a
+projection, a 1:n map is explode/posexplode, and fusion is free: narrow ops
+after a shuffle share the stage under whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from ..catalog import table
+from ..exprs import pround
+from ..registry import register
+
+
+@register(
+    "map_project",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2) AS net_price,
+           upper(l_returnflag) AS rf
+    FROM lineitem
+    """,
+    survey="A5/B2",
+    scale="""
+    1:1 map = pure projection: no shuffle, fully pipelined inside
+    WholeStageCodegen, column-pruned at the scan. Identical plan at any
+    scale factor.
+    """,
+)
+def map_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator map emitting one transformed pair per input pair."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        pround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "net_price"
+        ),
+        F.upper("l_returnflag").alias("rf"),
+    )
+
+
+@register(
+    "map_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 100
+    """,
+    survey="A5",
+    scale="""
+    1:n map = explode of a split — narrow, no shuffle. At 100 TB the fanout
+    multiplies rows ~50x; keep it upstream of aggregation so map-side
+    partial agg shrinks it again before any exchange.
+    """,
+)
+def map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator map emitting 0..n output pairs per input pair."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+
+
+@register(
+    "repartition_mod",
+    oracle="""
+    SELECT CAST(l_orderkey % 16 AS BIGINT) AS part_id,
+           count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY 1
+    """,
+    survey="A7",
+    scale="""
+    mod_partition parity: pmod(key, n) is computed JVM-side and the groupBy
+    shuffles on it — equivalent to the reference's mod partitioner feeding n
+    reduce splits. At scale prefer hash partitioning unless key locality is
+    required; mod on a skewed key distribution is how you get stragglers.
+    """,
+)
+def repartition_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mod-partitioning (mrs mod_partition): per-split stats."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.repartition(16, F.pmod("l_orderkey", F.lit(16)))
+        .groupBy(F.pmod("l_orderkey", F.lit(16)).cast("long").alias("part_id"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "reducemap_chain",
+    oracle="""
+    SELECT o_custkey,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(floor(sum(o_totalprice) / 100000) AS BIGINT) AS band
+    FROM orders GROUP BY o_custkey
+    """,
+    survey="A11",
+    scale="""
+    reducemap fusion parity: the post-aggregation map (band computation)
+    is narrow, so Catalyst pipelines it into the same stage as the final
+    aggregation — zero extra shuffle or materialization, exactly the
+    optimization ReduceMapTask exists for in the reference.
+    """,
+)
+def reducemap_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce → map in one stage (mrs Job.reducemap_data)."""
+    orders = table(spark, sf_dir, "orders")
+    reduced = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("_total")
+    )
+    # the fused "map": runs in the same stage as the final aggregation
+    return reduced.select(
+        "o_custkey",
+        pround("_total", 2).alias("total"),
+        F.floor(F.col("_total") / 100000).cast("long").alias("band"),
+    )
+
+
+@register(
+    "python_udf",
+    oracle="""
+    SELECT c_custkey, reverse(c_name) AS rev_name,
+           length(c_name) AS name_len
+    FROM customer
+    """,
+    survey="A18",
+    scale="""
+    Row-at-a-time Python UDF — deliberately the slow path (one
+    Python-worker round trip per batch of rows). Kept for parity with the
+    reference's arbitrary-callable surface; every hot-path equivalent in
+    this engine uses built-in JVM functions or Arrow-batched pandas UDFs.
+    """,
+)
+def python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary Python callable as map logic (the Mrs UDF model)."""
+    rev = F.udf(lambda s: s[::-1] if s is not None else None, StringType())
+    cust = table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        rev("c_name").alias("rev_name"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@register(
+    "pandas_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
+               AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey="A18/A10",
+    scale="""
+    Arrow-batched grouped-agg pandas UDF (a UDAF): vectorized transfer,
+    10-100x over row-at-a-time. Still a full shuffle of the group's rows to
+    Python — for algebraic aggregates prefer built-ins (see groupby_agg);
+    this path is for genuinely non-algebraic reducers.
+    """,
+)
+def pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom reducer as a vectorized pandas UDAF (quantity-weighted mean)."""
+
+    @F.pandas_udf(DoubleType())
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pround(wavg("l_extendedprice", "l_quantity"), 2).alias("wavg_price")
+    )

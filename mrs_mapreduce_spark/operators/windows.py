@@ -1,0 +1,131 @@
+"""Window functions (ranking, analytic, frames).
+
+Capability parity: SURVEY.md §2.B B13–B15. In Mrs a user gets per-key
+*sorted-by-key* reduce input; value-ordering and accumulators are hand
+code inside the reduce. Spark's window operator is the native form: one
+shuffle on the partition key, one in-partition sort, then all ranking,
+offset and frame aggregates stream over the sorted run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..exprs import pround
+from ..registry import register
+
+#: Deterministic in-partition order: ts_ns is exact int64 nanos and
+#: event_id breaks any residual tie.
+_EVENT_ORDER = ("ts_ns", "event_id")
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT user_id, event_id, rn, rk, drk, nt
+    FROM (
+      SELECT user_id, event_id,
+             row_number() OVER w_unique AS rn,
+             rank()       OVER w_type   AS rk,
+             dense_rank() OVER w_type   AS drk,
+             ntile(4)     OVER w_unique AS nt
+      FROM events
+      WINDOW w_unique AS (PARTITION BY user_id
+                          ORDER BY epoch_ns(ts), event_id),
+             w_type   AS (PARTITION BY user_id ORDER BY event_type)
+    ) WHERE rn <= 5
+    """,
+    survey="B13",
+    scale="""
+    All four ranking functions share one shuffle+sort per WINDOW clause.
+    rank/dense_rank over a tied key are deterministic; row_number/ntile
+    need a total order (ts_ns, event_id) to be replayable — at 100 TB a
+    nondeterministic row_number is a silent correctness bug on retry.
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family: row_number / rank / dense_rank / ntile per user."""
+    ev = table(spark, sf_dir, "events")
+    w_unique = Window.partitionBy("user_id").orderBy(*_EVENT_ORDER)
+    w_type = Window.partitionBy("user_id").orderBy("event_type")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w_unique).alias("rn"),
+            F.rank().over(w_type).alias("rk"),
+            F.dense_rank().over(w_type).alias("drk"),
+            F.ntile(4).over(w_unique).alias("nt"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "window_lag",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_val,
+           lead(value) OVER w AS next_val,
+           first_value(value) OVER w AS first_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    """,
+    survey="B14",
+    scale="""
+    Offset functions are O(1) per row over the sorted run — same single
+    shuffle as ranking. No rounding needed: values pass through untouched,
+    so both engines emit bit-identical doubles.
+    """,
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic offsets: lag / lead / first_value per user timeline."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(*_EVENT_ORDER)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_val"),
+        F.lead("value").over(w).alias("next_val"),
+        F.first("value").over(w).alias("first_val"),
+    )
+
+
+@register(
+    "window_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts), event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW), 2) AS cum_val,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts), event_id
+                                  ROWS BETWEEN 2 PRECEDING
+                                           AND CURRENT ROW), 2) AS mov_avg
+    FROM events
+    """,
+    survey="B15",
+    scale="""
+    Running and sliding frames stream over the sorted partition with O(1)
+    state — the hand-written accumulator a Mrs reduce would carry. The
+    frame order is a total order, so the float accumulation sequence is
+    identical across engines and retries.
+    """,
+)
+def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame aggregates: cumulative sum + 3-row moving average."""
+    ev = table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy(*_EVENT_ORDER)
+    w_cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = base.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        pround(F.sum("value").over(w_cum), 2).alias("cum_val"),
+        pround(F.avg("value").over(w_mov), 2).alias("mov_avg"),
+    )

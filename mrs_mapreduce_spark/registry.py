@@ -1,0 +1,85 @@
+"""Declared-query registry — the engine's operator inventory as code.
+
+Every operator in SURVEY.md §2 that is marked "declare" registers here a
+``(builder, oracle_sql)`` pair. The builder is the Spark-first
+implementation; the oracle is the ANSI-SQL equivalent DuckDB runs on the
+same parquet fixtures. The test driver (and ``tests/test_oracle_parity.py``
+locally) executes both and compares row count + schema + order-insensitive
+value hash — so registration is a falsifiable claim, not documentation.
+
+Capability parity: ``mrs/registry.py::Registry`` (SURVEY.md §2 A18) — the
+reference resolves user map/reduce callables by *name* so every node runs
+the same code; this registry resolves query builders by name so the driver,
+tests and bench all run the same plans.
+"""
+
+from __future__ import annotations
+
+import textwrap
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    """One declared, oracle-checked query."""
+
+    name: str
+    builder: Builder
+    #: DuckDB-runnable ANSI SQL over the fixture views, or None for
+    #: genuinely non-SQL-expressible ops (driver then does rows-only check).
+    oracle: str | None
+    #: SURVEY.md §2 row id(s), e.g. "B9" — what this query demonstrates.
+    survey: str
+    #: How this plan behaves at 100 TB — partitioning/shuffle/broadcast notes.
+    scale: str
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    survey: str = "",
+    scale: str = "",
+) -> Callable[[Builder], Builder]:
+    """Decorator: declare ``fn`` as the builder for query ``name``."""
+
+    def deco(fn: Builder) -> Builder:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(
+            name=name,
+            builder=fn,
+            oracle=textwrap.dedent(oracle).strip() if oracle else None,
+            survey=survey,
+            scale=textwrap.dedent(scale).strip(),
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every module that declares queries; return the full registry."""
+    from .operators import (  # noqa: F401
+        aggregates,
+        iterative,
+        joins,
+        maps,
+        scans,
+        setops,
+        sorts,
+        windows,
+    )
+    from .functions import arrays, jsons, scalars  # noqa: F401
+    from .llm import dedup, multimodal, similarity, text  # noqa: F401
+    from .streaming import windows as _stream_windows  # noqa: F401
+    from . import mapreduce  # noqa: F401
+
+    return dict(REGISTRY)

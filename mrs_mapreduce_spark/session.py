@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for this engine.
+
+Capability parity: ``mrs/main.py`` + ``mrs/param.py`` (run-mode selection and
+the Param CLI system — SURVEY.md §2 A16/A17). In Spark those are session
+configuration, not code: ``local[1]`` replaces ``--mrs=Serial``, ``local[*]``
+replaces MockParallel, and a cluster master URL replaces Master/Slave mode.
+
+Scale design (100 TB): every config here is chosen to survive a 1000-executor
+cluster — AQE on (runtime partition coalescing + skew-join splitting), Arrow
+on (all pandas_udf/mapInPandas paths batch through Arrow), shuffle partition
+count is a *starting point* that AQE re-plans from actual map output sizes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs that must hold on ANY session running this engine's queries —
+#: including a session the test driver created before importing us. All of
+#: these are runtime-settable SQL confs (verified on PySpark 4.1.2).
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet carries parquet TIMESTAMP(NANOS); Spark 4 refuses it
+    # unless read as raw int64 nanos (FIXTURES.md "events" note).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Fixture timestamps are naive (timestamp_ntz); pin the session zone so
+    # any instant<->naive conversion is the identity, matching DuckDB.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime shuffle-partition coalescing, broadcast
+    # join demotion/promotion, skew-join splitting. Essential at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+#: Configs that only make sense at session-build time.
+BUILD_CONFS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.ui.enabled": "false",
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    """Defensively apply :data:`RUNTIME_CONFS` to an existing session."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - static conf on odd builds
+            pass
+
+
+def get_session(
+    app_name: str = "mrs_mapreduce_spark",
+    master: str | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's configuration.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the same entry point serves tests and the bench harness; on a real
+    cluster pass the cluster master URL or rely on spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    for key, value in {**BUILD_CONFS, **RUNTIME_CONFS, **(extra or {})}.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    apply_runtime_confs(spark)
+    return spark

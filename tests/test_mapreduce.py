@@ -1,0 +1,123 @@
+"""Unit tests for the Mrs-parity layer (SURVEY.md §2.A semantics)."""
+
+from __future__ import annotations
+
+from mrs_mapreduce_spark.examples import MonteCarloPi, WordCount
+from mrs_mapreduce_spark.mapreduce import (
+    IterativeMR,
+    Job,
+    hash_partition,
+    mod_partition,
+)
+
+
+def test_local_data_map_reduce(spark):
+    job = Job(spark, default_splits=4)
+    program = WordCount()
+    ds0 = job.local_data([(0, "a b a"), (1, "b c"), (2, "a")], splits=2)
+    ds1 = job.map_data(ds0, program.map, combiner=program.combine)
+    ds2 = job.reduce_data(ds1, program.reduce, splits=4)
+    assert dict(ds2.collect()) == {"a": 3, "b": 2, "c": 1}
+
+
+def test_reduce_without_combiner_same_result(spark):
+    job = Job(spark, default_splits=4)
+    program = WordCount()
+    ds0 = job.local_data([(0, "x y x y x")], splits=2)
+    ds1 = job.map_data(ds0, program.map)  # no combiner
+    ds2 = job.reduce_data(ds1, program.reduce)
+    assert dict(ds2.collect()) == {"x": 3, "y": 2}
+
+
+def test_reducemap_fusion(spark):
+    job = Job(spark, default_splits=4)
+    program = WordCount()
+    ds0 = job.local_data([(0, "aa ab ba aa")], splits=2)
+    ds1 = job.map_data(ds0, program.map)
+    ds2 = job.reducemap_data(
+        ds1, program.reduce, lambda word, cnt: iter([(word[:1], cnt)])
+    )
+    ds3 = job.reduce_data(ds2, program.reduce)
+    assert dict(ds3.collect()) == {"a": 3, "b": 1}
+
+
+def test_mod_partition_placement(spark):
+    """mod_partition must place key k in partition k % n (the Mrs contract)."""
+    job = Job(spark, default_splits=4)
+    ds0 = job.local_data([(i, i) for i in range(20)], splits=3)
+    ds1 = job.reduce_data(
+        ds0, lambda k, vs: iter([sum(vs)]), splits=4, parter=mod_partition
+    )
+    placed = ds1.rdd.mapPartitionsWithIndex(
+        lambda idx, items: ((idx, k) for k, _ in items)
+    ).collect()
+    assert placed, "no pairs placed"
+    for part_idx, key in placed:
+        assert part_idx == key % 4
+
+
+def test_hash_partition_range():
+    for key in ["abc", 42, ("t", 1)]:
+        assert 0 <= hash_partition(key, 7) < 7
+
+
+def test_file_data_and_sink(spark, tmp_path):
+    src = tmp_path / "in.txt"
+    src.write_text("hello world\nhello spark\n")
+    job = Job(spark, default_splits=2)
+    program = WordCount()
+    ds0 = job.file_data([str(src)])
+    assert sorted(ds0.collect()) == [
+        (0, "hello world"),
+        (1, "hello spark"),
+    ]
+    outdir = str(tmp_path / "out")
+    ds1 = job.map_data(ds0, program.map)
+    job.reduce_data(ds1, program.reduce, splits=2, outdir=outdir)
+    lines = spark.sparkContext.textFile(outdir).collect()
+    assert sorted(lines) == ["hello\t2", "spark\t1", "world\t1"]
+
+
+def test_monte_carlo_pi(spark):
+    """The paper's benchmark family: deterministic seeded pi estimate."""
+    job = Job(spark, default_splits=2)
+    program = MonteCarloPi()
+    ds0 = job.local_data([(i, 20000) for i in range(8)], splits=4)
+    ds1 = job.map_data(ds0, program.map)
+    ds2 = job.reduce_data(ds1, program.reduce, splits=1)
+    (_, pi_est), = ds2.collect()
+    assert abs(pi_est - 3.14159) < 0.05
+
+
+def test_wait_and_progress(spark):
+    job = Job(spark)
+    ds = job.local_data([(1, "x")])
+    assert job.progress(ds) == 0.0
+    ready = job.wait(ds)
+    assert ready == [ds]
+    assert job.progress(ds) == 1.0
+
+
+class ConvergingProgram:
+    """Doubles a value until it exceeds 100 (IterativeMR contract test)."""
+
+    def __init__(self):
+        self.value = 1
+        self.seen = []
+
+    def producer(self, job):
+        self.value *= 2
+        return [job.local_data([(0, self.value)])]
+
+    def consumer(self, dataset):
+        val = dataset.collect()[0][1]
+        self.seen.append(val)
+        return val < 100
+
+
+def test_iterative_mr_loop(spark):
+    program = ConvergingProgram()
+    job = Job(spark)
+    iterations = IterativeMR(program).run(job)
+    assert program.seen[-1] == 128
+    assert iterations == 7

@@ -1,0 +1,55 @@
+"""Multimodal plumbing: binary payloads, struct metadata, mapInPandas decode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mrs_mapreduce_spark.catalog import table
+from mrs_mapreduce_spark.llm.multimodal import attach_payload, decode_frames
+
+
+def test_payload_schema(spark, sf_dir):
+    mm = attach_payload(table(spark, sf_dir, "documents"))
+    dtypes = dict(mm.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["meta"].startswith("struct<")
+    row = mm.first()
+    assert len(row.payload) == 16
+    assert row.meta.n_bytes == 16
+    assert row.meta.mime == "image/fake"
+
+
+def test_decode_stub_deterministic(spark, sf_dir):
+    mm = attach_payload(table(spark, sf_dir, "documents")).limit(50)
+    out = decode_frames(mm)
+    rows = {r.doc_id: r for r in out.collect()}
+    payloads = {r.doc_id: r.payload for r in mm.collect()}
+    assert set(rows) == set(payloads)
+    for doc_id, r in rows.items():
+        b = payloads[doc_id]
+        assert r.width == b[0] % 64 + 16
+        assert r.height == b[1] % 64 + 16
+        assert r.n_pixels == r.width * r.height
+        assert r.kind == "image/fake"
+
+
+def test_real_codec_is_stubbed(spark, sf_dir):
+    mm = attach_payload(table(spark, sf_dir, "documents")).limit(2)
+    with pytest.raises(Exception) as excinfo:
+        decode_frames(mm, real_codec=True).collect()
+    assert "NotImplementedError" in str(excinfo.value) or isinstance(
+        excinfo.value, NotImplementedError
+    )
+
+
+def test_metadata_filter_avoids_payload_shuffle(spark, sf_dir):
+    """Aggregating on struct metadata only must not reference payload bytes
+    in the aggregate (payload pruned from the plan's shuffle)."""
+    mm = attach_payload(table(spark, sf_dir, "documents"))
+    agg = mm.groupBy(F.col("meta.origin").alias("origin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan.split("Exchange", 1)[-1]
+    assert agg.count() > 0

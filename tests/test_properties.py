@@ -1,0 +1,138 @@
+"""Property-based invariants (hypothesis) on generated micro-frames.
+
+Two independent implementations of the same semantics (RDD parity path vs
+DataFrame path) are the strongest oracle we control (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mrs_mapreduce_spark.mapreduce import Job
+
+WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "x2"]),
+    min_size=0,
+    max_size=8,
+)
+DOCS = st.lists(WORDS, min_size=1, max_size=6)
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(docs=DOCS)
+@_SETTINGS
+def test_rdd_and_dataframe_wordcount_agree(spark, docs):
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    df_counts = {
+        (r.word, r.cnt)
+        for r in df.select(
+            F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+
+    job = Job(spark, default_splits=2)
+    ds0 = job.local_data(rows, splits=2)
+    ds1 = job.map_data(ds0, lambda k, v: ((w, 1) for w in v.split()))
+    ds2 = job.reduce_data(ds1, lambda k, vs: iter([sum(vs)]), splits=2)
+    rdd_counts = set(ds2.collect())
+
+    assert df_counts == rdd_counts
+
+
+@given(
+    left=st.lists(st.integers(0, 5), max_size=10),
+    right=st.lists(st.integers(0, 5), max_size=10),
+)
+@_SETTINGS
+def test_union_additivity_and_except_multiset(spark, left, right):
+    ldf = spark.createDataFrame([(x,) for x in left], "v long")
+    rdf = spark.createDataFrame([(x,) for x in right], "v long")
+    assert ldf.union(rdf).count() == len(left) + len(right)
+
+    got = Counter(r.v for r in ldf.exceptAll(rdf).collect())
+    want = Counter(left) - Counter(right)
+    assert got == +want
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9)), max_size=8),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9)), max_size=8),
+)
+@_SETTINGS
+def test_inner_join_commutes(spark, left, right):
+    ldf = spark.createDataFrame(left or [(99, 0)], "k long, a long")
+    rdf = spark.createDataFrame(right or [(98, 0)], "k long, b long")
+    ab = {
+        (r.k, r.a, r.b)
+        for r in ldf.join(rdf, "k").select("k", "a", "b").collect()
+    }
+    ba = {
+        (r.k, r.a, r.b)
+        for r in rdf.join(ldf, "k").select("k", "a", "b").collect()
+    }
+    assert ab == ba
+
+
+@given(vals=st.lists(st.text("ab", min_size=1, max_size=3), min_size=1, max_size=12))
+@_SETTINGS
+def test_dedup_idempotent(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    once = df.dropDuplicates(["t"])
+    twice = once.dropDuplicates(["t"])
+    assert once.count() == twice.count() == len(set(vals))
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ estimate within 2% of exact (rows-only query's unit backstop)."""
+    from mrs_mapreduce_spark.catalog import table
+
+    orders = table(spark, sf_dir, "orders")
+    exact = orders.select("o_custkey").distinct().count()
+    approx = orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("a")
+    ).collect()[0].a
+    assert abs(approx - exact) / exact <= 0.05
+
+
+def test_window_rank_bijection(spark, sf_dir):
+    """row_number over a total order is a bijection per partition."""
+    from mrs_mapreduce_spark.registry import load_all
+
+    df = load_all()["window_rank"].builder(spark, sf_dir)
+    rows = df.collect()
+    per_user = Counter(r.user_id for r in rows)
+    for r in rows:
+        assert 1 <= r.rn <= 5
+    for user, n in per_user.items():
+        ranks = sorted(r.rn for r in rows if r.user_id == user)
+        assert ranks == list(range(1, n + 1))
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_shingles_count(spark, k):
+    from mrs_mapreduce_spark.llm.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a"), (3, "x y")], "doc_id long, text string"
+    )
+    got = Counter(r.doc_id for r in shingles(df, k=k).collect())
+    for doc_id, text in [(1, "a b c d"), (2, "a"), (3, "x y")]:
+        n_words = len(text.split())
+        expected = max(0, n_words - k + 1) if n_words >= k else 0
+        assert got.get(doc_id, 0) == expected

@@ -1,0 +1,58 @@
+"""Smoke tests: entry contract, registry hygiene, flagship expectations."""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+from mrs_mapreduce_spark.registry import load_all
+
+_ENTRY = Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+
+
+def _load_entry_module():
+    spec = importlib.util.spec_from_file_location("__spark_entry__", _ENTRY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_returns_rows(spark):
+    mod = _load_entry_module()
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base",
+        "sum_disc",
+        "avg_qty",
+        "cnt",
+    }
+
+
+def test_entry_contract_shapes():
+    mod = _load_entry_module()
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    assert len(queries) >= 60
+    assert set(oracles) <= set(queries)
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_registry_metadata_complete():
+    for name, q in load_all().items():
+        assert q.survey, f"{name} missing survey row reference"
+        assert q.scale, f"{name} missing scale design note"
+        assert (q.builder.__doc__ or "").strip(), f"{name} missing docstring"
+
+
+def test_flagship_matches_known_counts(spark, sf_dir):
+    """Q1 at sf0.001: 6 groups covering 4,964 filtered lineitems."""
+    df = load_all()["groupby_agg"].builder(spark, sf_dir)
+    rows = {(r.l_returnflag, r.l_linestatus): r for r in df.collect()}
+    assert len(rows) == 6
+    assert sum(r.cnt for r in rows.values()) == 4964
