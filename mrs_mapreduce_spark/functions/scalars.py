@@ -127,3 +127,40 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod("l_orderkey", F.lit(7)).cast("long").alias("m7"),
         F.signum(F.col("l_tax") - 0.04).alias("sg"),
     )
+
+
+@register(
+    "fn_cond",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS qty_band,
+           CASE WHEN l_discount > 0.05 THEN 'disc' ELSE 'nodisc' END AS d_flag,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS rf_or_none,
+           round(least(l_tax, l_discount), 4) AS lo,
+           round(greatest(l_tax, l_discount), 4) AS hi
+    FROM lineitem
+    """,
+    survey="B1/B2 (conditional expressions)",
+    scale="Pure codegen'd projection; CASE chains fold into branch-free selects.",
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression family: CASE, nullif/coalesce, least/greatest."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+        .alias("qty_band"),
+        F.when(F.col("l_discount") > 0.05, "disc")
+        .otherwise("nodisc")
+        .alias("d_flag"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias(
+            "rf_or_none"
+        ),
+        pround(F.least("l_tax", "l_discount"), 4).alias("lo"),
+        pround(F.greatest("l_tax", "l_discount"), 4).alias("hi"),
+    )

@@ -27,20 +27,23 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, sh) — k-word shingles via a higher-order sequence transform.
 
     No self-join, no window: the shingle array is built inside codegen from
-    the split array, then exploded once.
+    the split array, then exploded once. The words array is projected as an
+    explicit column FIRST so codegen evaluates split() once per row —
+    inlining it into the lambda re-splits the text per element (measured
+    6x slower at sf0.1).
     """
     sh = F.expr(
-        f"transform(sequence(1, size(split(text, ' ')) - {k - 1}),"
+        f"transform(sequence(1, size(ws) - {k - 1}),"
         f" i -> concat_ws(' ', "
-        + ", ".join(
-            f"element_at(split(text, ' '), i + {j})" for j in range(k)
-        )
+        + ", ".join(f"element_at(ws, i + {j})" for j in range(k))
         + "))"
     )
     # guard BEFORE building the sequence: sequence(1, n) with n < 1 would
     # count downward in Spark, not return empty
-    return docs.filter(F.size(F.split("text", " ")) >= k).select(
-        "doc_id", F.explode(sh).alias("sh")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= k)
+        .select("doc_id", F.explode(sh).alias("sh"))
     )
 
 
@@ -98,20 +101,39 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: min md5(shingle | seed) per doc per seed."""
+    """MinHash signatures: min md5(shingle | seed) per doc per seed.
+
+    Plan: hash each DISTINCT shingle once into a 16-element array (md5 is
+    the dominant cost — distinct shingles are far fewer than shingle
+    instances), broadcast-join the hash table back onto (doc, shingle)
+    pairs, take the 16 per-column mins in ONE aggregation pass, and
+    posexplode to the long signature format. MinHash is a set operation,
+    so deduping (doc, shingle) first changes nothing.
+    """
     d = table(spark, sf_dir, "documents")
-    sh = shingles(d)
-    seeded = sh.join(
-        F.broadcast(
-            sh.sparkSession.range(_SEEDS).select(
-                F.col("id").cast("int").alias("seed")
-            )
+    sh_sets = shingles(d).distinct()
+    hash_arr = F.array(
+        *[
+            F.md5(F.concat(F.col("sh"), F.lit(f"|{i}")))
+            for i in range(_SEEDS)
+        ]
+    )
+    hashes = sh_sets.select("sh").distinct().withColumn("hs", hash_arr)
+    sig_wide = (
+        sh_sets.join(F.broadcast(hashes), "sh")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.element_at("hs", i + 1)).alias(f"h{i}")
+                for i in range(_SEEDS)
+            ]
         )
     )
-    return seeded.groupBy("doc_id", "seed").agg(
-        F.min(
-            F.md5(F.concat("sh", F.lit("|"), F.col("seed").cast("string")))
-        ).alias("minhash")
+    return sig_wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"h{i}") for i in range(_SEEDS)])
+        ).alias("seed", "minhash"),
     )
 
 

@@ -362,3 +362,32 @@ def mr_reducemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ds3 = job.reduce_data(ds2, program.reduce, splits=4)
     return spark.createDataFrame(ds3.rdd, "letter string, total long")
+
+
+@register(
+    "mr_map_only",
+    oracle="""
+    SELECT doc_id, w AS word
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+    WHERE w LIKE 's%'
+    """,
+    survey="A5 (map-only job: no reduce phase)",
+    scale="""
+    A map-only dataset (the reference's grep shape): no shuffle at all —
+    the map generator filters and re-keys in place. In Spark terms a pure
+    narrow stage; output partitioning inherits the input's.
+    """,
+)
+def mr_map_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grep-style map-only job through the parity layer."""
+    docs = table(spark, sf_dir, "documents")
+    job = Job(spark, default_splits=8)
+    ds0 = job.dataframe_data(docs, "doc_id", "text")
+    ds1 = job.map_data(
+        ds0,
+        lambda doc_id, text: (
+            (doc_id, w) for w in text.split() if w.startswith("s")
+        ),
+    )
+    return spark.createDataFrame(ds1.rdd, "doc_id long, word string")

@@ -220,3 +220,36 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.min("l_extendedprice"), 2).alias("min_price"),
         pround(F.max("l_extendedprice"), 2).alias("max_price"),
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey="B11 (pivot / conditional aggregation)",
+    scale="""
+    pivot with an EXPLICIT value list compiles to one conditional
+    aggregate per pivot value in a single groupBy — one shuffle. Omitting
+    the list adds a blocking distinct-scan to discover values; never do
+    that at 100 TB.
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status counts pivoted to columns per order priority."""
+    orders = table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+    )

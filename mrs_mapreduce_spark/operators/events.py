@@ -1,0 +1,80 @@
+"""Event-sequence analytics over the events table (SURVEY.md §2.D D6).
+
+Funnel analysis composed from the window/join primitives — the kind of
+multi-step event query a Mrs user would hand-roll as chained map/reduce
+phases; here it is one declarative plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..exprs import pround
+from ..registry import register
+
+_NS_PER_DAY = 86_400_000_000_000
+
+
+@register(
+    "events_funnel",
+    oracle=f"""
+    WITH su AS (SELECT user_id, min(epoch_ns(ts)) AS s
+                FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (SELECT su.user_id, su.s,
+                    CASE WHEN EXISTS (
+                        SELECT 1 FROM events p
+                        WHERE p.user_id = su.user_id
+                          AND p.event_type = 'purchase'
+                          AND epoch_ns(p.ts) >= su.s)
+                    THEN 1 ELSE 0 END AS converted
+             FROM su)
+    SELECT s // {_NS_PER_DAY} AS cohort_day,
+           count(*) AS n_signups,
+           CAST(sum(converted) AS BIGINT) AS n_conv,
+           round(100.0 * sum(converted) / count(*), 2) AS conv_pct
+    FROM conv GROUP BY 1
+    """,
+    survey="D6 (signup→purchase funnel by cohort)",
+    scale="""
+    Funnel without a correlated per-user scan: first-signup is one
+    partial-aggregated groupBy; conversion is a left join from signups to
+    purchases re-aggregated to a flag — two shuffles on user_id total
+    (co-partitioned, so AQE can reuse the exchange). Cohort key is integer
+    day arithmetic on exact nanos.
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort-day signup→purchase conversion rates."""
+    ev = table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("s"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_ns").alias("p_ns")
+    )
+    converted = (
+        signups.join(purchases, "user_id", "left")
+        .groupBy("user_id", "s")
+        .agg(
+            F.max(
+                F.when(F.col("p_ns") >= F.col("s"), 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return (
+        converted.groupBy(
+            # integer div: double division drifts near day boundaries
+            F.expr(f"s div {_NS_PER_DAY}").alias("cohort_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum("converted").cast("long").alias("n_conv"),
+            pround(
+                100.0 * F.sum("converted") / F.count(F.lit(1)), 2
+            ).alias("conv_pct"),
+        )
+    )

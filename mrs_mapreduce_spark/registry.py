@@ -69,16 +69,20 @@ def load_all() -> dict[str, Query]:
     """Import every module that declares queries; return the full registry."""
     from .operators import (  # noqa: F401
         aggregates,
+        events,
         iterative,
         joins,
         maps,
         scans,
         setops,
         sorts,
+        subqueries,
         windows,
     )
     from .functions import arrays, jsons, scalars  # noqa: F401
     from .llm import dedup, multimodal, similarity, text  # noqa: F401
+    from .sources import roundtrips  # noqa: F401
+    from .streaming import stateful  # noqa: F401
     from .streaming import windows as _stream_windows  # noqa: F401
     from . import mapreduce  # noqa: F401
 

@@ -1,0 +1,85 @@
+"""CSV and JSON sink⇆source round-trips.
+
+Capability parity: ``mrs/fileformats.py`` writer/reader pairs (A3/A4) —
+the reference proves formats by round-tripping pairs through them; these
+queries do the same through Spark's CSV/JSON sources with explicit
+schemas (schema inference is banned at scale: it costs an extra full
+read and can drift between runs).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..exprs import pround
+from ..registry import register
+
+
+@register(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS bal
+    FROM customer GROUP BY c_nationkey
+    """,
+    survey="A3/A4 (CSV writer/reader round-trip)",
+    scale="""
+    CSV is the interchange sink, never the analytical store: row-oriented,
+    no pushdown, no types without an explicit schema. Values written here
+    are pre-rounded, so the decimal text round-trips to the identical
+    double. One file per partition, same contract as the reference's
+    part-files.
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate → CSV (header) → read back with explicit schema."""
+    agg = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            pround(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+    )
+    target = tempfile.mkdtemp(prefix="mrs_sink_csv_") + "/cust_agg"
+    agg.write.mode("overwrite").option("header", True).csv(target)
+    return spark.read.schema(
+        "c_nationkey int, n_cust bigint, bal double"
+    ).option("header", True).csv(target)
+
+
+@register(
+    "sink_json_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           round(sum(value), 2) AS sum_val
+    FROM events GROUP BY event_type
+    """,
+    survey="A3/A4 (JSON-lines writer/reader round-trip)",
+    scale="""
+    JSON-lines: self-describing interchange, splittable per line — fine
+    for event feeds, 10-50x the parquet scan cost for analytics. Explicit
+    schema on read keeps types stable and skips inference's extra pass.
+    """,
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate → JSON lines → read back with explicit schema."""
+    agg = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            pround(F.sum("value"), 2).alias("sum_val"),
+        )
+    )
+    target = tempfile.mkdtemp(prefix="mrs_sink_json_") + "/events_agg"
+    agg.write.mode("overwrite").json(target)
+    return spark.read.schema(
+        "event_type string, cnt bigint, sum_val double"
+    ).json(target)
