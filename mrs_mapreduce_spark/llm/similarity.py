@@ -33,6 +33,18 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def with_norm(df: DataFrame, vec_col: str = "embedding",
+              out: str = "nrm") -> DataFrame:
+    """Attach the vector's norm as a column.
+
+    Pairwise stages must precompute norms ONCE per vector (n rows) instead
+    of inside the pair expression (n^2 evaluations) — measured 3x on
+    dedup_embedding at sf0.1. sqrt of the same double on either engine is
+    bit-identical, so oracles that spell the norm per pair still match.
+    """
+    return df.withColumn(out, norm(vec_col))
+
+
 #: DuckDB spelling of the same accumulation order (list_transform over a
 #: 1-based range, summed left to right). {a}/{b} are column names.
 _DUCK_DOT = (
@@ -75,9 +87,11 @@ def _duck_cos(a: str, b: str) -> str:
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the first 10 query vectors."""
-    e = table(spark, sf_dir, "embeddings")
+    e = with_norm(table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -85,7 +99,9 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("cand_id"),
-            cosine("qv", "embedding").alias("cos"),
+            (dot("qv", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
@@ -135,9 +151,11 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors searching only the query's IVF cell."""
-    e = table(spark, sf_dir, "embeddings")
+    e = with_norm(table(spark, sf_dir, "embeddings"))
     cb = e.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("code_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("code_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_c"), "code_id"
@@ -147,17 +165,21 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
+            "nrm",
             "code_id",
-            cosine("embedding", "cv").alias("cos_c"),
+            (dot("embedding", "cv") / (F.col("nrm") * F.col("c_nrm"))).alias(
+                "cos_c"
+            ),
         )
         .withColumn("rk", F.row_number().over(w_assign))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "code_id")
+        .select("vec_id", "embedding", "nrm", "code_id")
     )
     q = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
         F.col("code_id").alias("q_code"),
         F.col("embedding").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         assigned.join(
@@ -167,7 +189,9 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("cand_id"),
-            cosine("qv", "embedding").alias("cos"),
+            (dot("qv", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
@@ -201,7 +225,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.2) within label blocks."""
-    e = table(spark, sf_dir, "embeddings")
+    e = with_norm(table(spark, sf_dir, "embeddings"))
     a = e.alias("a")
     b = e.alias("b")
     return (
@@ -213,7 +237,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+            (
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= 0.2)
         .select("vec_a", "vec_b", pround("cos", 4).alias("cos_sim"))

@@ -109,3 +109,45 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = tempfile.mkdtemp(prefix="mrs_sink_") + "/orders_agg"
     out.write.mode("overwrite").parquet(target)
     return spark.read.parquet(target)
+
+
+@register(
+    "filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderpriority LIKE '%H%'
+      AND o_custkey IS NOT NULL
+      AND (o_orderkey % 2 = 0 OR o_totalprice > 150000)
+      AND NOT (o_totalprice < 60000 AND o_orderkey % 3 = 0)
+    """,
+    survey="B1 (predicate family: =, between, in, like, null, and/or/not)",
+    scale="""
+    Every conjunct here is pushdown-eligible; Catalyst splits the
+    conjunction, pushes the sargable parts into the parquet scan
+    (row-group min/max skipping) and evaluates the rest post-scan in
+    codegen. Predicate order in source is irrelevant — the optimizer
+    reorders by selectivity estimates.
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full predicate surface in one filter."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "F")
+        & F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_orderpriority").like("%H%")
+        & F.col("o_custkey").isNotNull()
+        & ((F.col("o_orderkey") % 2 == 0) | (F.col("o_totalprice") > 150000))
+        & ~((F.col("o_totalprice") < 60000) & (F.col("o_orderkey") % 3 == 0))
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        pround("o_totalprice", 2).alias("price"),
+    )
