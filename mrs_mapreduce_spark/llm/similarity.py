@@ -245,3 +245,55 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.2)
         .select("vec_a", "vec_b", pround("cos", 4).alias("cos_sim"))
     )
+
+
+def cosine_topk_numpy(
+    candidates: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Vectorized (numpy) brute-force cosine top-k — the raw-throughput path.
+
+    NOT used by declared queries: numpy's pairwise summation changes float
+    accumulation order, so results can differ from the SQL oracle in the
+    last ulp. For production scans where a 1-ulp tie flip is acceptable
+    this path is ~an order of magnitude faster than per-element lambdas:
+    each Arrow batch of candidates does ONE (batch x dim) @ (dim x nq)
+    matmul against the broadcast query block.
+
+    candidates: (vec_id, embedding), queries: (q_id, qv). Returns
+    (q_id, cand_id, cos_sim, rk) like similarity_topk.
+    """
+    import numpy as np
+    from pyspark.sql.window import Window as _W
+
+    spark = candidates.sparkSession
+    q_rows = queries.collect()
+    q_ids = [r.q_id for r in q_rows]
+    q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids, qm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cand = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            cand /= np.linalg.norm(cand, axis=1, keepdims=True)
+            sims = cand @ qm.T  # (batch, nq)
+            import pandas as pd
+
+            out = {
+                "q_id": np.repeat(ids, len(pdf)),
+                "cand_id": np.tile(pdf["vec_id"].to_numpy(), len(ids)),
+                "cos_sim": sims.T.reshape(-1),
+            }
+            yield pd.DataFrame(out)
+
+    scored = candidates.mapInPandas(
+        score, schema="q_id long, cand_id long, cos_sim double"
+    ).filter(F.col("q_id") != F.col("cand_id"))
+    w = _W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

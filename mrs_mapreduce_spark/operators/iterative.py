@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..exprs import pround
@@ -96,4 +97,101 @@ def iterative_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy(F.col("k").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n"),
         pround(F.avg("x"), 2).alias("centroid"),
+    )
+
+
+@register(
+    "iterative_kmeans_emb",
+    oracle="""
+    WITH pts AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                 FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, a AS cv FROM pts WHERE vec_id < 8),
+    a1 AS (SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY p.vec_id
+                                       ORDER BY list_aggregate(list_transform(range(1, 65), i -> (p.a[i] - c.cv[i]) * (p.a[i] - c.cv[i])), 'sum'), c.cid) AS rk
+             FROM pts p CROSS JOIN c0 c) WHERE rk = 1),
+    u1 AS (SELECT a1.cid, g.i AS dim, round(avg(p.a[g.i]), 6) AS c
+           FROM a1 JOIN pts p USING (vec_id)
+           CROSS JOIN generate_series(1, 64) AS g(i)
+           GROUP BY a1.cid, g.i),
+    c1 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM u1 GROUP BY cid),
+    a2 AS (SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY p.vec_id
+                                       ORDER BY list_aggregate(list_transform(range(1, 65), i -> (p.a[i] - c.cv[i]) * (p.a[i] - c.cv[i])), 'sum'), c.cid) AS rk
+             FROM pts p CROSS JOIN c1 c) WHERE rk = 1),
+    u2 AS (SELECT a2.cid, g.i AS dim, round(avg(p.a[g.i]), 6) AS c
+           FROM a2 JOIN pts p USING (vec_id)
+           CROSS JOIN generate_series(1, 64) AS g(i)
+           GROUP BY a2.cid, g.i),
+    c2 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM u2 GROUP BY cid),
+    a3 AS (SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY p.vec_id
+                                       ORDER BY list_aggregate(list_transform(range(1, 65), i -> (p.a[i] - c.cv[i]) * (p.a[i] - c.cv[i])), 'sum'), c.cid) AS rk
+             FROM pts p CROSS JOIN c2 c) WHERE rk = 1)
+    SELECT cid AS cluster, count(*) AS n,
+           round(avg(p.a[1]), 6) AS cent_d0
+    FROM a3 JOIN pts p USING (vec_id) GROUP BY cid
+    """,
+    survey="A12 (IterativeMR on 64-dim embeddings) + D3",
+    scale="""
+    Full-dimensional k-means with NO data through the driver at all: the
+    centroid relation (k x 64 doubles) stays a broadcast DataFrame;
+    assignment distances run as order-stable array lambdas; the update
+    step re-aggregates per (cluster, dim) and rebuilds centroid arrays —
+    every iteration is two shuffles of k*64 rows regardless of corpus
+    size. Long loops add localCheckpoint every ~10 rounds to cut lineage
+    (SURVEY.md §3.3). Centroids round to 6 decimals per round on both
+    engines so assignment compares bit-identical doubles.
+    """,
+)
+def iterative_kmeans_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-dim k-means (k=8, 3 assignment rounds) on the embeddings table."""
+    k, rounds = 8, 3
+    pts = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("a"),
+        )
+        .cache()
+    )
+    cents = pts.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("a").alias("cv")
+    )
+
+    def sq_dist():
+        diffs = F.zip_with("a", "cv", lambda x, c: (x - c) * (x - c))
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    assigned = None
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    for round_no in range(1, rounds + 1):
+        assigned = (
+            pts.crossJoin(F.broadcast(cents))
+            .withColumn("dist", sq_dist())
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cid", "a")
+        )
+        if round_no < rounds:
+            per_dim = (
+                assigned.select(
+                    "cid", F.posexplode("a").alias("dim", "val")
+                )
+                .groupBy("cid", "dim")
+                .agg(pround(F.avg("val"), 6).alias("c"))
+            )
+            cents = per_dim.groupBy("cid").agg(
+                F.sort_array(F.collect_list(F.struct("dim", "c")))
+                .getField("c")
+                .alias("cv")
+            )
+
+    return assigned.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.avg(F.element_at("a", 1)), 6).alias("cent_d0"),
     )

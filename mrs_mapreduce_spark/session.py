@@ -14,6 +14,7 @@ count is a *starting point* that AQE re-plans from actual map output sizes.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -40,6 +41,8 @@ BUILD_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.sql.parquet.compression.codec": "zstd",
+    # managed tables (bucketing demos/tests) land in tmp, not the repo
+    "spark.sql.warehouse.dir": f"{tempfile.gettempdir()}/mrs_spark_warehouse",
 }
 
 

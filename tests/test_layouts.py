@@ -1,0 +1,85 @@
+"""Storage-layout tests: partition pruning and bucketed (shuffle-free) joins."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mrs_mapreduce_spark.catalog import table
+from mrs_mapreduce_spark.plans import executed_plan
+from mrs_mapreduce_spark.sources.partitioned import (
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def test_partition_pruning(spark, sf_dir):
+    """A filter on the partition column must become a PartitionFilter."""
+    orders = table(spark, sf_dir, "orders")
+    target = tempfile.mkdtemp(prefix="mrs_prune_") + "/orders_by_status"
+    write_partitioned(orders, target, ["o_orderstatus"])
+    back = spark.read.parquet(target).filter(F.col("o_orderstatus") == "F")
+    plan = executed_plan(back)
+    assert "PartitionFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("]")[0]
+    # and the result matches the unpartitioned filter
+    assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """Identically bucketed tables sort-merge-join without a shuffle.
+
+    Broadcast is disabled for the check: at test scale AQE would broadcast
+    the small side anyway (also shuffle-free); bucketing is the plan that
+    survives when BOTH sides are 100 TB-large.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    write_bucketed(orders, "b_orders", ["o_custkey"], 8, ["o_custkey"])
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_cust",
+        ["o_custkey"],
+        8,
+        ["o_custkey"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_cust"), "o_custkey"
+        )
+        plan = executed_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_numpy_cosine_matches_hof(spark, sf_dir):
+    """The vectorized scale path agrees with the oracle-checked HOF path."""
+    from mrs_mapreduce_spark.llm.similarity import (
+        cosine_topk_numpy,
+        similarity_topk,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    fast = {
+        (r.q_id, r.rk): (r.cand_id, r.cos_sim)
+        for r in cosine_topk_numpy(e, queries, k=5).collect()
+    }
+    exact = {
+        (r.q_id, r.rk): (r.cand_id, r.cos_sim)
+        for r in similarity_topk(spark, sf_dir).collect()
+    }
+    assert set(fast) == set(exact)
+    for key, (cand, cos) in exact.items():
+        f_cand, f_cos = fast[key]
+        assert f_cand == cand, f"rank flip at {key}: {f_cand} vs {cand}"
+        assert abs(f_cos - cos) < 1e-6
