@@ -352,3 +352,31 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "asof_signup_us"
     )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT c.c_custkey,
+           o.o_orderkey,
+           round(o.o_totalprice, 2) AS price
+    FROM orders o
+    RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_acctbal > 9000
+    """,
+    survey="B5",
+    scale="""
+    Right outer is left outer with sides swapped; Catalyst normalizes to
+    whichever side can build/stream best. Declared separately so the API
+    surface is complete.
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving rich customers with no orders."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    orders = table(spark, sf_dir, "orders")
+    return orders.join(
+        cust, cust.c_custkey == orders.o_custkey, "right"
+    ).select(
+        "c_custkey", "o_orderkey", pround("o_totalprice", 2).alias("price")
+    )

@@ -182,3 +182,36 @@ def pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         pround(wavg("l_extendedprice", "l_quantity"), 2).alias("wavg_price")
     )
+
+
+@register(
+    "python_udtf",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 20
+    """,
+    survey="A18 (Spark 4 Python UDTF — table-valued UDF)",
+    scale="""
+    A UDTF is the typed, planner-visible form of the reference's
+    generator map (0..n rows out per row in). Still a Python-worker path:
+    reserve it for logic explode()/transform() cannot express; this
+    tokenizer exists to pin the API, the production twin is map_explode.
+    """,
+)
+def python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator map as a Spark 4 table-valued Python UDF."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id bigint, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for token in text.split():
+                yield (doc_id, token)
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    spark.udtf.register("mrs_tokenize", Tokenize)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.token "
+        "FROM _udtf_docs d, LATERAL mrs_tokenize(d.doc_id, d.text) t"
+    )

@@ -76,6 +76,7 @@ def load_all() -> dict[str, Query]:
         scans,
         setops,
         sorts,
+        sql_api,
         subqueries,
         windows,
     )

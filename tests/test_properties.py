@@ -136,3 +136,38 @@ def test_shingles_count(spark, k):
         n_words = len(text.split())
         expected = max(0, n_words - k + 1) if n_words >= k else 0
         assert got.get(doc_id, 0) == expected
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 99)), max_size=8),
+    right=st.lists(st.tuples(st.integers(0, 4), st.text("xy", min_size=1, max_size=2)), max_size=8),
+)
+@_SETTINGS
+def test_reduce_side_join_matches_dataframe_join(spark, left, right):
+    """The Mrs reduce-side join pattern == native df.join (two independent
+    implementations of inner-join semantics — SURVEY.md §2.B B3)."""
+    ldf = spark.createDataFrame(left or [(9, 0)], "k long, a long")
+    rdf = spark.createDataFrame(right or [(8, "z")], "k long, b string")
+    native = {
+        (r.k, r.a, r.b)
+        for r in ldf.join(rdf, "k").select("k", "a", "b").collect()
+    }
+
+    job = Job(spark, default_splits=2)
+    tagged = job.local_data(
+        [(k, ("L", a)) for k, a in (left or [(9, 0)])]
+        + [(k, ("R", b)) for k, b in (right or [(8, "z")])],
+        splits=2,
+    )
+
+    def join_reduce(key, values):
+        lefts, rights = [], []
+        for side, v in values:
+            (lefts if side == "L" else rights).append(v)
+        for a in lefts:
+            for b in rights:
+                yield (a, b)
+
+    ds = job.reduce_data(tagged, join_reduce, splits=2)
+    mr = {(k, a, b) for k, (a, b) in ds.collect()}
+    assert mr == native
