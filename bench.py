@@ -132,6 +132,10 @@ EXTRA = [
     "text_tfidf",
     "stream_session",
     "join_asof",
+    "sql_api_q5",
+    "tpch_q6",
+    "tpch_q18",
+    "iterative_kmeans_emb",
 ]
 
 

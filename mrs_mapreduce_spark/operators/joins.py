@@ -380,3 +380,30 @@ def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "c_custkey", "o_orderkey", pround("o_totalprice", 2).alias("price")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster join: salt the big side, replicate the small side.
+
+    For a hot key whose partition would straggle, append a deterministic
+    salt (hash of the full row mod n_salts) to the big side's key and
+    join against the small side replicated n_salts times. Result is
+    row-identical to the plain join (tested), cost is n_salts x the small
+    side. AQE's skew-join handles moderate skew automatically; salting is
+    for the pathological single-key case (boilerplate documents, null
+    keys, celebrity users).
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_salted = big.withColumn("_salt", salt)
+    salts = big.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    small_rep = small.crossJoin(F.broadcast(salts))
+    joined = big_salted.join(small_rep, [key, "_salt"], how)
+    return joined.drop("_salt")

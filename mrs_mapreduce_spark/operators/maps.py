@@ -215,3 +215,53 @@ def python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.token "
         "FROM _udtf_docs d, LATERAL mrs_tokenize(d.doc_id, d.text) t"
     )
+
+
+@register(
+    "pandas_grouped_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round((l_quantity - avg(l_quantity) OVER w)
+                 / stddev_samp(l_quantity) OVER w, 4) AS z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+    survey="A18/A10 (applyInPandas grouped-map transform)",
+    scale="""
+    Grouped-map: the whole group crosses to Python as Arrow batches and a
+    same-schema'd frame returns — the UDTF-like reduce of the reference
+    with vectorized transfer. Requires the full group in one worker's
+    memory: at 100 TB bound group sizes or switch to the window-function
+    twin (the oracle here IS that twin — built-ins beat Python when the
+    logic is expressible).
+    """,
+)
+def pandas_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization via applyInPandas."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        qty = pdf["l_quantity"]
+        z = (qty - qty.mean()) / qty.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "l_returnflag": pdf["l_returnflag"],
+                "z_raw": z,
+            }
+        )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    out = li.groupBy("l_returnflag").applyInPandas(
+        zscore,
+        schema="l_orderkey bigint, l_linenumber int, "
+        "l_returnflag string, z_raw double",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        pround("z_raw", 4).alias("z"),
+    )

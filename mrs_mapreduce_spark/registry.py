@@ -78,6 +78,7 @@ def load_all() -> dict[str, Query]:
         sorts,
         sql_api,
         subqueries,
+        tpch,
         windows,
     )
     from .functions import arrays, jsons, scalars  # noqa: F401

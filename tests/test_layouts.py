@@ -83,3 +83,28 @@ def test_numpy_cosine_matches_hof(spark, sf_dir):
         f_cand, f_cos = fast[key]
         assert f_cand == cand, f"rank flip at {key}: {f_cand} vs {cand}"
         assert abs(f_cos - cos) < 1e-6
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must be result-transparent (row-identical to plain join)."""
+    from collections import Counter
+
+    from mrs_mapreduce_spark.operators.joins import salted_join
+
+    orders = table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "k"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    plain = Counter(
+        (r.o_orderkey, r.c_name)
+        for r in orders.join(cust, "k").select("o_orderkey", "c_name").collect()
+    )
+    salted = Counter(
+        (r.o_orderkey, r.c_name)
+        for r in salted_join(orders, cust, "k", n_salts=4)
+        .select("o_orderkey", "c_name")
+        .collect()
+    )
+    assert salted == plain
