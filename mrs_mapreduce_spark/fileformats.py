@@ -1,0 +1,102 @@
+"""Pair file formats for the parity layer.
+
+Capability parity: ``mrs/fileformats.py`` (SURVEY.md §2.A A3) — the
+reference persists datasets as TextWriter (``key<TAB>value`` lines),
+HexWriter (hex-encoded pickled pairs, line-oriented, append-safe) and
+BinWriter (length-prefixed binary). Spark's shuffle replaces their
+*internal* role; these exist for the *external* role — durable pair
+datasets a Mrs user wrote and re-read between jobs.
+
+Scale note: these are interchange formats for the RDD parity layer only
+(pickle + text encoding); anything analytical belongs in parquet where
+scans are columnar and pushdown works.
+"""
+
+from __future__ import annotations
+
+import pickle
+import struct
+from collections.abc import Iterable, Iterator
+from pathlib import Path
+
+from pyspark.rdd import RDD
+from pyspark.sql import SparkSession
+
+
+# -- hex format: one "hex(pickle(key))<SP>hex(pickle(value))" line per pair
+
+
+def hex_encode_pair(key, value) -> str:
+    return (
+        pickle.dumps(key, protocol=4).hex()
+        + " "
+        + pickle.dumps(value, protocol=4).hex()
+    )
+
+
+def hex_decode_line(line: str) -> tuple:
+    k_hex, v_hex = line.strip().split(" ", 1)
+    return pickle.loads(bytes.fromhex(k_hex)), pickle.loads(
+        bytes.fromhex(v_hex)
+    )
+
+
+def write_hex(rdd: RDD, outdir: str) -> None:
+    """One hex part-file per partition (HexWriter parity)."""
+    rdd.map(lambda kv: hex_encode_pair(kv[0], kv[1])).saveAsTextFile(outdir)
+
+
+def read_hex(spark: SparkSession, outdir: str) -> RDD:
+    """Read a hex dataset back to a pair RDD (HexReader parity)."""
+    return spark.sparkContext.textFile(outdir).map(hex_decode_line)
+
+
+# -- binary format: [4-byte klen][key pickle][4-byte vlen][value pickle]*
+
+
+def bin_encode_partition(pairs: Iterable[tuple]) -> Iterator[bytes]:
+    chunks = []
+    for key, value in pairs:
+        kb = pickle.dumps(key, protocol=4)
+        vb = pickle.dumps(value, protocol=4)
+        chunks.append(struct.pack(">I", len(kb)) + kb
+                      + struct.pack(">I", len(vb)) + vb)
+    yield b"".join(chunks)
+
+
+def bin_decode_blob(blob: bytes) -> Iterator[tuple]:
+    off = 0
+    while off < len(blob):
+        (klen,) = struct.unpack_from(">I", blob, off)
+        off += 4
+        key = pickle.loads(blob[off : off + klen])
+        off += klen
+        (vlen,) = struct.unpack_from(">I", blob, off)
+        off += 4
+        value = pickle.loads(blob[off : off + vlen])
+        off += vlen
+        yield key, value
+
+
+def write_bin(rdd: RDD, outdir: str) -> None:
+    """One length-prefixed binary part-file per partition (BinWriter)."""
+    out = Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def save(idx: int, pairs: Iterable[tuple]) -> Iterator[int]:
+        blob = b"".join(bin_encode_partition(pairs))
+        (out / f"part-{idx:05d}.mrsb").write_bytes(blob)
+        yield idx
+
+    rdd.mapPartitionsWithIndex(save).count()
+
+
+def read_bin(spark: SparkSession, outdir: str) -> RDD:
+    """Read a binary dataset back to a pair RDD (BinReader parity)."""
+    files = sorted(str(p) for p in Path(outdir).glob("part-*.mrsb"))
+    sc = spark.sparkContext
+
+    def load(path: str) -> Iterator[tuple]:
+        yield from bin_decode_blob(Path(path).read_bytes())
+
+    return sc.parallelize(files, max(1, len(files))).flatMap(load)

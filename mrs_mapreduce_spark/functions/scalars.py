@@ -164,3 +164,28 @@ def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.least("l_tax", "l_discount"), 4).alias("lo"),
         pround(F.greatest("l_tax", "l_discount"), 4).alias("hi"),
     )
+
+
+@register(
+    "fn_hash",
+    oracle='''
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           substr(md5(concat(lang, '|', source)), 1, 12) AS h_block
+    FROM documents
+    ''',
+    survey="B20 (cryptographic hash functions — dedup/fingerprint substrate)",
+    scale="Hashing at scan time turns arbitrary-size payloads into fixed-size shuffle keys.",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family: md5 / sha256 / truncated composite-key hash."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.substring(
+            F.md5(F.concat("lang", F.lit("|"), "source")), 1, 12
+        ).alias("h_block"),
+    )
