@@ -189,3 +189,42 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat("lang", F.lit("|"), "source")), 1, 12
         ).alias("h_block"),
     )
+
+
+@register(
+    "fn_null",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) AS cnt,
+           count(nullif(l_returnflag, 'N')) AS cnt_not_n,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN NULL
+                          ELSE l_quantity END), 2) AS qty_not_n,
+           round(avg(nullif(l_discount, 0.0)), 6) AS avg_nonzero_disc,
+           CAST(max(CASE WHEN FALSE THEN l_quantity END) IS NULL AS BOOLEAN)
+               AS all_null_max_is_null
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    survey="B1/B9 (NULL semantics: count/sum/avg ignore NULLs)",
+    scale="Null handling is plan-invariant; declared to pin SQL semantics parity.",
+)
+def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL propagation and aggregate-skipping semantics."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.nullif("l_returnflag", F.lit("N"))).alias("cnt_not_n"),
+        pround(
+            F.sum(
+                F.when(F.col("l_returnflag") == "N", None).otherwise(
+                    F.col("l_quantity")
+                )
+            ),
+            2,
+        ).alias("qty_not_n"),
+        pround(F.avg(F.nullif("l_discount", F.lit(0.0))), 6).alias(
+            "avg_nonzero_disc"
+        ),
+        F.max(F.when(F.lit(False), F.col("l_quantity")))
+        .isNull()
+        .alias("all_null_max_is_null"),
+    )

@@ -297,3 +297,62 @@ def cosine_topk_numpy(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH stats AS (
+      SELECT min(v) AS lo, max(v) AS hi
+      FROM (SELECT unnest(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE))) AS v
+            FROM embeddings)),
+    q AS (SELECT e.vec_id,
+                 list_transform(e.embedding,
+                     x -> CAST(round((CAST(x AS DOUBLE) - s.lo)
+                               / (s.hi - s.lo) * 255, 0) AS INT)) AS qv
+          FROM embeddings e CROSS JOIN stats s)
+    SELECT vec_id,
+           qv[1] AS q0,
+           qv[64] AS q63,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum,
+           CAST(list_aggregate(qv, 'max') AS INT) AS qmax
+    FROM q
+    """,
+    survey="D3 (scalar quantization — vector compression for ANN at scale)",
+    scale="""
+    int8-style scalar quantization: corpus min/max is one aggregate
+    broadcast back; the per-element transform is a codegen'd lambda.
+    Cuts vector bytes 4x (float32 -> uint8), which at 100 TB is the
+    difference between an in-memory and a disk-bound ANN index; distance
+    on quantized codes = integer ops. Same plan shape learns per-dim
+    ranges by swapping the aggregate.
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-range scalar quantization of embeddings to 0..255 codes."""
+    e = table(spark, sf_dir, "embeddings")
+    stats = e.select(
+        F.explode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "v"
+        )
+    ).agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    q = e.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round((cast(x as double) - lo)"
+            " / (hi - lo) * 255, 0) as int))"
+        ).alias("qv"),
+    )
+    qsum = F.aggregate(
+        F.transform("qv", lambda x: x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return q.select(
+        "vec_id",
+        F.element_at("qv", 1).alias("q0"),
+        F.element_at("qv", 64).alias("q63"),
+        qsum.alias("qsum"),
+        F.array_max("qv").alias("qmax"),
+    )

@@ -296,3 +296,143 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.array_join(uniq, " ")), 1, 16).alias("fp"),
         F.size(F.array_distinct(F.split("text", " "))).alias("n_uniq"),
     )
+
+
+@register(
+    "text_winnow",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    shl AS (SELECT doc_id,
+                   list_transform(range(1, len(ws) - 1),
+                       i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                       AS hs
+            FROM words WHERE len(ws) >= 3),
+    sh AS (SELECT doc_id, generate_subscripts(hs, 1) AS pos,
+                  unnest(hs) AS h
+           FROM shl),
+    wins AS (SELECT doc_id, pos,
+                    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW
+                                          AND 3 FOLLOWING) AS wmin,
+                    count(*) OVER (PARTITION BY doc_id) AS n_sh
+             FROM sh),
+    fp AS (SELECT DISTINCT doc_id, wmin
+           FROM wins WHERE pos + 3 <= n_sh)
+    SELECT doc_id, count(*) AS n_fp, min(wmin) AS fp_min
+    FROM fp GROUP BY doc_id
+    """,
+    survey="D4 (winnowing document fingerprints, MOSS-style)",
+    scale="""
+    Winnowing guarantees any shared run of >= w+k-1 words yields a shared
+    fingerprint — the principled near-dup sketch. One window pass over
+    positioned shingle hashes, then distinct per doc: fingerprint count
+    is ~2/(w+1) of shingles regardless of document size. The fingerprint
+    set joins exactly like MinHash bands downstream.
+    """,
+)
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint summary per doc (window w=4 over 3-shingles)."""
+    from pyspark.sql import Window as _W
+
+    docs = table(spark, sf_dir, "documents")
+    pre = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    sh_expr = F.expr(
+        "transform(sequence(1, size(ws) - 2),"
+        " i -> md5(concat_ws(' ', element_at(ws, i), element_at(ws, i+1),"
+        " element_at(ws, i+2))))"
+    )
+    positioned = pre.select(
+        "doc_id", F.posexplode(sh_expr).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    w_win = (
+        _W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(_W.currentRow, 3)
+    )
+    w_cnt = _W.partitionBy("doc_id")
+    wins = positioned.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(w_win).alias("wmin"),
+        F.count(F.lit(1)).over(w_cnt).alias("n_sh"),
+    )
+    fp = (
+        wins.filter(F.col("pos") + 3 <= F.col("n_sh"))
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"), F.min("wmin").alias("fp_min")
+    )
+
+
+@register(
+    "text_bigrams",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                  i -> ws[i] || ' ' || ws[i+1])) AS bigram
+           FROM words WHERE len(ws) >= 2)
+    SELECT bigram, count(*) AS cnt
+    FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+    survey="D4 (n-gram statistics)",
+    scale="""
+    Bigram counts = shingle explode + partial-aggregated groupBy; the
+    top-20 is TakeOrdered over the aggregated (small) relation. Vocabulary
+    grows sublinearly with corpus size, so the shuffle stays bounded.
+    """,
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 word bigrams."""
+    from .dedup import shingles
+
+    docs = table(spark, sf_dir, "documents")
+    bg = shingles(docs, k=2).withColumnRenamed("sh", "bigram")
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "sample_hash",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS first_id
+    FROM documents
+    WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 4
+    GROUP BY lang
+    """,
+    survey="D4 (deterministic stratified sampling for training splits)",
+    scale="""
+    Hash-mod sampling: reproducible across runs/engines/retries (unlike
+    rand()-based sampleBy), stable under repartitioning, and composable —
+    the same hash with disjoint ranges yields disjoint train/val/test
+    splits. The predicate is a pure projection: no shuffle, prunes at
+    scan time. 4/16 hash buckets ~ 25% sample per stratum.
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% deterministic sample per language via md5 bucket of the key."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+    )
+    return (
+        d.filter(bucket < 4)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").cast("long").alias("first_id"),
+        )
+    )
