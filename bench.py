@@ -61,7 +61,7 @@ def q3_join_agg_topk(spark, sf_dir):
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(

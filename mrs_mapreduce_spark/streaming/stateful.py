@@ -131,3 +131,61 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "n_events", pround("sum_val", 2).alias("sum_val"))
     )
+
+
+@register(
+    "join_interval_events",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           s.event_id AS signup_id,
+           p.user_id,
+           CAST(epoch_ns(p.ts) // 1000 - epoch_ns(s.ts) // 1000
+                AS BIGINT) AS gap_us
+    FROM events p
+    JOIN events s
+      ON p.user_id = s.user_id
+     AND p.event_type = 'purchase'
+     AND s.event_type = 'signup'
+     AND epoch_ns(s.ts) // 1000 <= epoch_ns(p.ts) // 1000
+     AND epoch_ns(s.ts) // 1000 > epoch_ns(p.ts) // 1000 - 3600000000
+    """,
+    survey="C (stream-stream interval join — batch twin) / B8",
+    scale="""
+    The time-bounded self-join IS Spark's stream-stream join in batch
+    clothing: equi-key (user_id) plus an event-time interval. In
+    streaming the same plan runs with watermarks on both sides and the
+    interval bound sizes the join state (each side retains only rows
+    inside watermark + interval). Integer-nanos bounds; gap reported in
+    microseconds (DuckDB's ns truncation, see join_asof).
+    """,
+)
+def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases joined to same-user signups within the preceding hour."""
+    ev = table(spark, sf_dir, "events")
+    # microsecond space on BOTH sides: DuckDB truncates parquet ns to us
+    # PER VALUE, so diffs/bounds must be computed on truncated values too
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.expr("ts_ns div 1000").alias("p_us"),
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.expr("ts_ns div 1000").alias("s_us"),
+    )
+    hour_us = 3_600_000_000
+    return (
+        p.join(
+            s,
+            (F.col("user_id") == F.col("s_user"))
+            & (F.col("s_us") <= F.col("p_us"))
+            & (F.col("s_us") > F.col("p_us") - hour_us),
+        )
+        .select(
+            "purchase_id",
+            "signup_id",
+            "user_id",
+            (F.col("p_us") - F.col("s_us")).alias("gap_us"),
+        )
+    )

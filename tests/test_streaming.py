@@ -63,3 +63,70 @@ def test_stream_batch_twin_equivalence(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """A real two-stream watermarked interval join == the batch twin."""
+    import tempfile as _tmp
+
+    from mrs_mapreduce_spark.registry import load_all
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def ev_stream():
+        return (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
+        )
+
+    purchases = (
+        ev_stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    signups = (
+        ev_stream()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "signup_id", "user_id")
+
+    sink = "ss_join_sink"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", _tmp.mkdtemp(prefix="ssj_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.purchase_id, r.signup_id)
+        for r in spark.table(sink).collect()
+    }
+    batch = {
+        (r.purchase_id, r.signup_id)
+        for r in load_all()["join_interval_events"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert streamed == batch
