@@ -39,6 +39,26 @@ def main() -> None:
         f"\n**{len(registry)} declared queries — {n_oracle} with exact SQL"
         f" oracles, {len(registry) - n_oracle} rows-only.**\n"
     )
+
+    # reverse index: SURVEY §2 row -> queries covering it
+    import re
+
+    by_row: dict[str, list[str]] = {}
+    for name in sorted(registry):
+        for row in re.findall(r"[ABCD]\d+", registry[name].survey):
+            by_row.setdefault(row, []).append(name)
+    lines.append(
+        "\n## SURVEY.md §2 coverage index\n\n"
+        "Inventory row → declared queries demonstrating it (rows marked\n"
+        "'internal/config/implicit' in SURVEY.md §2 are Spark built-ins —\n"
+        "shuffle A8, scheduling A13, fault tolerance A15, run modes A16 —\n"
+        "covered by session config and the parity layer rather than\n"
+        "declared queries; A16/A17 additionally via cli.py, A3 via\n"
+        "fileformats.py).\n\n| §2 row | queries |\n|---|---|\n"
+    )
+    for row in sorted(by_row, key=lambda r: (r[0], int(r[1:]))):
+        names = ", ".join(f"`{n}`" for n in by_row[row])
+        lines.append(f"| {row} | {names} |\n")
     Path(__file__).resolve().parent.parent.joinpath("INVENTORY.md").write_text(
         "".join(lines)
     )
