@@ -436,3 +436,83 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("first_id"),
         )
     )
+
+
+@register(
+    "text_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS no_nums,
+           length(regexp_replace(text, '[^a-z ]', '', 'g')) AS n_alpha_chars,
+           trim(regexp_replace(concat(' ', text, '  '), ' +', ' ', 'g'))
+               AS normalized
+    FROM documents WHERE doc_id < 100
+    """,
+    survey="D4 (scrubbing/normalization: regexp_replace pipelines)",
+    scale="""
+    PII/noise scrubbing is regexp_replace chains — codegen'd projection,
+    zero shuffle, safe to fuse with the scan. At 100 TB scrub ONCE at
+    ingest and persist; re-scrubbing per query re-pays the regex cost on
+    every pass.
+    """,
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbing pipeline: digit masking, charset filtering, ws collapse."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", "[0-9]+", "<NUM>").alias("no_nums"),
+        F.length(F.regexp_replace("text", "[^a-z ]", "")).alias(
+            "n_alpha_chars"
+        ),
+        F.trim(
+            F.regexp_replace(
+                F.concat(F.lit(" "), "text", F.lit("  ")), " +", " "
+            )
+        ).alias("normalized"),
+    )
+
+
+@register(
+    "corpus_length_filter",
+    oracle="""
+    WITH bounds AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.10) AS lo,
+             quantile_cont(n_chars, 0.90) AS hi
+      FROM documents GROUP BY lang)
+    SELECT d.lang,
+           count(*) AS n_kept,
+           round(avg(d.n_chars), 2) AS avg_kept_chars
+    FROM documents d JOIN bounds b ON d.lang = b.lang
+    WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    GROUP BY d.lang
+    """,
+    survey="D4 (corpus curation: per-stratum percentile length filter)",
+    scale="""
+    The standard length-outlier cut: per-language percentile bounds are a
+    tiny aggregate broadcast back onto the corpus — one pass, one
+    broadcast. At 100 TB switch percentile() to approx_percentile
+    (t-digest) and the plan is otherwise unchanged; the filter predicate
+    itself stays scan-fusable.
+    """,
+)
+def corpus_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep per-language p10..p90 length band; report survivors."""
+    d = table(spark, sf_dir, "documents")
+    bounds = d.groupBy(F.col("lang").alias("b_lang")).agg(
+        F.expr("percentile(n_chars, 0.10)").alias("lo"),
+        F.expr("percentile(n_chars, 0.90)").alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(bounds), d.lang == bounds.b_lang)
+        .filter(
+            (F.col("n_chars") >= F.col("lo"))
+            & (F.col("n_chars") <= F.col("hi"))
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            pround(F.avg("n_chars"), 2).alias("avg_kept_chars"),
+        )
+    )
