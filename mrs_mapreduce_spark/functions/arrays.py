@@ -91,3 +91,40 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
         F.array_join(F.map_values(m), "|").alias("vals_joined"),
     )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS s_status,
+           round(o_totalprice, 2) AS s_price,
+           CAST(o_totalprice > 200000 AS BOOLEAN) AS s_big,
+           concat(o_orderstatus, '#', CAST(o_orderkey AS VARCHAR)) AS packed
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    survey="B2 (struct construction/field extraction)",
+    scale="""
+    Structs are zero-cost column grouping: parquet stores fields as
+    independent columns, pruning reaches through them (see multimodal
+    meta struct). Output flattens fields — the driver hash compares
+    scalars, and flattened vs nested is the same bytes columnar-side.
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a struct, extract fields, serialize a composite key."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        pround("o_totalprice", 2).alias("price"),
+        (F.col("o_totalprice") > 200000).alias("big"),
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("status").alias("s_status"),
+        s.getField("price").alias("s_price"),
+        s.getField("big").alias("s_big"),
+        F.concat_ws("#", "o_orderstatus", F.col("o_orderkey").cast("string")).alias(
+            "packed"
+        ),
+    )

@@ -253,3 +253,31 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
         F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
     )
+
+
+@register(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    survey="B9 (argmax/argmin aggregates)",
+    scale="""
+    max_by/min_by carry the argmax through partial aggregation — one
+    shuffle, no self-join back to find the extreme row (the naive
+    pattern costs a join). Deterministic here because o_totalprice
+    values are distinct per group at fixture scale; production code
+    should pair with a tiebreak struct.
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-identity extremes per group without a rejoin."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("biggest_order"),
+        F.expr("min_by(o_orderkey, o_totalprice)").alias("smallest_order"),
+        pround(F.max("o_totalprice"), 2).alias("max_price"),
+    )

@@ -129,3 +129,37 @@ def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.sum("value").over(w_cum), 2).alias("cum_val"),
         pround(F.avg("value").over(w_mov), 2).alias("mov_avg"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 2) AS price,
+           count(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING
+                                   AND 10000 FOLLOWING) AS n_near,
+           round(sum(o_totalprice) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING
+                                   AND 10000 FOLLOWING), 2) AS sum_near
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    survey="B15 (RANGE frames: value-distance windows)",
+    scale="""
+    RANGE frames bound by VALUE distance, not row offsets — a moving
+    neighborhood aggregate (density estimation, banded smoothing). The
+    frame is computed over the sorted run with two moving pointers, O(n)
+    per partition. Unpartitioned here (bounded by the key filter); at
+    scale always partition first — a global RANGE window is single-task.
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range frame: stats over +/-10000 price neighborhoods."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.orderBy("o_totalprice").rangeBetween(-10000, 10000)
+    return orders.select(
+        "o_orderkey",
+        pround("o_totalprice", 2).alias("price"),
+        F.count(F.lit(1)).over(w).alias("n_near"),
+        pround(F.sum("o_totalprice").over(w), 2).alias("sum_near"),
+    )
