@@ -16,9 +16,11 @@ Deliberate departures, documented:
 
 * Keys are sorted/grouped by their Python value (must be orderable), not by
   serialized bytes as in ``mrs/tasks.py::ReduceTask``.
-* ``wait`` is synchronous (Spark's lazy evaluation + scheduler already
-  covers the reference's async dataset scheduling, A13).
-* Shuffle, fault tolerance, progress (A8/A13–A15) are Spark built-ins.
+* ``wait`` is genuinely asynchronous (A13): datasets materialize
+  concurrently on a daemon thread pool and ``wait(timeout=...)`` returns
+  the ready subset, like the reference's; Spark's scheduler interleaves
+  the concurrent actions.
+* Shuffle, fault tolerance (A8/A15) are Spark built-ins.
 
 Scale note: this layer exists for API parity and for workloads that are
 genuinely pair-at-a-time; everything relational in this engine uses
@@ -34,9 +36,22 @@ import random
 import shutil
 import tempfile
 from collections.abc import Callable, Iterable, Iterator
+from concurrent import futures
 from pathlib import Path
 
 from pyspark.rdd import RDD
+
+_WAIT_POOL: futures.ThreadPoolExecutor | None = None
+
+
+def _wait_pool() -> futures.ThreadPoolExecutor:
+    """Shared daemon pool for concurrent dataset materialization (A13)."""
+    global _WAIT_POOL
+    if _WAIT_POOL is None:
+        _WAIT_POOL = futures.ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="mrs-wait"
+        )
+    return _WAIT_POOL
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -104,6 +119,7 @@ class Dataset:
         self.rdd = rdd
         self.splits = splits
         self._materialized = False
+        self._future: futures.Future | None = None
 
     def collect(self) -> list[tuple]:
         return self.rdd.collect()
@@ -255,17 +271,30 @@ class Job:
     # -- control ------------------------------------------------------------
 
     def wait(self, *datasets: Dataset, timeout: float | None = None):
-        """Materialize datasets; returns the completed list (A12/A13).
+        """Materialize datasets concurrently; return the ready subset (A13).
 
-        Synchronous by design: Spark's lazy DAG scheduler subsumes the
-        reference's async dataset scheduling.
+        Parity with ``mrs/job.py::Job.wait``: datasets compute
+        concurrently (one Spark action per dataset, submitted from
+        daemon threads so independent DAG branches overlap — the
+        reference's async dataset scheduling) and with a ``timeout`` the
+        call returns whichever subset finished in time; the rest keep
+        computing and can be waited on again. ``timeout=None`` blocks for
+        all, preserving the simple iterative-driver contract.
         """
-        for ds in datasets:
-            if not ds._materialized:
+        pending = [ds for ds in datasets if not ds._materialized]
+        for ds in pending:
+            if ds._future is None:
                 ds.rdd.cache()
-                ds.rdd.count()
-                ds._materialized = True
-        return list(datasets)
+                ds._future = _wait_pool().submit(ds.rdd.count)
+        if pending:
+            done, _ = futures.wait(
+                [ds._future for ds in pending], timeout=timeout
+            )
+            for ds in pending:
+                if ds._future in done:
+                    ds._materialized = True
+                    ds._future = None
+        return [ds for ds in datasets if ds._materialized]
 
     def progress(self, dataset: Dataset) -> float:
         """Progress fraction (A14): 1.0 once materialized, else 0.0."""

@@ -121,3 +121,47 @@ def test_iterative_mr_loop(spark):
     iterations = IterativeMR(program).run(job)
     assert program.seen[-1] == 128
     assert iterations == 7
+
+
+def test_wait_timeout_returns_ready_subset(spark):
+    """A13 parity: wait(timeout) returns the subset done in time; a later
+    wait picks up the stragglers."""
+    import time
+
+    job = Job(spark, default_splits=2)
+    fast = job.local_data([(i, i) for i in range(10)], splits=2)
+
+    def slow_map(key, value):
+        time.sleep(0.5)
+        yield (key, value)
+
+    slow_src = job.local_data([(i, i) for i in range(8)], splits=8)
+    slow = job.map_data(slow_src, slow_map)
+
+    ready = job.wait(fast, slow, timeout=0.2)
+    assert fast in ready  # fast dataset materializes ~instantly
+    remaining = [ds for ds in (fast, slow) if ds not in ready]
+    # eventually everything completes
+    all_ready = job.wait(fast, slow, timeout=30)
+    assert set(all_ready) == {fast, slow}
+    assert job.progress(slow) == 1.0
+    assert remaining == [] or remaining == [slow]
+
+
+def test_wait_concurrent_materialization(spark):
+    """Two independent datasets overlap their Spark jobs in wait()."""
+    import time
+
+    job = Job(spark, default_splits=2)
+
+    def lazy_map(key, value):
+        time.sleep(0.4)
+        yield (key, value)
+
+    a = job.map_data(job.local_data([(1, 1)], splits=1), lazy_map)
+    b = job.map_data(job.local_data([(2, 2)], splits=1), lazy_map)
+    t0 = time.perf_counter()
+    job.wait(a, b)
+    elapsed = time.perf_counter() - t0
+    # serial would be >= 0.8s; concurrent should be well under
+    assert elapsed < 0.75, elapsed
