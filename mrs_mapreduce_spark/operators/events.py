@@ -78,3 +78,47 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv_pct"),
         )
     )
+
+
+@register(
+    "events_retention",
+    oracle=f"""
+    WITH su AS (SELECT user_id, min(epoch_ns(ts)) // {_NS_PER_DAY} AS s_day
+                FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id,
+                   epoch_ns(ts) // {_NS_PER_DAY} AS a_day
+            FROM events)
+    SELECT su.s_day AS cohort_day,
+           CAST(act.a_day - su.s_day AS BIGINT) AS day_offset,
+           count(DISTINCT su.user_id) AS n_active
+    FROM su JOIN act ON act.user_id = su.user_id
+    WHERE act.a_day - su.s_day BETWEEN 0 AND 7
+    GROUP BY su.s_day, act.a_day - su.s_day
+    """,
+    survey="D6 (cohort retention matrix)",
+    scale="""
+    The retention triangle: first-touch cohorts joined to distinct
+    (user, day) activity — both sides pre-aggregated per user/day before
+    the join, so the join input is |users| + |user-days|, never raw
+    events. Day arithmetic is integer nanos. At 100 TB the (user, day)
+    distinct is the only heavy shuffle and is itself partial-aggregated.
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-0..7 retention counts per signup cohort day."""
+    ev = table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.expr(f"min(ts_ns) div {_NS_PER_DAY}").alias("s_day"))
+    )
+    act = ev.select(
+        "user_id", F.expr(f"ts_ns div {_NS_PER_DAY}").alias("a_day")
+    ).distinct()
+    return (
+        su.join(act, "user_id")
+        .withColumn("day_offset", F.col("a_day") - F.col("s_day"))
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy(F.col("s_day").alias("cohort_day"), "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
