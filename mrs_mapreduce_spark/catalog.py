@@ -55,6 +55,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view (for spark.sql paths)."""
+    """Register every fixture table as a temp view (for spark.sql paths).
+
+    Memoized per (session, sf_dir): re-planning ten parquet reads per
+    call costs more than the queries themselves at test scale.
+    """
+    registered = getattr(spark, "_mrs_views_sf_dir", None)
+    if registered == sf_dir:
+        return
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark._mrs_views_sf_dir = sf_dir

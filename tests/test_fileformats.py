@@ -58,3 +58,20 @@ def test_cli_list_and_run(spark, capsys):
     assert "l_returnflag" in out
 
     assert main(["--query", "no_such_query"]) == 2
+
+
+def test_custom_pair_datasource(spark, tmp_path):
+    """The hex format as a first-class Spark source (Python DataSource API)."""
+    from mrs_mapreduce_spark.sources import pairsource
+
+    rdd = spark.sparkContext.parallelize(PAIRS, 2)
+    out = str(tmp_path / "pairsrc")
+    write_hex(rdd, out)
+
+    pairsource.register(spark)
+    df = spark.read.format("mrs_pairs").load(out)
+    assert df.columns == ["key_hex", "value_hex"]
+    # source parallelism mirrors the file layout (one partition per file)
+    assert df.rdd.getNumPartitions() == 2
+    back = sorted(pairsource.decode_pairs(df).collect(), key=repr)
+    assert back == sorted(PAIRS, key=repr)
