@@ -176,3 +176,674 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                      AS BIGINT) / 10000.0, 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS o_odate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+    survey="B3/B4/B9 (TPC-H Q3: shipping-priority revenue)",
+    scale="""
+    Customer (filtered to one segment, ~1/5) broadcasts into orders; the
+    orders->lineitem join shuffles on orderkey only AFTER both date
+    filters have pruned the fact scans. Group keys include the join key,
+    so AQE can keep the aggregation partial-heavy. No LIMIT declared:
+    top-k ties are nondeterministic under hashing. Revenue is summed in
+    exact integer cents (price and discount both have 2-decimal domains)
+    because per-order groups are tiny: a 4-double sum differs across
+    engines in the last ulp and 4/1290 groups landed exactly on a .005
+    rounding boundary — integer sums are order-independent, so the
+    declared value is deterministic at any scale.
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: revenue of building-segment orders not yet shipped by a date."""
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp_ntz")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp_ntz")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            pround(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                    * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_odate"),
+        )
+    )
+
+
+@register(
+    "tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    survey="B3/B4/B9 (TPC-H Q7: volume shipping between nation pair)",
+    scale="""
+    Five-way join where every dimension (supplier, customer via orders,
+    both nation aliases) broadcasts; only the orders<->lineitem edge
+    shuffles. The nation-pair disjunction is applied on the broadcast
+    sides BEFORE the fact join, so ~23/25 of suppliers/customers never
+    reach the shuffle. Self-aliased dimension (nation twice) exercises
+    plan-level dedup of the same scan.
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: revenue shipped between NATION_1 and NATION_2, per year."""
+    pair = ("NATION_1", "NATION_2")
+    nat = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q8",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_7'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 2) AS nation_volume,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_volume
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    GROUP BY year(o.o_orderdate)
+    """,
+    survey="B3/B4/B9 (TPC-H Q8: national market share)",
+    scale="""
+    The deepest fixture join (7 tables). Part filter (1/6 of parts) and
+    the region->nation semi-chain prune before any shuffle; numerator and
+    denominator emitted separately (q14 discipline) so the oracle never
+    divides two order-dependent sums. Snowflake arm region->nation->
+    customer collapses into one broadcast chain.
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: NATION_7 suppliers' share of PROMO revenue sold into EUROPE."""
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nat = table(spark, sf_dir, "nation")
+    eu_nations = nat.join(
+        F.broadcast(region), nat.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cust_nk"))
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(eu_nations), F.col("c_nationkey") == F.col("cust_nk"))
+        .select("c_custkey")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            pround(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0)),
+                2,
+            ).alias("nation_volume"),
+            pround(F.sum(vol), 2).alias("total_volume"),
+        )
+    )
+
+
+@register(
+    "tpch_q9",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    survey="B3/B4/B9 (TPC-H Q9 shape: product-line profit by nation/year)",
+    scale="""
+    Adapted: fixtures have no partsupp, so profit omits supplycost — the
+    plan shape (substring part filter + 5-way join + two-level group) is
+    what's exercised. The LIKE filter can't push to parquet as a range
+    but still prunes the broadcast build side before the fact shuffle.
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit on %red% parts by supplier nation and year."""
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS acctbal,
+           n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    """,
+    survey="B3/B9 (TPC-H Q10: returned-item revenue per customer)",
+    scale="""
+    Orders prune to one quarter BEFORE joining lineitem (date filter is
+    on the probe side of the orderkey shuffle); returnflag filter prunes
+    lineitem at scan. Customer is wide in real TPC-H — grouping on the
+    key then joining customer attributes after the agg keeps the shuffle
+    rows narrow; here customer is small enough to broadcast pre-agg.
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: Q1-1998 revenue lost to returns, per customer."""
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            pround(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+            "revenue",
+        )
+    )
+
+
+@register(
+    "tpch_q12_shape",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    survey="B3/B9 (TPC-H Q12 shape: priority class counts per line status)",
+    scale="""
+    Adapted: fixtures lack l_shipmode/commitdate, so the group key is
+    l_linestatus and the window is shipdate. The shape is the point:
+    fact-side filter -> join -> conditional-count pivot in ONE pass
+    (no per-priority re-scan). Integer conditional sums are order-exact,
+    so no rounding discipline needed.
+    """,
+)
+def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: high/low-priority lineitem counts shipped in 1998."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    survey="B5/B9 (TPC-H Q13: customer order-count distribution)",
+    scale="""
+    Left-outer with a join-side (not WHERE) predicate — customers with
+    zero qualifying orders must survive with c_count=0. Double
+    aggregation: the first groups on the join key (so it rides the join
+    shuffle), the second is a tiny histogram that AQE coalesces to a
+    handful of partitions. count(col) null-skipping semantics match
+    DuckDB exactly.
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of non-urgent order counts per customer."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1998-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+    survey="B9/B17 + scalar subquery (TPC-H Q15: top supplier)",
+    scale="""
+    The scalar-subquery-over-aggregate shape: revenue CTE computed once,
+    its max broadcast back as a one-row join. Spark reuses the
+    aggregated (tiny, one row per supplier) frame for both sides, so
+    lineitem is scanned once. Equality is on the ROUNDED revenue on both
+    sides — comparing raw doubles across engines would be flaky.
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with the maximum Q1-1998 revenue."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp_ntz"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("m"))
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_rev") == F.col("m"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "tpch_q16_shape",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 14, 20, 28, 36, 45)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    survey="B3/B10 (TPC-H Q16 shape: supplier variety per part profile)",
+    scale="""
+    Adapted: no partsupp fixture, so supplier variety is observed through
+    lineitem. count(DISTINCT) over a join: Spark expands to a two-phase
+    distinct-then-count aggregate, partial on the shuffle key — at 100 TB
+    the distinct set per (brand,type,size) stays bounded by supplier
+    cardinality, so no skew blowup.
+    """,
+)
+def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct suppliers serving each (brand, type, size)."""
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 14, 20, 28, 36, 45)
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+    survey="B3/B9 + correlated subquery (TPC-H Q17: small-quantity revenue)",
+    scale="""
+    Correlated scalar subquery decorrelated by hand: per-part avg is a
+    groupBy over ONLY the lineitems of qualifying (one brand, ~1/25)
+    parts, broadcast back. l_quantity is integer-valued, so avg is
+    order-exact and the 0.2*avg threshold is deterministic across
+    engines — this is why q17 can be value-checked at all. DuckDB runs
+    the genuinely correlated form, making it an independent witness of
+    our decorrelation.
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue from below-fifth-of-average-quantity lineitems."""
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = table(spark, sf_dir, "lineitem")
+    li_b = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    thresholds = (
+        li_b.groupBy("l_partkey")
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    return (
+        li_b.join(F.broadcast(thresholds), on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    survey="B1/B3 (TPC-H Q19: disjunctive mixed-table predicate)",
+    scale="""
+    The OR spans both tables, so it can't fully push to either scan —
+    but each disjunct's single-table conjuncts CAN: Catalyst extracts
+    brand IN (...) AND size<=15 to the part scan and quantity<=30 to the
+    lineitem scan as a weaker pushed prefilter, then applies the exact
+    predicate post-join. Declared as agg (not row list) to keep the
+    oracle payload small at any SF.
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: revenue matching brand/size/quantity disjunction."""
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    d1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(d1 | d2 | d3).agg(
+        pround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "tpch_q21_shape",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+    survey="B6 + exists/not-exists (TPC-H Q21 shape: sole-blame supplier)",
+    scale="""
+    Adapted: no receipt/commit dates, so "late" is l_returnflag='R'. The
+    EXISTS pair is decorrelated into ONE per-order aggregate (distinct
+    suppliers, distinct R-suppliers) instead of two correlated
+    self-joins — at 100 TB that's a single extra shuffle of (orderkey,
+    2 ints) versus two lineitem x lineitem joins. DuckDB runs the
+    correlated original as the independent witness.
+    """,
+)
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers solely responsible for returns in F orders."""
+    li = table(spark, sf_dir, "lineitem")
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(
+            order_stats.filter(
+                (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)
+            ).select("l_orderkey"),
+            on="l_orderkey",
+            how="left_semi",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n.n_name
+    """,
+    survey="B6 + scalar subquery (TPC-H Q22: dormant rich customers)",
+    scale="""
+    Anti join (customers with NO orders) + uncorrelated scalar threshold
+    broadcast to every partition. The anti join probes orders with only
+    o_custkey projected; at scale the build side is the distinct custkey
+    set, far smaller than orders itself. Threshold is avg of >0 doubles
+    — a customer sitting within one ulp of the mean could flip, accepted
+    and verified at sf0.01 and sf0.1.
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no orders since 2000."""
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            pround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
