@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..exprs import pround
-from ..registry import register
+from ..registry import REGISTRY, register
 
 #: number of MinHash permutations (md5-salted) and LSH banding layout
 _SEEDS = 16
@@ -378,3 +378,101 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("jac") >= 0.9).select(
         "doc_a", "doc_b", pround("jac", 4).alias("jaccard")
     )
+
+def _pairs_cte() -> str:
+    """The dedup_minhash_pairs oracle, re-usable as a CTE body."""
+    sql = REGISTRY["dedup_minhash_pairs"].oracle
+    # strip the leading WITH so it can be spliced into another WITH chain
+    return sql.strip().removeprefix("WITH ")
+
+
+@register(
+    "dedup_components",
+    oracle=None,  # set below: needs the pairs CTE assembled at import time
+    survey="D2/A12 (duplicate clusters: connected components over pair graph)",
+    scale="""
+    Turns pairwise near-dups into canonical clusters: iterative min-label
+    propagation (the large-star/small-star family) over the LSH-verified
+    edge list. Each round is one shuffle of (node, label) co-partitioned
+    with the symmetric edge list; the loop caches the new frontier and
+    unpersists the old (SURVEY §3.3 discipline) and stops at the exact
+    fixpoint — for dedup graphs (tiny diameter: near-dup clusters are
+    dense) that is 2-4 rounds regardless of corpus size. The DuckDB
+    oracle computes the same fixpoint via a recursive CTE, an
+    implementation-independent witness that the distributed loop
+    converged to true components, not an iteration-capped approximation.
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical duplicate clusters: (component=min doc_id, size, members)."""
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .cache()
+    )
+    while True:
+        prop = (
+            labels.join(sym, labels.doc_id == sym.doc_a)
+            .select(F.col("doc_b").alias("doc_id"), "lbl")
+        )
+        new_labels = (
+            labels.select("doc_id", "lbl")
+            .union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = (
+        labels.groupBy(F.col("lbl").alias("component"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+    )
+    sym.unpersist()
+    return out
+
+
+REGISTRY["dedup_components"] = REGISTRY["dedup_components"].__class__(
+    name="dedup_components",
+    builder=REGISTRY["dedup_components"].builder,
+    oracle=f"""
+    WITH RECURSIVE {_pairs_cte().replace("SELECT doc_a, doc_b,",
+        ", pair_rows AS (SELECT doc_a, doc_b,").replace(
+        "WHERE inter_n * 1.0 / union_n >= 0.5",
+        "WHERE inter_n * 1.0 / union_n >= 0.5)")},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pair_rows
+        UNION ALL
+        SELECT doc_b, doc_a FROM pair_rows
+    ),
+    reach(doc_id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+        WHERE r.lbl < e.dst
+    )
+    SELECT lbl AS component,
+           count(*) AS n_docs,
+           list_sort(list(doc_id)) AS members
+    FROM (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id)
+    GROUP BY lbl
+    """,
+    survey=REGISTRY["dedup_components"].survey,
+    scale=REGISTRY["dedup_components"].scale,
+)

@@ -516,3 +516,48 @@ def corpus_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.avg("n_chars"), 2).alias("avg_kept_chars"),
         )
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM documents
+    WHERE (strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+          < (CASE WHEN lang = 'es' THEN 2
+                  WHEN lang = 'de' THEN 12
+                  ELSE 6 END)
+    GROUP BY lang
+    """,
+    survey="D4 (per-stratum-rate deterministic sampling: corpus rebalancing)",
+    scale="""
+    The corpus-rebalancing primitive: each stratum gets its OWN hash
+    threshold (downsample the dominant language, upsample the rare one)
+    in a single scan-time predicate — no per-stratum passes, no rand()
+    nondeterminism, stable under retries and engine changes. Swap the
+    CASE for a broadcast-joined rate table when strata are data-driven
+    (e.g. inverse-frequency targets computed in a first pass).
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates via md5 bucket (es 2/16, de 12/16, else 6/16)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+    )
+    rate = (
+        F.when(F.col("lang") == "es", 2)
+        .when(F.col("lang") == "de", 12)
+        .otherwise(6)
+    )
+    return (
+        d.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+    )

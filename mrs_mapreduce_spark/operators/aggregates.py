@@ -281,3 +281,74 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min_by(o_orderkey, o_totalprice)").alias("smallest_order"),
         pround(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey="B9 (exact interpolated percentiles per group)",
+    scale="""
+    EXACT percentile requires the full sorted value set per group — at
+    100 TB that is the one aggregate that genuinely cannot partial-agg.
+    Keep groups coarse (3 return flags) so per-group state fits one
+    executor, or switch callers to approx_percentile (t-digest-style
+    sketch, mergeable, declared separately as agg_approx_distinct's
+    cousin) when the group count explodes. Interpolation (linear) runs on
+    identical sorted doubles in both engines, so values are exact.
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of extended price per return flag."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pround(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+        pround(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
+        pround(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_discount), 4) AS avg_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+    """,
+    survey="B2/B9 (unpivot/melt wide aggregates to long form)",
+    scale="""
+    unpivot is a narrow 1->k row explosion — no shuffle of its own, it
+    rides whatever partitioning the input has. The inverse of agg_pivot;
+    together they round-trip wide<->long without leaving the JVM. The
+    oracle spells it as UNION ALL arms (portable SQL for the same plan).
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the per-flag aggregate into (flag, metric, val) rows."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        pround(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

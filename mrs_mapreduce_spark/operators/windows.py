@@ -163,3 +163,39 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_near"),
         pround(F.sum("o_totalprice").over(w), 2).alias("sum_near"),
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rk,
+           round(cume_dist() OVER w, 6) AS cd,
+           round(nth_value(c_acctbal, 2) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING), 2) AS second_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    survey="B13 (distribution family: percent_rank / cume_dist / nth_value)",
+    scale="""
+    percent_rank and cume_dist are rank arithmetic — streamed over the
+    same sorted run as B13, no extra pass. nth_value with an UNBOUNDED
+    FOLLOWING frame forces full-partition buffering: fine partitioned by
+    nation (bounded groups), a spill hazard on skewed keys — same
+    discipline as agg_percentile. Order key (c_acctbal, c_custkey) is a
+    total order, so every value is replay-deterministic.
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family over customer balances per nation."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        pround(F.percent_rank().over(w), 6).alias("pct_rk"),
+        pround(F.cume_dist().over(w), 6).alias("cd"),
+        pround(F.nth_value("c_acctbal", 2).over(w_full), 2).alias("second_bal"),
+    )
