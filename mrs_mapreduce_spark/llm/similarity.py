@@ -356,3 +356,109 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         qsum.alias("qsum"),
         F.array_max("qv").alias("qmax"),
     )
+
+
+def _srp_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, identical in both engines.
+
+    Generated by a fixed LCG and rounded to 3 decimals so the literal
+    embedded in the Spark plan and in the oracle SQL parses to the exact
+    same double (decimal->binary conversion is correctly rounded in both
+    JVMs and C++). No RNG state crosses engines — only digits.
+    """
+    planes, x = [], 1
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (1103515245 * x + 12345) % 2147483648
+            row.append(round(x / 2147483648 * 2 - 1, 3))
+        planes.append(row)
+    return planes
+
+
+_PLANES = _srp_planes()
+
+
+def _duck_srp_bucket() -> str:
+    """DuckDB expression: 8-bit SRP signature of ``embedding`` as an int."""
+    terms = []
+    for p, plane in enumerate(_PLANES):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        d = (
+            "list_aggregate(list_transform(range(1, 65),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ({lit}[i])), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {2 ** p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _spark_srp_bucket() -> Column:
+    """Spark twin of :func:`_duck_srp_bucket` — same planes, same order."""
+    total = F.lit(0)
+    for p, plane in enumerate(_PLANES):
+        lit = F.array(*[F.lit(v) for v in plane])
+        d = dot("embedding", lit)
+        total = total + F.when(d >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return total
+
+
+@register(
+    "similarity_lsh",
+    oracle=f"""
+    WITH sig AS (SELECT vec_id, embedding,
+                        {_duck_srp_bucket()} AS bucket
+                 FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
+          FROM sig WHERE vec_id < 10),
+    scored AS (SELECT q.q_id, s.vec_id AS cand_id,
+                      {_duck_cos('qv', 's.embedding')} AS cos
+               FROM q JOIN sig s ON s.bucket = q.q_bucket
+               WHERE s.vec_id <> q.q_id)
+    SELECT q_id, cand_id, round(cos, 6) AS cos_sim, rk
+    FROM (SELECT q_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, cand_id) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    survey="D3 (SRP-LSH bucketed approximate search)",
+    scale="""
+    Sign-random-projection LSH: an 8-bit hyperplane signature computed at
+    scan time buckets the corpus; queries compare only within their
+    bucket (~1/256 of candidates for near-orthogonal data). Unlike IVF
+    the signature needs NO trained codebook — it's a pure projection, so
+    ingest and search never synchronize on a model artifact. At 100 TB
+    the bucket id becomes a partition column (search = partition prune),
+    and multi-probe (flip one signature bit) trades recall for cost
+    without re-bucketing. Plane constants are literals in the plan —
+    codegen folds them; no Python, no broadcast of model state.
+    """,
+)
+def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors within the query's SRP-LSH bucket."""
+    e = with_norm(table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", _spark_srp_bucket()
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            (dot("qv", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "cand_id", pround("cos", 6).alias("cos_sim"), "rk")
+    )

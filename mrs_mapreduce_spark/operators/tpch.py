@@ -1,9 +1,11 @@
-"""Classic TPC-H query shapes beyond the flagship Q1/Q3/Q5.
+"""All 22 TPC-H query shapes (Q1 lives in aggregates, Q5 in sql_api).
 
 Fixture schemas omit a few TPC-H columns (commitdate/receiptdate,
-shipmode); Q4 and Q12 are adapted to equivalent plan shapes on available
-columns — the point is the SHAPE (exists-agg, range-filter-agg,
-conditional share, having-join), not the exact TPC-H text.
+shipmode) and the partsupp table; affected queries are adapted to
+equivalent plan shapes on available columns — Q2/Q11/Q20 run on a
+partsupp proxy derived from lineitem — because the point is the SHAPE
+(exists-agg, correlated min/avg, scalar subqueries, disjunctive
+predicates, outer-join histograms), not the exact TPC-H text.
 """
 
 from __future__ import annotations
@@ -846,4 +848,212 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             pround(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+# -- partsupp proxy -------------------------------------------------------
+# Fixtures ship no partsupp table; Q2/Q11/Q20 run on a proxy derived from
+# lineitem: per (partkey, suppkey), cost = min unit price (exact double
+# SELECTION, no summation -> cross-engine deterministic) and qty = total
+# quantity shipped (integer-valued, order-exact). The SQL spelling below
+# is duplicated in each oracle so DuckDB derives the same proxy.
+
+_PARTSUPP_SQL = """
+    partsupp AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost,
+               round(sum(l_quantity), 0) AS ps_availqty
+        FROM lineitem GROUP BY 1, 2
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        ),
+        F.round(F.sum("l_quantity"), 0).alias("ps_availqty"),
+    )
+
+
+@register(
+    "tpch_q2_shape",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p.p_partkey, s.s_name, n.n_name AS nation,
+           round(ps.ps_supplycost, 4) AS cost
+    FROM part p
+    JOIN partsupp ps ON ps.ps_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM partsupp ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    """,
+    survey="B3/B9 + correlated min (TPC-H Q2 shape: cheapest regional supplier)",
+    scale="""
+    The correlated-min pattern decorrelated: per-part regional min cost is
+    one groupBy over the (already region-pruned) partsupp proxy, joined
+    back on (partkey, cost). Cost equality joins on an EXACT double — min
+    is a selection, not arithmetic, so both engines pick bit-identical
+    values. At 100 TB partsupp-side filters (region) apply before the
+    min, so the argmin join never sees out-of-region suppliers.
+    """,
+)
+def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: minimum-cost EUROPE supplier for each size-15 part."""
+    ps = _partsupp(spark, sf_dir)
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(region), nat.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+    eu_ps = ps.join(F.broadcast(eu_supp), ps.ps_suppkey == F.col("s_suppkey"))
+    # alias the derived frame: min_cost shares eu_ps's lineage, and an
+    # unaliased equality on ps_partkey resolves to a trivially-true
+    # self-reference instead of a join condition
+    min_cost = (
+        eu_ps.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost").alias("min_cost"))
+        .select(F.col("ps_partkey").alias("mc_partkey"), "min_cost")
+    )
+    return (
+        eu_ps.join(
+            F.broadcast(min_cost),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .select(
+            "p_partkey",
+            "s_name",
+            "nation",
+            pround("ps_supplycost", 4).alias("cost"),
+        )
+    )
+
+
+@register(
+    "tpch_q11_shape",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    value_by_part AS (
+        SELECT n.n_name AS nation, ps.ps_partkey,
+               CAST(sum(CAST(round(ps.ps_supplycost * 100) AS BIGINT)
+                        * CAST(ps.ps_availqty AS BIGINT)) AS BIGINT) AS cents
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name, ps.ps_partkey
+    )
+    SELECT nation, ps_partkey, round(cents / 100.0, 2) AS part_value
+    FROM value_by_part
+    WHERE cents > (SELECT 3 * avg(cents) FROM value_by_part)
+    """,
+    survey="B9 + scalar subquery (TPC-H Q11 shape: significant stock value)",
+    scale="""
+    HAVING-against-global-statistic: the per-(nation, part) rollup is
+    computed once and reused for both the rows and the scalar threshold
+    (Spark reuses the exchange; the threshold is a one-row broadcast).
+    A 3x-mean cutoff tracks corpus size automatically — no tuning per SF
+    (TPC-H's fixed 0.0001/SF fraction selects nothing on uniform fixture
+    data).
+    """,
+)
+def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: (nation, part) stock values above 0.1% of total."""
+    ps = _partsupp(spark, sf_dir)
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    by_part = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "ps_partkey")
+        .agg(
+            # exact integer cents: unit cost rounded to cents x integer
+            # qty — the sum is order-independent, so neither the 3x-mean
+            # threshold nor the reported value can straddle a rounding
+            # boundary across engines (same discipline as tpch_q3)
+            F.sum(
+                F.round(F.col("ps_supplycost") * 100, 0).cast("long")
+                * F.col("ps_availqty").cast("long")
+            ).alias("cents")
+        )
+    )
+    threshold = by_part.agg((3 * F.avg("cents")).alias("cut"))
+    return (
+        by_part.join(F.broadcast(threshold), F.col("cents") > F.col("cut"))
+        .select(
+            "nation",
+            "ps_partkey",
+            pround(F.col("cents") / 100.0, 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_shape",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM partsupp ps
+        JOIN part p ON p.p_partkey = ps.ps_partkey
+        WHERE p.p_name LIKE '%red%'
+          AND ps.ps_availqty > (
+              SELECT 0.5 * sum(l.l_quantity)
+              FROM lineitem l
+              WHERE l.l_partkey = ps.ps_partkey
+                AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+                AND l.l_shipdate < TIMESTAMP '1999-01-01')
+    )
+    """,
+    survey="B6 + correlated agg subquery (TPC-H Q20 shape: surplus suppliers)",
+    scale="""
+    Nested IN + correlated aggregate, decorrelated to two pre-aggregated
+    frames joined on partkey: the 1998-shipment totals (integer
+    quantities, order-exact) and the part-filtered proxy stock. Only
+    suppliers clearing the surplus bar reach the final semi join. The
+    LIKE filter prunes parts before any per-part aggregate is consumed.
+    """,
+)
+def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers holding >half of 1998 shipments of red parts."""
+    ps = _partsupp(spark, sf_dir)
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li98 = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    shipped = li98.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        (0.5 * F.sum("l_quantity")).alias("half_shipped")
+    )
+    surplus = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey, "left_semi")
+        .join(F.broadcast(shipped), F.col("ps_partkey") == F.col("sp_partkey"))
+        .filter(F.col("ps_availqty") > F.col("half_shipped"))
+        .select("ps_suppkey")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        supp.join(surplus, supp.s_suppkey == surplus.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
     )

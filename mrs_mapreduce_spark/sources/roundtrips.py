@@ -83,3 +83,36 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "event_type string, cnt bigint, sum_val double"
     ).json(target)
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey="A3/A4 (ORC columnar writer/reader round-trip)",
+    scale="""
+    ORC is the second columnar format Spark ships natively (vectorized
+    reader, predicate pushdown, zlib/zstd stripes) — interop surface for
+    Hive-era lakes. Same footprint discipline as parquet: columnar
+    stripes, stats-based skipping. The oracle aggregates the ORIGINAL
+    parquet table in DuckDB, so the check proves the ORC round-trip
+    preserved every value bit-for-bit.
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate → ORC → read back and return."""
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            pround(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    target = tempfile.mkdtemp(prefix="mrs_sink_orc_") + "/orders_agg"
+    agg.write.mode("overwrite").orc(target)
+    return spark.read.orc(target)
