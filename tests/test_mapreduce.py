@@ -129,16 +129,19 @@ def test_wait_timeout_returns_ready_subset(spark):
     import time
 
     job = Job(spark, default_splits=2)
+    # warm the scheduler so the timed wait below measures the datasets,
+    # not first-action session overhead (flaky under cold start)
+    job.wait(job.local_data([(0, 0)], splits=1), timeout=30)
     fast = job.local_data([(i, i) for i in range(10)], splits=2)
 
     def slow_map(key, value):
-        time.sleep(0.5)
+        time.sleep(8.0)
         yield (key, value)
 
     slow_src = job.local_data([(i, i) for i in range(8)], splits=8)
     slow = job.map_data(slow_src, slow_map)
 
-    ready = job.wait(fast, slow, timeout=0.2)
+    ready = job.wait(fast, slow, timeout=3.0)
     assert fast in ready  # fast dataset materializes ~instantly
     remaining = [ds for ds in (fast, slow) if ds not in ready]
     # eventually everything completes
