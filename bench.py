@@ -173,7 +173,7 @@ def main() -> None:
 
     for name in EXTRA:
         try:
-            queries[name] = timed(registry[name].builder, spark, SF_DIR, runs=1)
+            queries[name] = timed(registry[name].builder, spark, SF_DIR)
         except Exception:
             queries[name] = -1.0
 

@@ -122,13 +122,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: min universal-hash(shingle) per doc per seed.
 
-    Plan: one md5 per distinct (doc, shingle) pair parsed to a 60-bit
-    int, 16 affine mixes of it inside codegen, per-column mins in ONE
-    aggregation pass, posexplode to the long signature format. MinHash
-    is a set operation, so deduping (doc, shingle) first changes nothing.
+    Plan: one md5 per (doc, shingle) instance parsed to a 60-bit int, 16
+    affine mixes of it inside codegen, per-column mins in ONE aggregation
+    pass, posexplode to the long signature format. No distinct() first:
+    min is idempotent over duplicate shingles and the map-side partial
+    aggregation collapses them for free, so a pre-dedup would only add a
+    full extra shuffle of the widest intermediate.
     """
     d = table(spark, sf_dir, "documents")
-    sh_sets = shingles(d).distinct()
+    sh_sets = shingles(d)
     n = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long") % _P
     hs = F.array(
         *[(F.lit(_A[i]) * n + F.lit(_B[i])) % _P for i in range(_SEEDS)]

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..exprs import pround
@@ -167,15 +166,27 @@ def iterative_kmeans_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
         diffs = F.zip_with("a", "cv", lambda x, c: (x - c) * (x - c))
         return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
+    dims = 64
     assigned = None
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     for round_no in range(1, rounds + 1):
+        # argmin over centroids as a lexicographic struct-min: (dist, cid)
+        # is unique per point (cid distinct within the group), so
+        # min(struct(dist, cid, a)) == the window row_number()=1 row but
+        # runs as a partial->final hash aggregation — the broadcast
+        # crossJoin is narrow, so the k-fanout collapses map-side and the
+        # only shuffle carries one row per point, never a sort.
         assigned = (
             pts.crossJoin(F.broadcast(cents))
-            .withColumn("dist", sq_dist())
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cid", "a")
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(sq_dist().alias("dist"), "cid")).alias("m"),
+                # every row in the group carries the same point vector, so
+                # first() is deterministic — keeping the array OUT of the
+                # min struct keeps the comparator a codegen'd (double,
+                # int) compare instead of an interpreted array-bearing one
+                F.first("a").alias("a"),
+            )
+            .select("vec_id", F.col("m.cid").alias("cid"), "a")
         )
         if round_no < rounds:
             per_dim = (
@@ -185,10 +196,18 @@ def iterative_kmeans_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("cid", "dim")
                 .agg(pround(F.avg("val"), 6).alias("c"))
             )
-            cents = per_dim.groupBy("cid").agg(
-                F.sort_array(F.collect_list(F.struct("dim", "c")))
-                .getField("c")
-                .alias("cv")
+            # eager localCheckpoint truncates lineage at the k-row
+            # centroid relation: round r+1's job starts from these 8
+            # materialized rows instead of re-deriving rounds 1..r
+            # (SURVEY.md §3.3 — the A12 loop discipline)
+            cents = (
+                per_dim.groupBy("cid")
+                .agg(
+                    F.sort_array(F.collect_list(F.struct("dim", "c")))
+                    .getField("c")
+                    .alias("cv")
+                )
+                .localCheckpoint(eager=True)
             )
 
     return assigned.groupBy(F.col("cid").alias("cluster")).agg(

@@ -146,10 +146,14 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey="B3/B6/B9 (TPC-H Q18: large-volume customers, having+in)",
     scale="""
-    The HAVING subquery reduces lineitem to qualifying orderkeys FIRST
-    (partial-aggregated groupBy), then semijoins the spine — the filter
-    hits before the expensive 3-way join, not after. IN-subquery ==
-    left_semi on the aggregated keys.
+    One lineitem scan, one shuffle: the HAVING aggregate (partial
+    groupBy on orderkey) both filters AND supplies total_qty, because
+    orderkey functionally determines the (customer, orderdate) group —
+    no second pass over the fact table. The qualifying-order set is tiny
+    at any scale (quantity > 150 is a tail), so it broadcasts through
+    orders; customer broadcasts at test SF and at 100 TB flips to a
+    shuffle join on custkey, which AQE picks when the dim outgrows the
+    broadcast threshold.
     """,
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,25 +161,26 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # orderkey determines (customer, orderdate), so the final per-group
+    # quantity sum IS the per-orderkey aggregate the HAVING already
+    # computed — one lineitem scan + one shuffle, then the tiny
+    # qualifying-order set broadcasts through orders and customer
+    # instead of rejoining the fact table.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
     )
     return (
         orders.join(
-            big, orders.o_orderkey == big.l_orderkey, "left_semi"
+            F.broadcast(big), orders.o_orderkey == big.l_orderkey
         )
-        .join(cust, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .groupBy("c_name", "o_orderkey", "o_orderdate")
-        .agg(pround(F.sum("l_quantity"), 2).alias("total_qty"))
+        .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
         .select(
             "c_name",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("o_odate"),
-            "total_qty",
+            pround(F.col("q"), 2).alias("total_qty"),
         )
     )
 
