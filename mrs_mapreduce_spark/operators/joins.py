@@ -407,3 +407,40 @@ def salted_join(
     small_rep = small.crossJoin(F.broadcast(salts))
     joined = big_salted.join(small_rep, [key, "_salt"], how)
     return joined.drop("_salt")
+
+
+@register(
+    "join_salted",
+    oracle="""
+    SELECT s.s_nationkey, count(*) AS n_items,
+           round(CAST(sum(l.l_quantity) AS DOUBLE), 2) AS qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+    survey="B3 + §4 skew handling (salted join)",
+    scale="""
+    Fact side gets a deterministic row-hash salt mod 8; the supplier dim
+    is replicated once per salt via a broadcast crossJoin, and the join
+    key becomes (suppkey, salt) — a pathological hot supplier's rows now
+    land on 8 reducers instead of one straggler. The salt never reaches
+    the result (dropped before the rollup), so output is row-identical
+    to the plain join at any salt factor. AQE's skew-join split handles
+    moderate skew on its own; salting is the explicit fix for the
+    single-celebrity-key case where one partition exceeds executor
+    memory. Cost: n_salts x the (small) dim, nothing on the fact side.
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ supplier through the skew-salted join, then rollup."""
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, supp, "l_suppkey", n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            pround(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )

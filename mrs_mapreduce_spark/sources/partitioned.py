@@ -70,6 +70,7 @@ def write_bucketed(
     bucket_cols: list[str],
     n_buckets: int = 8,
     sort_cols: list[str] | None = None,
+    location: str | None = None,
 ) -> None:
     """Bucketed managed table: co-locates join/agg keys at write time.
 
@@ -82,11 +83,67 @@ def write_bucketed(
     # the in-memory catalog forgets tables between sessions but their
     # warehouse directories persist; clear both for idempotency
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    location = Path(warehouse.removeprefix("file:")) / table_name
-    if location.exists():
+    if location is None:
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        location = str(Path(warehouse.removeprefix("file:")) / table_name)
+    if Path(location).exists():
         shutil.rmtree(location)
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", location)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+@register(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_orders,
+           round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey="§4 bucketing / A7 (pre-partitioned co-located join)",
+    scale="""
+    Both sides are written bucketBy(8, custkey) sortBy(custkey), so the
+    join sort-merge-joins with ZERO exchange and zero sort (asserted in
+    tests/test_layouts.py) — the write-time analogue of the reference
+    pre-partitioning two datasets with the same parter so the reduce
+    needs no re-shuffle. This is the plan that survives when BOTH sides
+    are 100 TB: broadcast is off the table and a shuffle join would move
+    the full fact table; bucketed layout moves nothing. The only
+    exchange left is the final tiny segment rollup.
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket orders and customer on custkey; join without a shuffle."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    base = tempfile.mkdtemp(prefix="mrs_bucket_")
+    write_bucketed(
+        orders, "q_bucket_orders", ["o_custkey"], 8, ["o_custkey"],
+        location=f"{base}/q_bucket_orders",
+    )
+    write_bucketed(
+        cust, "q_bucket_cust", ["o_custkey"], 8, ["o_custkey"],
+        location=f"{base}/q_bucket_cust",
+    )
+    return (
+        spark.table("q_bucket_orders")
+        .join(spark.table("q_bucket_cust"), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            pround(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -108,3 +108,40 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         .collect()
     )
     assert salted == plain
+
+
+def test_declared_bucketed_join_plan(spark, sf_dir):
+    """The declared sink_bucketed_join query joins with zero exchange
+    on the join key (the only Exchange left is the final rollup)."""
+    from mrs_mapreduce_spark.sources.partitioned import sink_bucketed_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sink_bucketed_join(spark, sf_dir)
+        plan = executed_plan(df)
+        assert "SortMergeJoin" in plan, plan
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+        assert "Bucketed: true" in join_part, plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_declared_salted_join_salt_in_partitioning(spark, sf_dir):
+    """join_salted really shuffles on (key, salt), not the key alone."""
+    from mrs_mapreduce_spark.operators.joins import join_salted
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = executed_plan(join_salted(spark, sf_dir))
+        salted_exchanges = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "_salt" in ln
+        ]
+        assert len(salted_exchanges) == 2, plan  # both join inputs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
