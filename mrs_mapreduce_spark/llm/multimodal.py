@@ -143,3 +143,125 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode stub through real mapInPandas plumbing, SQL-verifiable."""
     mm = attach_payload(table(spark, sf_dir, "documents"))
     return decode_frames(mm)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, new_w int, new_h int, "
+    "out_pixels bigint"
+)
+
+
+def resize_frames(mm: DataFrame, box: int = 32) -> DataFrame:
+    """Aspect-preserving resize stage (mapInPandas, integer math).
+
+    Fits the longer side to ``box`` with floor division — pure-integer
+    math so the fake stage has a bit-exact SQL oracle; a real resize
+    would call PIL here with identical batch plumbing.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            w = payloads.map(lambda b: b[0] % 64 + 16).astype("int32")
+            h = payloads.map(lambda b: b[1] % 64 + 16).astype("int32")
+            long_side = w.where(w >= h, h)
+            new_w = (w * box // long_side).astype("int32")
+            new_h = (h * box // long_side).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "new_w": new_w,
+                    "new_h": new_h,
+                    "out_pixels": (new_w * new_h).astype("int64"),
+                }
+            )
+
+    return mm.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 2))::INT % 64 + 16 AS w,
+             ('0x' || substr(md5(text), 3, 2))::INT % 64 + 16 AS h
+      FROM documents)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * 32 // greatest(w, h) AS INT) AS new_w,
+           CAST(h * 32 // greatest(w, h) AS INT) AS new_h,
+           CAST((w * 32 // greatest(w, h))
+                * (h * 32 // greatest(w, h)) AS BIGINT) AS out_pixels
+    FROM b
+    """,
+    survey="D5 (resize stage: aspect-preserving, Arrow-batched)",
+    scale="""
+    Resize is compute-bound, not shuffle-bound: a narrow mapInPandas
+    stage that never moves data between executors — scales linearly with
+    cores at any TB count. The contract that matters at 100 TB is batch
+    sizing (arrow.maxRecordsPerBatch vs payload size) so one Arrow batch
+    of decoded images fits executor-python memory; the integer-math fake
+    keeps the stage oracle-checkable while the real-codec seam swaps in
+    PIL without touching the plan.
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stub through real mapInPandas plumbing, SQL-verifiable."""
+    mm = attach_payload(table(spark, sf_dir, "documents"))
+    return resize_frames(mm)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, pixel int"
+
+
+def sample_frames(mm: DataFrame, every: int = 4, n_frames: int = 16) -> DataFrame:
+    """Frame-sampling stage: payload = n_frames 1-byte fake frames.
+
+    Emits every ``every``-th frame as (doc_id, frame_idx, pixel) — the
+    1:n row explosion a real video sampler produces, with deterministic
+    bytes so the output is SQL-checkable. A real ffmpeg seam would yield
+    JPEG bytes per kept frame instead of one fake pixel.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_px = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(0, n_frames, every):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_px.append(payload[i])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "pixel": pd.Series(out_px, dtype="int32"),
+                }
+            )
+
+    return mm.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_framesample",
+    oracle="""
+    SELECT d.doc_id, CAST(g.i AS INT) AS frame_idx,
+           ('0x' || substr(md5(d.text), 2 * g.i + 1, 2))::INT AS pixel
+    FROM documents d CROSS JOIN generate_series(0, 12, 4) AS g(i)
+    """,
+    survey="D5 (frame-sample stage: 1:n video sampling, Arrow-batched)",
+    scale="""
+    Frame sampling explodes rows 4x here and ~1000x for real video —
+    the stage to budget shuffle around. Keeping it mapInPandas (narrow)
+    means the explosion happens AFTER any filter pushdown on metadata
+    and BEFORE any shuffle; downstream aggregations see small typed
+    frames, and the sampled-frame stream partitions by doc_id for
+    per-video rollups without moving source bytes.
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampler through real mapInPandas plumbing, SQL-verifiable."""
+    mm = attach_payload(table(spark, sf_dir, "documents"))
+    return sample_frames(mm)

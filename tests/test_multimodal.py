@@ -53,3 +53,29 @@ def test_metadata_filter_avoids_payload_shuffle(spark, sf_dir):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan.split("Exchange", 1)[-1]
     assert agg.count() > 0
+
+
+def test_resize_fits_box_preserving_aspect(spark, sf_dir):
+    from mrs_mapreduce_spark.llm.multimodal import resize_frames
+
+    mm = attach_payload(table(spark, sf_dir, "documents")).limit(50)
+    for r in resize_frames(mm, box=32).collect():
+        assert max(r.new_w, r.new_h) == 32  # longer side pinned to the box
+        assert 1 <= min(r.new_w, r.new_h) <= 32
+        assert r.out_pixels == r.new_w * r.new_h
+        # aspect preserved within floor-division error
+        assert abs(r.new_w * r.height - r.new_h * r.width) < max(
+            r.width, r.height
+        )
+
+
+def test_framesample_every_4th_of_16(spark, sf_dir):
+    from mrs_mapreduce_spark.llm.multimodal import sample_frames
+
+    mm = attach_payload(table(spark, sf_dir, "documents")).limit(20)
+    payloads = {r.doc_id: r.payload for r in mm.collect()}
+    rows = sample_frames(mm).collect()
+    assert len(rows) == 4 * len(payloads)
+    for r in rows:
+        assert r.frame_idx in (0, 4, 8, 12)
+        assert r.pixel == payloads[r.doc_id][r.frame_idx]
