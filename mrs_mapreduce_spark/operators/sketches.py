@@ -1,0 +1,268 @@
+"""Probabilistic sketches as pure DataFrame plans.
+
+Capability parity: the reference has no sketch support at all — every
+distinct/count is exact (``mrs/tasks.py`` reduce) — but at 100 TB the
+training-pipeline questions ("how often does this shingle occur", "have
+we seen this key") are sketch questions. Spark ships estimator UDAFs
+(``approx_count_distinct``, ``count_min_sketch``) whose binary state is
+engine-specific; these implementations instead BUILD the sketches as
+relational plans over an md5 universal-hash family (same discipline as
+``llm/dedup.py``), so the sketch contents are bit-identical across
+engines and every query here has an exact DuckDB oracle — the sketch is
+data, not an opaque blob.
+
+Count-Min: d=4 rows x w=256 buckets over the wordcount domain; estimate =
+min over rows of the bucket count (always >= true count). Bloom: m=512
+bits, k=3 probes; membership = all probed bits set (no false negatives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+#: universal-hash family h_i(n) = (A[i] * n + B[i]) mod P over the first
+#: 60 bits of md5 — exact int64 arithmetic in Spark AND DuckDB
+_P = 2147483647
+_D = 4  # count-min depth / rows
+_W = 256  # count-min width / buckets per row
+_A = [1103515245 + 2 * i for i in range(_D)]
+_B = [12345 + 7919 * i for i in range(_D)]
+
+_M = 512  # bloom bits
+_K = 3  # bloom probes per key
+
+_DUCK_N = "(('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483647)"
+
+
+def _n(col: str):
+    """First 60 bits of md5(col) reduced mod P (the Spark twin of _DUCK_N)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % _P
+
+
+def words_of(docs: DataFrame) -> DataFrame:
+    """(w) — one row per word occurrence of documents.text."""
+    return docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+
+
+def countmin_sketch(occurrences: DataFrame, key: str = "w") -> DataFrame:
+    """(seed, bucket, cnt) — the full d x w count-min table as rows.
+
+    One narrow projection fans each occurrence to d (seed, bucket) pairs;
+    one partial-aggregated groupBy builds the table. The sketch is at
+    most d*w rows regardless of input size — THE reduction that makes
+    100 TB frequency questions answerable on a laptop.
+    """
+    n = _n(key)
+    pairs = occurrences.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seed"),
+                        ((F.lit(_A[i]) * n + F.lit(_B[i])) % _P % _W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(_D)
+                ]
+            )
+        ).alias("sb")
+    )
+    return (
+        pairs.select("sb.seed", "sb.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "sketch_countmin",
+    oracle=f"""
+    WITH occ AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    occs AS (SELECT w FROM occ WHERE w <> ''),
+    n AS (SELECT w, {_DUCK_N} AS n FROM occs),
+    pairs AS (SELECT s.seed,
+                     (([{", ".join(str(a) for a in _A)}][s.seed + 1] * n.n
+                       + [{", ".join(str(b) for b in _B)}][s.seed + 1])
+                      % 2147483647) % 256 AS bucket
+              FROM n CROSS JOIN generate_series(0, 3) AS s(seed)),
+    sketch AS (SELECT CAST(seed AS INT) AS seed, CAST(bucket AS INT) AS bucket,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM pairs GROUP BY seed, bucket),
+    truth AS (SELECT w, CAST(count(*) AS BIGINT) AS true_cnt
+              FROM occs GROUP BY w),
+    keyn AS (SELECT DISTINCT w, {_DUCK_N} AS n FROM occs),
+    probes AS (SELECT k.w, s.seed,
+                      (([{", ".join(str(a) for a in _A)}][s.seed + 1] * k.n
+                        + [{", ".join(str(b) for b in _B)}][s.seed + 1])
+                       % 2147483647) % 256 AS bucket
+               FROM keyn k CROSS JOIN generate_series(0, 3) AS s(seed)),
+    est AS (SELECT p.w, min(sk.cnt) AS est_cnt
+            FROM probes p
+            JOIN sketch sk ON sk.seed = p.seed AND sk.bucket = p.bucket
+            GROUP BY p.w)
+    SELECT t.w, t.true_cnt, e.est_cnt
+    FROM truth t JOIN est e ON t.w = e.w
+    WHERE t.true_cnt >= 50
+    """,
+    survey="B10 extension (count-min sketch as a relational plan)",
+    scale="""
+    Sketch build: one narrow d-way fanout + one partial-aggregated
+    groupBy capped at d*w = 1024 output rows — the shuffle carries the
+    SKETCH, never the corpus, at any input size. The estimate probe
+    broadcast-joins the 1024-row sketch back onto distinct keys. At
+    100 TB: build per-partition sketches map-side and merge by summing
+    buckets (count-min is a monoid — same groupBy plan), widen w to
+    bound the over-count, and the estimate stays a broadcast lookup.
+    Guarantee surfaced by the query: est_cnt >= true_cnt always (tested).
+    """,
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter words: exact count vs count-min estimate, side by side."""
+    occs = words_of(table(spark, sf_dir, "documents"))
+    sketch = countmin_sketch(occs)
+
+    truth = (
+        occs.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .filter(F.col("true_cnt") >= 50)
+    )
+    n = _n("w")
+    probes = truth.select(
+        "w",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seed"),
+                        ((F.lit(_A[i]) * n + F.lit(_B[i])) % _P % _W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(_D)
+                ]
+            )
+        ).alias("sb"),
+    ).select("w", "true_cnt", "sb.seed", "sb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("w", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select("w", "true_cnt", "est_cnt")
+    )
+
+
+@register(
+    "sketch_bloom",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS w
+                  FROM orders WHERE o_orderpriority = '1-URGENT'),
+    n AS (SELECT w, {_DUCK_N} AS n FROM keys),
+    bits AS (SELECT DISTINCT
+                    (([{", ".join(str(a) for a in _A[:3])}][s.seed + 1] * n.n
+                      + [{", ".join(str(b) for b in _B[:3])}][s.seed + 1])
+                     % 2147483647) % 512 AS bit
+             FROM n CROSS JOIN generate_series(0, 2) AS s(seed)),
+    cand AS (SELECT CAST(c_custkey AS VARCHAR) AS w, c_custkey FROM customer),
+    cn AS (SELECT w, c_custkey, {_DUCK_N} AS n FROM cand),
+    probed AS (SELECT cn.c_custkey,
+                      count(*) FILTER (WHERE b.bit IS NOT NULL) AS hits
+               FROM cn CROSS JOIN generate_series(0, 2) AS s(seed)
+               LEFT JOIN bits b
+                 ON b.bit = (([{", ".join(str(a) for a in _A[:3])}][s.seed + 1]
+                              * cn.n
+                              + [{", ".join(str(b) for b in _B[:3])}][s.seed + 1])
+                             % 2147483647) % 512
+               GROUP BY cn.c_custkey),
+    member AS (SELECT c_custkey, (hits = 3) AS maybe FROM probed),
+    actual AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT')
+    SELECT CAST(count(*) FILTER (WHERE m.maybe AND a.o_custkey IS NOT NULL)
+                AS BIGINT) AS true_pos,
+           CAST(count(*) FILTER (WHERE m.maybe AND a.o_custkey IS NULL)
+                AS BIGINT) AS false_pos,
+           CAST(count(*) FILTER (WHERE NOT m.maybe AND a.o_custkey IS NOT NULL)
+                AS BIGINT) AS false_neg
+    FROM member m LEFT JOIN actual a ON m.c_custkey = a.o_custkey
+    """,
+    survey="B10 extension (bloom filter as a relational plan)",
+    scale="""
+    The bit set is DISTINCT over k hashes of the key set — at most m=512
+    rows however many keys go in, built by one partial-aggregated
+    distinct and broadcast to every probe task. Probing is a broadcast
+    left-join per hash + an all-bits-set check: the 100 TB use is
+    semi-join pre-filtering (ship the 512-row bit set into the fact scan
+    instead of shuffling the fact table into a real semi-join), exactly
+    what Spark's runtime row-group bloom pushdown does internally.
+    Correctness surfaced: false_neg = 0 ALWAYS (bloom guarantee, tested);
+    false_pos bounded by (1-e^(-kn/m))^k.
+    """,
+)
+def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership of urgent-order custkeys probed by all customers."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").cast("string").alias("w"))
+        .distinct()
+    )
+    n = _n("w")
+    bits = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    ((F.lit(_A[i]) * n + F.lit(_B[i])) % _P % _M)
+                    for i in range(_K)
+                ]
+            )
+        ).alias("bit")
+    ).distinct()
+
+    cn = cust.select(
+        "c_custkey", F.col("c_custkey").cast("string").alias("w")
+    )
+    n_c = _n("w")
+    probed = (
+        cn.select(
+            "c_custkey",
+            F.explode(
+                F.array(
+                    *[
+                        ((F.lit(_A[i]) * n_c + F.lit(_B[i])) % _P % _M)
+                        for i in range(_K)
+                    ]
+                )
+            ).alias("bit"),
+        )
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("c_custkey")
+        .agg((F.count("hit") == _K).alias("maybe"))
+    )
+    actual = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    flagged = probed.join(
+        actual, probed.c_custkey == actual.o_custkey, "left"
+    )
+    return flagged.agg(
+        F.count(
+            F.when(F.col("maybe") & F.col("o_custkey").isNotNull(), 1)
+        ).alias("true_pos"),
+        F.count(
+            F.when(F.col("maybe") & F.col("o_custkey").isNull(), 1)
+        ).alias("false_pos"),
+        F.count(
+            F.when(~F.col("maybe") & F.col("o_custkey").isNotNull(), 1)
+        ).alias("false_neg"),
+    )

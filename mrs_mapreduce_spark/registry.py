@@ -75,6 +75,7 @@ def load_all() -> dict[str, Query]:
         maps,
         scans,
         setops,
+        sketches,
         sorts,
         sql_api,
         subqueries,

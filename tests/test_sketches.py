@@ -1,0 +1,35 @@
+"""Sketch guarantee tests: count-min over-counts only; bloom never misses."""
+
+from __future__ import annotations
+
+from mrs_mapreduce_spark.operators.sketches import (
+    _D,
+    _W,
+    countmin_sketch,
+    sketch_bloom,
+    sketch_countmin,
+    words_of,
+)
+from mrs_mapreduce_spark.catalog import table
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    rows = sketch_countmin(spark, sf_dir).collect()
+    assert rows, "expected heavy hitters at this SF"
+    assert all(r.est_cnt >= r.true_cnt for r in rows)
+
+
+def test_countmin_table_bounded_and_mass_preserved(spark, sf_dir):
+    occs = words_of(table(spark, sf_dir, "documents"))
+    sk = countmin_sketch(occs).collect()
+    assert len(sk) <= _D * _W
+    n_occ = occs.count()
+    # every row of the sketch holds the full occurrence mass
+    for seed in range(_D):
+        assert sum(r.cnt for r in sk if r.seed == seed) == n_occ
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    row = sketch_bloom(spark, sf_dir).collect()[0]
+    assert row.false_neg == 0  # the bloom guarantee
+    assert row.true_pos > 0
