@@ -352,3 +352,39 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    """,
+    survey="B11 (explicit GROUPING SETS, the rollup/cube generalization)",
+    scale="""
+    Same Expand + one-hash-aggregate plan as rollup/cube but with ONLY
+    the requested sets — here 3 emitted rows per input instead of cube's
+    4. At 100 TB grouping-set choice is a direct map-output multiplier;
+    explicit sets (not cube) keep the Expand factor minimal, and the
+    single shuffle carries all granularities at once instead of N
+    separate groupBy jobs over the fact table.
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the Spark 4 DataFrame API."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        pround(F.sum("o_totalprice"), 2).alias("total"),
+    )

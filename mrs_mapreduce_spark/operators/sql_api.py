@@ -74,3 +74,94 @@ def sql_api_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ro.n_name
         """
     )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+    SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS bal
+    FROM nation n,
+         LATERAL (SELECT c_name, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    """,
+    survey="B17/B3 (LATERAL correlated top-n per row, Spark 4 SQL)",
+    scale="""
+    Catalyst decorrelates the LATERAL subquery into the same
+    rank<=2-over-partition plan a window top-k produces — WindowGroupLimit
+    pushes the per-group heap below the shuffle, so each map task ships
+    at most 2 rows per nation. Correlated-per-row execution (the naive
+    reading of LATERAL) never happens; at 100 TB this is one fact
+    shuffle bounded at k x |nation| rows total.
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-2 customers by balance via LATERAL (decorrelated)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name,
+               round(t.c_acctbal * 100, 0) / 100 AS bal
+        FROM nation n,
+             LATERAL (SELECT c_name, c_acctbal FROM customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        """
+    )
+
+
+@register(
+    "recursive_bfs",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    walk(n, d) AS (
+        SELECT CAST(0 AS INT), 0
+        UNION ALL
+        SELECT CAST(e.dst AS INT), w.d + 1
+        FROM walk w JOIN edges e ON e.src = w.n
+        WHERE w.d < 2
+    )
+    SELECT n AS nationkey, CAST(min(d) AS INT) AS hops
+    FROM walk GROUP BY n
+    """,
+    survey="A12 extension (recursive CTE: BFS shortest hops, Spark 4 SQL)",
+    scale="""
+    The supplier->customer nation graph is built ONCE (distinct over the
+    joined fact — the only large shuffle) and the recursion iterates on
+    the 25-node edge list. Depth is capped (d < 2) so the path fanout is
+    bounded; min(d) collapses multi-path duplicates exactly like the BFS
+    frontier would. For web-scale graphs swap the recursive CTE for the
+    iterative min-label loop (dedup_components): same semantics, but
+    each round is a co-partitioned shuffle with AQE instead of a plan
+    that grows with depth.
+    """,
+)
+def recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest shipping-hops from nation 0 via WITH RECURSIVE."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        ),
+        walk(n, d) AS (
+            SELECT CAST(0 AS INT) AS n, 0 AS d
+            UNION ALL
+            SELECT CAST(e.dst AS INT) AS n, w.d + 1 AS d
+            FROM walk w JOIN edges e ON e.src = w.n
+            WHERE w.d < 2
+        )
+        SELECT n AS nationkey, CAST(min(d) AS INT) AS hops
+        FROM walk GROUP BY n
+        """
+    )
