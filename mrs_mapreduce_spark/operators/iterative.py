@@ -214,3 +214,90 @@ def iterative_kmeans_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         pround(F.avg(F.element_at("a", 1)), 6).alias("cent_d0"),
     )
+
+
+@register(
+    "iterative_pagerank",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    nodes AS (SELECT DISTINCT n_nationkey AS v FROM nation),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    p0 AS (SELECT v, round(1.0 / 25, 6) AS pr FROM nodes),
+    s1 AS (SELECT e.dst AS v, sum(p.pr / d.outdeg) AS m
+           FROM edges e JOIN p0 p ON p.v = e.src
+           JOIN deg d ON d.src = e.src GROUP BY e.dst),
+    p1 AS (SELECT n.v,
+                  round(0.15 / 25 + 0.85 * coalesce(s1.m, 0), 6) AS pr
+           FROM nodes n LEFT JOIN s1 ON s1.v = n.v),
+    s2 AS (SELECT e.dst AS v, sum(p.pr / d.outdeg) AS m
+           FROM edges e JOIN p1 p ON p.v = e.src
+           JOIN deg d ON d.src = e.src GROUP BY e.dst),
+    p2 AS (SELECT n.v,
+                  round(0.15 / 25 + 0.85 * coalesce(s2.m, 0), 6) AS pr
+           FROM nodes n LEFT JOIN s2 ON s2.v = n.v)
+    SELECT CAST(v AS INT) AS nationkey, pr FROM p2
+    """,
+    survey="A12 (iterative PageRank: damped, degree-normalized, dangling-safe)",
+    scale="""
+    The loop state is one (node, pr) relation — O(nodes), never O(edges)
+    — re-derived per round by edges⋈pr on src then a groupBy dst; edges
+    and out-degrees are computed once and cached, and the join
+    co-partitions on src so each round is exactly one shuffle of the
+    rank vector plus one of the partial sums. Dangling nodes (no
+    out-edges) keep their teleport mass via the left join against the
+    node universe. Per-round pround(6) keeps Spark and SQL iterating on
+    bit-identical ranks (the kmeans discipline). Web-scale: same plan,
+    plus localCheckpoint cadence and AQE skew-split for celebrity dst
+    nodes.
+    """,
+)
+def iterative_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 damped PageRank rounds over the supplier->customer nation graph."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # edges computed once, loop reuses
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    contrib_base = edges.join(F.broadcast(deg), "src")
+    nodes = nation.select(F.col("n_nationkey").alias("v")).distinct()
+
+    n_nodes, damp = 25, 0.85
+    pr = nodes.select("v", pround(F.lit(1.0 / n_nodes), 6).alias("pr"))
+    for _ in range(2):
+        sums = (
+            contrib_base.join(
+                F.broadcast(pr), contrib_base.src == pr.v
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("m"))
+        )
+        pr = (
+            nodes.join(F.broadcast(sums), nodes.v == sums.dst, "left")
+            .select(
+                "v",
+                pround(
+                    F.lit((1 - damp) / n_nodes)
+                    + F.lit(damp) * F.coalesce(F.col("m"), F.lit(0.0)),
+                    6,
+                ).alias("pr"),
+            )
+        )
+    return pr.select(F.col("v").cast("int").alias("nationkey"), "pr")
