@@ -228,3 +228,38 @@ def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isNull()
         .alias("all_null_max_is_null"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 4096 AS bor,
+           xor(o_orderkey, o_custkey) AS bxor,
+           o_orderkey << 2 AS shl,
+           o_orderkey >> 3 AS shr,
+           CAST(bit_count(o_orderkey) AS INT) AS popcnt
+    FROM orders WHERE o_orderkey < 200
+    """,
+    survey="B22 (bitwise family: and/or/xor/shifts/popcount)",
+    scale="""
+    Pure codegen'd projections over a pushed-down key-range scan — the
+    bitwise family is what bucket ids, bloom probes and simhash bands
+    compile to, so it stays JVM-side by construction; no shuffle, no
+    Python.
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators over a pruned key range."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcnt"),
+    )

@@ -116,3 +116,41 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = tempfile.mkdtemp(prefix="mrs_sink_orc_") + "/orders_agg"
     agg.write.mode("overwrite").orc(target)
     return spark.read.orc(target)
+
+
+@register(
+    "source_text_lines",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents)
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM w WHERE word <> ''
+    GROUP BY word HAVING count(*) >= 100
+    """,
+    survey="A1 (line-oriented text source — the reference's primary input)",
+    scale="""
+    spark.read.text is the schema-free scan the reference's file_data
+    serves: one line per row, splittable per HDFS block, parallelism =
+    input splits exactly like the reference's one-source-per-file model
+    but without its file-count = task-count coupling. Everything after
+    the scan is the standard partial-aggregated wordcount; at 100 TB the
+    text scan's only knob is maxPartitionBytes, and the HAVING threshold
+    pushes nothing (aggregation needs full counts) — the shuffle carries
+    |vocab| partial sums, not occurrences.
+    """,
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text -> .txt files -> spark.read.text -> wordcount."""
+    docs = table(spark, sf_dir, "documents").select("text")
+    target = tempfile.mkdtemp(prefix="mrs_src_text_") + "/docs_txt"
+    # one line per document; text sink forbids newlines in values, and the
+    # fixture corpus has none (single-line documents)
+    docs.write.mode("overwrite").text(target)
+    lines = spark.read.text(target)  # schema: value: string
+    return (
+        lines.select(F.explode(F.split(F.col("value"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 100)
+    )
