@@ -1,0 +1,91 @@
+"""Streaming sinks: foreachBatch — the arbitrary-sink escape hatch.
+
+``foreachBatch`` hands each micro-batch to plain batch code (any writer,
+any library, multi-sink fan-out) with a batch_id for idempotence — the
+streaming analogue of the reference's per-split output files written by
+each reduce task. Unlike the memory-sink demo (``stream_watermark``) this
+runs the full write-then-audit loop: stream -> transform -> append parquet
+per batch -> batch read-back, and because Trigger.AvailableNow drains the
+bounded fixture exactly once, the round-trip has an EXACT SQL oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exprs import pround
+from ..registry import register
+
+
+@register(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT CAST((epoch_ns(ts) // 3600000000000) * 3600 AS BIGINT) AS hour_s,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 2) AS sum_val
+    FROM events
+    WHERE value > 0
+    GROUP BY 1, 2
+    """,
+    survey="C (foreachBatch arbitrary sink, exact round-trip audit)",
+    scale="""
+    foreachBatch is where 100 TB streams meet real sinks: each
+    micro-batch arrives as a batch DataFrame plus a monotonically
+    increasing batch_id — write target tables idempotently (MERGE on
+    batch_id, or path=.../batch_id), fan out to multiple stores, or run
+    any batch-only writer. The in-stream stage here is a narrow
+    filter+project (no state), so throughput is source-bounded; the
+    read-back aggregation is the standard partial-agg rollup. The same
+    topology pointed at Kafka just swaps the source line.
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events stream -> foreachBatch parquet append -> audited rollup."""
+    from ..session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumnRenamed("ts", "ts_ns")
+        .filter(F.col("value") > 0)
+        .select(
+            # integer div: ts_ns ~ 1.7e18 exceeds double's exact range,
+            # so float division would misbucket near hour boundaries
+            F.expr("(ts_ns div 3600000000000) * 3600").alias("hour_s"),
+            "event_type",
+            "value",
+        )
+    )
+    target = tempfile.mkdtemp(prefix="mrs_febatch_") + "/out"
+    checkpoint = tempfile.mkdtemp(prefix="mrs_febatch_ckpt_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent enough for AvailableNow-once semantics; real sinks
+        # key the write on batch_id (MERGE / overwrite-by-partition)
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(target)
+
+    query = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    return (
+        spark.read.parquet(target)
+        .groupBy("hour_s", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            pround(F.sum("value"), 2).alias("sum_val"),
+        )
+    )
