@@ -66,3 +66,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     spark._mrs_views_sf_dir = sf_dir
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across cores before compute-heavy stages.
+
+    A small parquet table is one file = one row group = ONE scan task
+    (byte-splitting cannot split inside a row group), so everything
+    narrow downstream — hashing, shingling, vector math — runs on a
+    single core. When the plan has fewer partitions than the session's
+    parallelism, repartition round-robin; at cluster scale inputs are
+    already wide and this is a no-op costing one getNumPartitions call.
+    Only worth it when downstream work per row dwarfs the extra shuffle
+    (measured 3.6x on dedup_minhash at sf0.1).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)

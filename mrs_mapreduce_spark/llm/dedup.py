@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..exprs import pround
 from ..registry import REGISTRY, register
 
@@ -57,7 +57,7 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     # guard BEFORE building the sequence: sequence(1, n) with n < 1 would
     # count downward in Spark, not return empty
     return (
-        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        fan_out(docs).select("doc_id", F.split("text", " ").alias("ws"))
         .filter(F.size("ws") >= k)
         .select("doc_id", F.explode(sh).alias("sh"))
     )

@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..registry import register
 
 #: result schema of the decode stage — what a real image decoder would emit
@@ -35,7 +35,7 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     real pipelines read ``spark.read.format("binaryFile")`` or parquet
     binary columns — identical schema from there on.
     """
-    return docs.select(
+    return fan_out(docs).select(
         "doc_id",
         F.unhex(F.md5("text")).alias("payload"),
         F.struct(

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..exprs import pround
 from ..registry import register
 
@@ -87,7 +87,7 @@ def _duck_cos(a: str, b: str) -> str:
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the first 10 query vectors."""
-    e = with_norm(table(spark, sf_dir, "embeddings"))
+    e = with_norm(fan_out(table(spark, sf_dir, "embeddings")))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
@@ -151,7 +151,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors searching only the query's IVF cell."""
-    e = with_norm(table(spark, sf_dir, "embeddings"))
+    e = with_norm(fan_out(table(spark, sf_dir, "embeddings")))
     cb = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("code_id"),
         F.col("embedding").alias("cv"),
@@ -225,7 +225,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.2) within label blocks."""
-    e = with_norm(table(spark, sf_dir, "embeddings"))
+    e = with_norm(fan_out(table(spark, sf_dir, "embeddings")))
     a = e.alias("a")
     b = e.alias("b")
     return (
@@ -331,7 +331,7 @@ def cosine_topk_numpy(
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-range scalar quantization of embeddings to 0..255 codes."""
-    e = table(spark, sf_dir, "embeddings")
+    e = fan_out(table(spark, sf_dir, "embeddings"))
     stats = e.select(
         F.explode(F.transform("embedding", lambda x: x.cast("double"))).alias(
             "v"
@@ -436,7 +436,7 @@ def _spark_srp_bucket() -> Column:
 )
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors within the query's SRP-LSH bucket."""
-    e = with_norm(table(spark, sf_dir, "embeddings")).withColumn(
+    e = with_norm(fan_out(table(spark, sf_dir, "embeddings"))).withColumn(
         "bucket", _spark_srp_bucket()
     )
     q = e.filter(F.col("vec_id") < 10).select(

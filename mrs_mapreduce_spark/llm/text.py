@@ -11,14 +11,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..exprs import pround
 from ..registry import register
 
 
 def tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, word) pairs — whitespace tokenization of ``text``."""
-    return docs.select(
+    """(doc_id, word) pairs — whitespace tokenization of ``text``.
+
+    fan_out first: the explode and everything narrow after it inherit
+    the scan's partitioning, which is ONE task for a single-row-group
+    fixture file (see catalog.fan_out).
+    """
+    return fan_out(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
 
@@ -136,7 +141,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predict language from corpus-derived marker words (argmax hits)."""
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = fan_out(docs).select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     )
     lw = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..exprs import pround
 from ..registry import register
 
@@ -151,7 +151,7 @@ def iterative_kmeans_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-dim k-means (k=8, 3 assignment rounds) on the embeddings table."""
     k, rounds = 8, 3
     pts = (
-        table(spark, sf_dir, "embeddings")
+        fan_out(table(spark, sf_dir, "embeddings"))
         .select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("a"),

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..registry import register
 
 #: universal-hash family h_i(n) = (A[i] * n + B[i]) mod P over the first
@@ -45,7 +45,7 @@ def _n(col: str):
 
 def words_of(docs: DataFrame) -> DataFrame:
     """(w) — one row per word occurrence of documents.text."""
-    return docs.select(
+    return fan_out(docs).select(
         F.explode(F.split(F.col("text"), " ")).alias("w")
     ).filter(F.col("w") != "")
 
