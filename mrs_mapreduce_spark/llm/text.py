@@ -19,11 +19,12 @@ from ..registry import register
 def tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, word) pairs — whitespace tokenization of ``text``.
 
-    fan_out first: the explode and everything narrow after it inherit
-    the scan's partitioning, which is ONE task for a single-row-group
-    fixture file (see catalog.fan_out).
+    NO fan_out here: splitting is too cheap to amortize a re-spread
+    shuffle of the text (measured 0.83s vs 0.95s on tfidf at sf0.1) —
+    the single-task scan pipelines straight into the partial aggregate.
+    fan_out pays off only when per-row compute dominates (see shingles).
     """
-    return fan_out(docs).select(
+    return docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
 
@@ -86,7 +87,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     tok = tokens(docs)
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # df falls out of tf (one tf row per (doc, word) => rows-per-word =
+    # docs-per-word): one pass over the token stream instead of two, and
+    # the expensive countDistinct becomes a plain count over the small
+    # aggregate
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.filter(F.col("doc_id") < 50)
         .join(F.broadcast(df), "word")
@@ -141,7 +146,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predict language from corpus-derived marker words (argmax hits)."""
     docs = table(spark, sf_dir, "documents")
-    tok = fan_out(docs).select(
+    tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     )
     lw = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
