@@ -33,3 +33,12 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     row = sketch_bloom(spark, sf_dir).collect()[0]
     assert row.false_neg == 0  # the bloom guarantee
     assert row.true_pos > 0
+
+
+def test_hll_estimate_within_theoretical_error(spark, sf_dir):
+    from mrs_mapreduce_spark.operators.sketches import sketch_hll
+
+    r = sketch_hll(spark, sf_dir).collect()[0]
+    # 3 sigma of the 1.04/sqrt(64) standard error
+    assert abs(r.hll_estimate - r.exact_distinct) <= 0.39 * r.exact_distinct
+    assert r.harmonic_denom > 0
