@@ -155,6 +155,13 @@ EXTRA = [
     "tpch_q6",
     "tpch_q18",
     "iterative_kmeans_emb",
+    "iterative_pagerank",
+    "sketch_countmin",
+    "sketch_hll",
+    "join_salted",
+    "join_bloom_pruned",
+    "sink_bucketed_join",
+    "multimodal_decode",
 ]
 
 

@@ -388,3 +388,40 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         pround(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS lo,
+           count(*) AS cnt,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    survey="B9 (equi-width histogram: the profiling aggregate)",
+    scale="""
+    Histogram = groupBy on a computed bucket key: one partial-aggregated
+    shuffle of |buckets| rows however large the fact table — the
+    profiling pass every ingest pipeline runs before choosing partition
+    boundaries. The bucket expression is a literal floor-division, so it
+    pushes into the scan's codegen; for data-driven bounds compute
+    min/max first and broadcast them (same two-pass shape as
+    embedding_quantize).
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width price histogram over orders."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000)
+    return (
+        o.groupBy(
+            bucket.cast("long").alias("bucket"),
+            (bucket * 50000).cast("double").alias("lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            pround(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )

@@ -175,3 +175,47 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
         )
     )
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma,
+               count(*) AS n
+        FROM events GROUP BY event_type),
+    scored AS (
+        SELECT e.user_id, e.event_type, e.value,
+               round((e.value - s.mu) / s.sigma, 4) AS z
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE s.sigma > 0)
+    SELECT user_id, event_type, round(value, 2) AS value, z
+    FROM scored WHERE abs(z) > 3
+    """,
+    survey="D6 (per-segment z-score anomaly flagging)",
+    scale="""
+    Two-pass outlier scan: per-type moments are ONE partial-aggregated
+    groupBy (|event_types| rows), broadcast back onto the stream — the
+    scoring join is map-side, zero shuffle of events. The same shape
+    handles per-(type, hour) baselines by widening the stats key. At
+    100 TB this is the data-quality gate before training ingest;
+    stddev_samp's merge is Welford-style and order-stable enough that
+    the rounded z matches across engines (boundary ties would need the
+    integer-moments trick if they ever appeared).
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events more than 3 sigma from their type's mean value."""
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats.filter(F.col("sigma") > 0)), "event_type")
+        .withColumn("z", pround((F.col("value") - F.col("mu")) / F.col("sigma"), 4))
+        .filter(F.abs(F.col("z")) > 3)
+        .select("user_id", "event_type", pround("value", 2).alias("value"), "z")
+    )
