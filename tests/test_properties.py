@@ -171,3 +171,80 @@ def test_reduce_side_join_matches_dataframe_join(spark, left, right):
     ds = job.reduce_data(tagged, join_reduce, splits=2)
     mr = {(k, a, b) for k, (a, b) in ds.collect()}
     assert mr == native
+
+
+@given(
+    keys=st.lists(
+        st.text("abcdef123", min_size=1, max_size=6), min_size=1, max_size=30
+    )
+)
+@_SETTINGS
+def test_countmin_upper_bounds_any_multiset(spark, keys):
+    """CMS estimate >= true count for EVERY key of an arbitrary multiset."""
+    from mrs_mapreduce_spark.operators.sketches import (
+        _A,
+        _B,
+        _D,
+        _P,
+        _W,
+        _n,
+        countmin_sketch,
+    )
+
+    occ = spark.createDataFrame([(k,) for k in keys], "w string")
+    sketch = {
+        (r.seed, r.bucket): r.cnt for r in countmin_sketch(occ).collect()
+    }
+    true_counts = Counter(keys)
+    # recompute each key's buckets via the same expressions
+    rows = (
+        occ.distinct()
+        .select(
+            "w",
+            *[
+                ((F.lit(_A[i]) * _n("w") + F.lit(_B[i])) % _P % _W).alias(
+                    f"b{i}"
+                )
+                for i in range(_D)
+            ],
+        )
+        .collect()
+    )
+    for r in rows:
+        est = min(sketch[(i, r[f"b{i}"])] for i in range(_D))
+        assert est >= true_counts[r.w]
+
+
+@given(
+    member=st.lists(st.integers(0, 10**6), min_size=1, max_size=25),
+    probe=st.lists(st.integers(0, 10**6), min_size=1, max_size=25),
+)
+@_SETTINGS
+def test_bloom_pruned_join_is_exact_on_any_keys(spark, member, probe):
+    """Bloom pre-filter + exact join == plain join for arbitrary key sets."""
+    from mrs_mapreduce_spark.operators.sketches import _A, _B, _K, _P
+
+    m_bits = 64  # deliberately tiny: force false positives
+    big = spark.createDataFrame([(k,) for k in probe], "k long")
+    keys = spark.createDataFrame([(k,) for k in member], "k long").distinct()
+
+    def probes(col):
+        n = col % _P
+        return [
+            (F.lit(_A[i]) * n + F.lit(_B[i])) % _P % m_bits
+            for i in range(_K)
+        ]
+
+    bits = keys.select(
+        F.explode(F.array(*probes(F.col("k")))).alias("bit")
+    ).distinct()
+    pruned = big.select("k", *[p.alias(f"p{i}") for i, p in enumerate(probes(F.col("k")))])
+    for i in range(_K):
+        pruned = pruned.join(
+            F.broadcast(bits.select(F.col("bit").alias(f"bit{i}"))),
+            F.col(f"p{i}") == F.col(f"bit{i}"),
+            "semi",
+        )
+    got = Counter(r.k for r in pruned.join(F.broadcast(keys), "k", "semi").collect())
+    want = Counter(r.k for r in big.join(F.broadcast(keys), "k", "semi").collect())
+    assert got == want
