@@ -571,3 +571,54 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("chars_kept"),
         )
     )
+
+
+@register(
+    "text_bigram_lm",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                  i -> [ws[i], ws[i+1]])) AS pair
+           FROM words WHERE len(ws) >= 2),
+    pairs AS (SELECT pair[1] AS w1, pair[2] AS w2, count(*) AS c12
+              FROM bg GROUP BY 1, 2),
+    uni AS (SELECT w1, sum(c12) AS c1 FROM pairs GROUP BY w1)
+    SELECT p.w1, p.w2, p.c12,
+           round(p.c12 * 1.0 / u.c1, 6) AS cond_p
+    FROM pairs p JOIN uni u USING (w1)
+    WHERE p.c12 >= 40
+    """,
+    survey="D4 (bigram conditional probabilities — n-gram LM counts)",
+    scale="""
+    The n-gram language-model table every filtering heuristic sits on:
+    bigram counts are one partial-aggregated groupBy; the unigram
+    normalizer is derived FROM the bigram aggregate (sum per w1 — no
+    second pass over the corpus, the tfidf df trick) and joins back
+    small-side broadcast. At 100 TB prune the tail (c12 >= k) BEFORE the
+    normalizer join so the broadcast stays vocabulary-sized, and shard
+    the model table by w1 prefix when even the vocabulary outgrows one
+    broadcast.
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(w2 | w1) for frequent bigrams (count-based LM)."""
+    from .dedup import shingles
+
+    docs = table(spark, sf_dir, "documents")
+    bg = shingles(docs, k=2).select(
+        F.split("sh", " ").getItem(0).alias("w1"),
+        F.split("sh", " ").getItem(1).alias("w2"),
+    )
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        pairs.filter(F.col("c12") >= 40)
+        .join(F.broadcast(uni), "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            pround(F.col("c12") / F.col("c1"), 6).alias("cond_p"),
+        )
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..exprs import pround
@@ -218,4 +219,42 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("z", pround((F.col("value") - F.col("mu")) / F.col("sigma"), 4))
         .filter(F.abs(F.col("z")) > 3)
         .select("user_id", "event_type", pround("value", 2).alias("value"), "z")
+    )
+
+
+@register(
+    "events_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_type) AS next_type
+        FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n_transitions
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    survey="D6/B14 (event transition matrix: lead window + rollup)",
+    scale="""
+    One window shuffle on user_id (the sessionization partitioning every
+    D6 query shares — reusable across funnel/retention/transitions in a
+    single multi-output pass), then a partial-aggregated rollup of
+    |event_types|^2 rows. The deterministic (ts, event_type) tie-break
+    matters: pure-ts ordering is ambiguous for same-timestamp events and
+    would hash-diverge between engines.
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from->to event-type transition counts per user timeline."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
