@@ -56,3 +56,24 @@ def test_flagship_matches_known_counts(spark, sf_dir):
     rows = {(r.l_returnflag, r.l_linestatus): r for r in df.collect()}
     assert len(rows) == 6
     assert sum(r.cnt for r in rows.values()) == 4964
+
+
+def test_curate_corpus_example(spark, sf_dir, tmp_path):
+    """The end-to-end curation pipeline runs and its funnel only shrinks."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "examples/curate_corpus.py"
+    spec = importlib.util.spec_from_file_location("curate_corpus", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "curated")
+    assert mod.main([sf_dir, out, "--sample-rate", "0.5"]) == 0
+    back = spark.read.parquet(out)
+    assert 0 < back.count() < 500
+    assert set(back.columns) == {"doc_id", "lang", "source", "text"}
+    # partitioned by lang: a lang filter must prune directories
+    pruned = back.filter(back.lang == "en")
+    assert "PartitionFilters: [" in (
+        pruned._jdf.queryExecution().executedPlan().toString()
+    )
