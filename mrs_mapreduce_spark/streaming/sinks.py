@@ -89,3 +89,98 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("value"), 2).alias("sum_val"),
         )
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           s.event_id AS signup_id,
+           p.user_id,
+           CAST(epoch_ns(p.ts) // 1000 - epoch_ns(s.ts) // 1000
+                AS BIGINT) AS gap_us
+    FROM events p
+    JOIN events s
+      ON p.user_id = s.user_id
+     AND p.event_type = 'purchase'
+     AND s.event_type = 'signup'
+     AND epoch_ns(s.ts) // 1000 <= epoch_ns(p.ts) // 1000
+     AND epoch_ns(s.ts) // 1000 > epoch_ns(p.ts) // 1000 - 3600000000
+    """,
+    survey="C (stream-stream interval join, REAL streaming execution)",
+    scale="""
+    The actual streaming topology, not the batch twin: two file-source
+    streams, watermarks on both sides, equi-key (user_id) plus an
+    event-time interval that bounds the join STATE — each side retains
+    only rows newer than watermark minus the interval, so state is
+    O(rate x interval), never O(history). Inner join + AvailableNow
+    drain makes the result complete and deterministic, hence the EXACT
+    oracle. On Kafka the same plan runs unbounded; the watermark delay
+    becomes the late-data tolerance and state TTL in one knob.
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """purchases ⋈ signups within 1h, executed as a real dual-stream join."""
+    from ..session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src():
+        return (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
+        )
+
+    p = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.expr("ts_ns div 1000").alias("p_us"),
+        )
+    )
+    s = (
+        src()
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+            F.expr("ts_ns div 1000").alias("s_us"),
+        )
+    )
+    joined = p.join(
+        s,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        # exact us-space bounds: the ts interval above sizes state, these
+        # decide membership identically to the batch twin / oracle
+        & (F.col("s_us") <= F.col("p_us"))
+        & (F.col("s_us") > F.col("p_us") - 3_600_000_000),
+    ).select(
+        "purchase_id",
+        "signup_id",
+        "user_id",
+        (F.col("p_us") - F.col("s_us")).alias("gap_us"),
+    )
+    sink_name = "mrs_stream_stream_join_sink"
+    checkpoint = tempfile.mkdtemp(prefix="mrs_ssj_ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink_name)
