@@ -154,3 +154,53 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 100)
     )
+
+
+@register(
+    "sink_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice * 1.1, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0),
+    merged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM updates
+        UNION ALL
+        SELECT o.o_orderkey, o.o_orderstatus,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        WHERE o.o_orderkey % 10 <> 0)
+    SELECT o_orderstatus, count(*) AS n,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+    survey="A4 extension (MERGE/upsert semantics on immutable parquet)",
+    scale="""
+    Upsert without a table format: updates take precedence via
+    updates UNION ALL (base ANTI-JOIN updates) — here the anti-join is a
+    pushed-down key predicate because the update set is rule-defined,
+    and in the general case it is a broadcast anti-join on the upsert
+    keys. At 100 TB partition the base by a stable key range and
+    rewrite ONLY partitions containing upsert keys
+    (partition-overwrite-mode=dynamic), which is exactly what table
+    formats automate; the relational core stays this plan.
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a 10%-price update batch over orders with update precedence."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    is_upd = F.col("o_orderkey") % 10 == 0
+    updates = o.filter(is_upd).withColumn(
+        "o_totalprice", pround(F.col("o_totalprice") * 1.1, 2)
+    )
+    merged = updates.unionByName(
+        o.filter(~is_upd).withColumn(
+            "o_totalprice", pround(F.col("o_totalprice"), 2)
+        )
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("o_totalprice"), 2).alias("total"),
+    )
