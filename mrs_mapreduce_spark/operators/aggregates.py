@@ -425,3 +425,46 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.avg("o_totalprice"), 2).alias("avg_price"),
         )
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS c
+        FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT c_nationkey, c_mktsegment AS mode_segment, CAST(c AS BIGINT) AS c
+    FROM (SELECT c_nationkey, c_mktsegment, c,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c DESC, c_mktsegment) AS rk
+          FROM counts)
+    WHERE rk = 1
+    """,
+    survey="B9 (deterministic statistical mode per group)",
+    scale="""
+    Mode via count-then-argmax, NOT the built-in mode() (engines break
+    frequency ties arbitrarily — non-deterministic across engines AND
+    runs): one partial-aggregated count per (group, value), then a
+    max_by on the (count, value) struct with an explicit lexical
+    tie-break. Shuffle carries |group x value| rows; the argmax is a
+    second tiny aggregation, and both stages stay partial-aggregated.
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common market segment per nation, ties broken lexically."""
+    c = table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # lexicographic struct-min: (-count, value) — max count first, then
+    # the lexically smallest value on ties; one hash aggregation, no sort
+    best = counts.groupBy("c_nationkey").agg(
+        F.min(
+            F.struct((-F.col("c")).alias("negc"), "c_mktsegment", "c")
+        ).alias("m")
+    )
+    return best.select(
+        "c_nationkey",
+        F.col("m.c_mktsegment").alias("mode_segment"),
+        F.col("m.c").alias("c"),
+    )
