@@ -66,3 +66,31 @@ def test_codegen_covers_flagship(spark, sf_dir):
 def test_pergroup_topk_rank_limit_pushdown(spark, sf_dir):
     plan = _plan(spark, sf_dir, "topk_pergroup")
     assert "WindowGroupLimit" in plan
+
+
+def test_lateral_decorrelates_to_rank_pushdown(spark, sf_dir):
+    """LATERAL must become a window rank-limit plan, never a per-row loop."""
+    plan = _plan(spark, sf_dir, "join_lateral")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_pruned_join_probe_shape(spark, sf_dir):
+    """3 bloom-bit semi-probes + 1 exact join, all broadcast — the fact
+    table never shuffles."""
+    plan = _plan(spark, sf_dir, "join_bloom_pruned")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_histogram_single_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_histogram")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1, plan  # only the bucket rollup
+
+
+def test_anomaly_stats_broadcast_back(spark, sf_dir):
+    """The per-type moments join onto events map-side (broadcast)."""
+    plan = _plan(spark, sf_dir, "events_anomaly")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
