@@ -264,9 +264,18 @@ def iterative_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
 
+    # prune-then-probe edge build: customer broadcasts into orders and
+    # the (orderkey -> customer nation) map broadcasts into lineitem, so
+    # the only shuffle is the 625-row distinct's final exchange (the
+    # partial distinct collapses map-side). At 100 TB orders outgrows
+    # the broadcast and AQE flips this to the orderkey sort-merge join.
+    order_nation = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "c_nationkey")
     edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.select("l_orderkey", "l_suppkey")
+        .join(F.broadcast(order_nation), li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .select(
             F.col("s_nationkey").alias("src"),
