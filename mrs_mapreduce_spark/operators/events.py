@@ -258,3 +258,73 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+_NS_PER_30MIN = 1_800_000_000_000
+
+
+@register(
+    "events_session_ids",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS t,
+               lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_ns(ts), event_id)
+                   AS prev_t
+        FROM events),
+    flagged AS (
+        SELECT user_id, event_id, t,
+               CASE WHEN prev_t IS NULL
+                         OR t - prev_t > {_NS_PER_30MIN}
+                    THEN 1 ELSE 0 END AS is_start
+        FROM o),
+    ids AS (
+        SELECT user_id, event_id,
+               CAST(sum(is_start) OVER (PARTITION BY user_id
+                                        ORDER BY t, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_no
+        FROM flagged)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events
+    FROM ids GROUP BY user_id, session_no
+    """,
+    survey="D6/C3 (session-ID assignment: gaps-and-islands, row-level)",
+    scale="""
+    The row-level complement of session_window aggregation: every event
+    gets its session ordinal via lag + a running sum of gap flags — ONE
+    window shuffle on user_id shared by both functions (same frame), no
+    join. This is the shape when downstream needs per-event session
+    tags (training-example grouping), where the session_window aggregate
+    only yields per-session rollups. Integer-nanos gap arithmetic; the
+    (t, event_id) tie-break keeps same-timestamp orderings engine-
+    deterministic.
+    """,
+)
+def events_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign 30-min-gap session ordinals per user; report session sizes."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | (F.col("ts_ns") - F.lag("ts_ns").over(w) > _NS_PER_30MIN),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    ids = flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_no"),
+    )
+    return ids.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
