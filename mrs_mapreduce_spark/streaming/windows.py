@@ -156,14 +156,22 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_watermark",
-    oracle=None,  # true streaming execution: rows-only check by design
+    oracle="""
+    SELECT CAST((epoch_ns(ts) // 3600000000000) * 3600 AS BIGINT) AS ws,
+           event_type,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
     survey="C4 (+C1 executed as a real stream)",
     scale="""
     The real streaming path: file source -> withWatermark(1h) -> tumbling
-    count -> memory sink, Trigger.AvailableNow (drains available data,
-    then stops — deterministic here). Watermark bounds state: windows
-    older than max(event_time) - 1h are finalized and evicted; at 100 TB
-    the same topology runs on Kafka with checkpointed state on DFS.
+    count -> memory sink, Trigger.AvailableNow. Watermark bounds state:
+    windows older than max(event_time) - 1h are finalized and evicted;
+    at 100 TB the same topology runs on Kafka with checkpointed state on
+    DFS. The oracle is EXACT (not rows-only): the bounded fixture drains
+    in one batch under AvailableNow and complete-mode output equals the
+    batch aggregation — the watermark only ever drops rows that arrive
+    after it advances, which a single-batch drain cannot produce.
     """,
 )
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
