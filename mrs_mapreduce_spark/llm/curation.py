@@ -1,0 +1,269 @@
+"""Corpus-curation operators beyond filtering/dedup (SURVEY.md §2.E).
+
+The remaining steps of a pretraining data pipeline once quality filters
+and dedup have run: packing documents into fixed-length context windows,
+decontaminating the corpus against a held-out benchmark set, flagging
+high-repetition documents (Gopher-style), and computing domain mixture
+weights for resampling. No reference counterpart — Mrs predates LLM data
+work — but each is the operator a Mrs user would hand-compose from
+map/reduce primitives; here each is a pure DataFrame plan with an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..exprs import pround
+from ..registry import register
+
+#: context window length (tokens) for packing
+_CTX = 512
+#: documents per prefix-sum bucket (the distributed-scan unit)
+_BUCKET = 256
+
+
+@register(
+    "corpus_pack_contexts",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, n_tok,
+                 COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_before
+          FROM t)
+    SELECT CAST(cum_before // {_CTX} AS BIGINT) AS ctx_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """,
+    survey="E15 (context packing: concatenate-and-chunk for pretraining)",
+    scale=f"""
+    The standard pretraining packing step: documents concatenated in
+    doc_id order and chunked into {_CTX}-token windows; a document
+    belongs to the window where it STARTS (floor(prefix_tokens / {_CTX})).
+    The oracle states it as one global-ORDER-BY window (fine for DuckDB);
+    the Spark plan is the DISTRIBUTED prefix sum — a global window would
+    serialize 100 TB through one task. Two passes: (1) bucket = doc_id
+    div {_BUCKET}; per-bucket token subtotals are a partial-aggregated
+    groupBy whose output is ~N/{_BUCKET} rows; a window over THAT tiny
+    relation yields each bucket's starting offset, broadcast back.
+    (2) the in-bucket running sum is a window partitioned by bucket —
+    every partition bounded at {_BUCKET} rows regardless of corpus size.
+    cum_before = offset + in-bucket prefix; integer div (never float /)
+    keeps >2^53 token counts exact.
+    """,
+)
+def corpus_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-length context windows (greedy chunking)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.expr(f"doc_id div {_BUCKET}").alias("bucket"),
+    )
+    w_bucket = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        d.groupBy("bucket")
+        .agg(F.sum("n_tok").alias("btok"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("btok").over(w_bucket), F.lit(0))
+            .cast("long")
+            .alias("offset"),
+        )
+    )
+    w_doc = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    packed = d.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "n_tok",
+        (
+            F.col("offset")
+            + F.coalesce(F.sum("n_tok").over(w_doc), F.lit(0))
+        )
+        .cast("long")
+        .alias("cum_before"),
+    )
+    return (
+        packed.select(
+            "doc_id",
+            "n_tok",
+            F.expr(f"cast(cum_before div {_CTX} as bigint)").alias(
+                "ctx_id"
+            ),
+        )
+        .groupBy("ctx_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM words WHERE len(ws) >= 3),
+    bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+    flagged AS (SELECT DISTINCT s.doc_id
+                FROM sh s JOIN bsh b USING (sh)
+                WHERE s.doc_id % 97 <> 0)
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
+    FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.lang
+    """,
+    survey="E15 (decontamination: benchmark n-gram overlap removal)",
+    scale="""
+    Test-set decontamination: a document is contaminated if it shares any
+    3-word shingle with the benchmark set (here the doc_id % 97 == 0
+    slice stands in for a held-out eval set). The benchmark's distinct
+    shingle set is SMALL by construction (eval sets are thousands of
+    docs, not billions) — broadcast it and the corpus-side probe is a
+    map-side semi-join: no shuffle of corpus shingles at all. At 100 TB
+    the probe stays broadcast; only the per-doc distinct of flagged ids
+    shuffles, and that carries bare int64s. If the benchmark ever
+    outgrows broadcast range, swap in the bloom runtime-filter pattern
+    (join_bloom_pruned) without changing semantics.
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus docs sharing a 3-shingle with the benchmark slice."""
+    from .dedup import shingles
+
+    docs = table(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3)
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_sh = sh.filter(is_bench).select("sh").distinct()
+    flagged = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        docs.filter(~is_bench)
+        .join(flagged, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1]) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      WHERE len(ws) >= 2)
+    SELECT doc_id,
+           len(bg) AS n_bigrams,
+           round(1 - len(list_distinct(bg)) * 1.0 / len(bg), 4)
+               AS dup_ratio,
+           CAST(1 - len(list_distinct(bg)) * 1.0 / len(bg) > 0.1 AS INT)
+               AS flagged
+    FROM b
+    """,
+    survey="E15 (repetition-ratio quality gate, Gopher-style)",
+    scale="""
+    The Gopher duplicated-n-gram filter: fraction of repeated bigrams per
+    document, flag above 10%. Computed entirely inside codegen with
+    higher-order array functions (build the bigram array, compare its
+    size to its distinct size) — no explode, no shuffle, no Python; the
+    whole operator is a scan-fused projection that scales strictly
+    linearly and pushes column pruning down to (doc_id, text).
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-bigram ratio with a 10% flag threshold."""
+    d = table(spark, sf_dir, "documents")
+    bg = F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+    )
+    dup = 1 - F.size(F.array_distinct("bg")) * 1.0 / F.size("bg")
+    return (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select("doc_id", bg.alias("bg"))
+        .select(
+            "doc_id",
+            F.size("bg").alias("n_bigrams"),
+            pround(dup, 4).alias("dup_ratio"),
+            (dup > 0.1).cast("int").alias("flagged"),
+        )
+    )
+
+
+@register(
+    "corpus_mix_weights",
+    oracle="""
+    WITH lt AS (SELECT lang,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                           AS toks
+                FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total,
+                   count(*) AS n_langs
+            FROM lt)
+    SELECT lang, toks,
+           round(toks * 1.0 / total, 4) AS share,
+           round((1.0 / n_langs) / (toks * 1.0 / total), 4) AS weight
+    FROM lt CROSS JOIN tot
+    """,
+    survey="E15 (domain mixture weights for corpus resampling)",
+    scale="""
+    Mixture reweighting: per-domain token share vs a uniform target; the
+    weight is the resampling rate that equalizes domains (feed it to
+    sample_stratified's rate table). One partial-aggregated groupBy on a
+    low-cardinality key produces a domain relation of dozens of rows; the
+    total is a cross join against a 1-row aggregate — both broadcast,
+    zero large shuffles. The identical float formula on both sides keeps
+    the rounded doubles hash-stable.
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token shares and uniform-target resampling weights."""
+    d = table(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
+    )
+    tot = lt.agg(
+        F.sum("toks").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    share = F.col("toks") * 1.0 / F.col("total")
+    return lt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "toks",
+        pround(share, 4).alias("share"),
+        pround((F.lit(1.0) / F.col("n_langs")) / share, 4).alias(
+            "weight"
+        ),
+    )
