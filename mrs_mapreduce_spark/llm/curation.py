@@ -243,9 +243,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight is the resampling rate that equalizes domains (feed it to
     sample_stratified's rate table). One partial-aggregated groupBy on a
     low-cardinality key produces a domain relation of dozens of rows; the
-    total is a cross join against a 1-row aggregate — both broadcast,
-    zero large shuffles. The identical float formula on both sides keeps
-    the rounded doubles hash-stable.
+    corpus-wide total is a GLOBAL WINDOW over that tiny relation — not a
+    cross join against a separate aggregate, which would re-derive the
+    groupBy lineage and scan the corpus twice. The single-partition
+    window exchange moves dozens of rows. The identical float formula on
+    both sides keeps the rounded doubles hash-stable.
     """,
 )
 def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,16 +256,13 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = d.groupBy("lang").agg(
         F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
     )
-    tot = lt.agg(
-        F.sum("toks").cast("long").alias("total"),
-        F.count(F.lit(1)).alias("n_langs"),
-    )
-    share = F.col("toks") * 1.0 / F.col("total")
-    return lt.crossJoin(F.broadcast(tot)).select(
+    w_all = Window.partitionBy()
+    share = F.col("toks") * 1.0 / F.sum("toks").over(w_all)
+    return lt.select(
         "lang",
         "toks",
         pround(share, 4).alias("share"),
-        pround((F.lit(1.0) / F.col("n_langs")) / share, 4).alias(
-            "weight"
-        ),
+        pround(
+            (F.lit(1.0) / F.count(F.lit(1)).over(w_all)) / share, 4
+        ).alias("weight"),
     )

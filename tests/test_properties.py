@@ -248,3 +248,67 @@ def test_bloom_pruned_join_is_exact_on_any_keys(spark, member, probe):
     got = Counter(r.k for r in pruned.join(F.broadcast(keys), "k", "semi").collect())
     want = Counter(r.k for r in big.join(F.broadcast(keys), "k", "semi").collect())
     assert got == want
+
+
+def test_pack_contexts_conserves_docs_and_tokens(spark, sf_dir):
+    """Packing is a partition of the corpus: every doc lands in exactly
+    one context, token totals conserved, ctx ids are the dense prefix."""
+    from mrs_mapreduce_spark.registry import load_all
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = d.count()
+    n_toks = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("s")
+    ).collect()[0].s
+
+    rows = load_all()["corpus_pack_contexts"].builder(
+        spark, sf_dir
+    ).collect()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_tokens for r in rows) == n_toks
+    # a doc's context is where it STARTS, so first/last ranges of
+    # consecutive contexts may not overlap
+    rows = sorted(rows, key=lambda r: r.ctx_id)
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc < b.first_doc
+
+
+def test_repetition_ratio_bounds(spark, sf_dir):
+    from mrs_mapreduce_spark.registry import load_all
+
+    rows = load_all()["text_repetition"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_ratio < 1.0
+        assert r.flagged == int(r.dup_ratio > 0.1)
+
+
+def test_mix_weights_form_a_distribution(spark, sf_dir):
+    from mrs_mapreduce_spark.registry import load_all
+
+    rows = load_all()["corpus_mix_weights"].builder(spark, sf_dir).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-2
+    # weight * share == uniform target share for every domain
+    for r in rows:
+        assert abs(r.weight * r.share - 1.0 / len(rows)) < 1e-2
+
+
+def test_decontaminate_excludes_benchmark(spark, sf_dir):
+    """The output partitions the NON-benchmark corpus: row counts match
+    the doc_id % 97 != 0 slice and contamination never exceeds it."""
+    from mrs_mapreduce_spark.registry import load_all
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expect = {
+        r.lang: r.n
+        for r in d.filter("doc_id % 97 != 0")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = load_all()["corpus_decontaminate"].builder(
+        spark, sf_dir
+    ).collect()
+    assert {r.lang: r.n_docs for r in rows} == expect
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_docs

@@ -94,3 +94,40 @@ def test_anomaly_stats_broadcast_back(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_anomaly")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_contexts_distributed_prefix_sum(spark, sf_dir):
+    """The doc-level running sum must be partitioned by bucket; the only
+    SinglePartition exchange feeds the tiny per-bucket offset window."""
+    plan = _plan(spark, sf_dir, "corpus_pack_contexts")
+    assert "windowspecdefinition(bucket#" in plan.replace("\n", " "), plan
+    # offsets relation joins back as a broadcast, never a shuffle join
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exactly one SinglePartition exchange (the N/256-row offset window)
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_decontaminate_broadcast_semi_probe(spark, sf_dir):
+    """Benchmark shingles probe the corpus map-side: LeftSemi broadcast;
+    the flagged-id relation also broadcasts onto the final agg."""
+    plan = _plan(spark, sf_dir, "corpus_decontaminate")
+    assert "LeftSemi, BuildRight" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_repetition_is_scan_fused(spark, sf_dir):
+    """Gopher gate = pure projection: one scan, zero shuffles, no Python."""
+    plan = _plan(spark, sf_dir, "text_repetition")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_mix_weights_single_scan(spark, sf_dir):
+    """Corpus totals come from a window over the aggregated domain
+    relation — the corpus must be scanned exactly once."""
+    plan = _plan(spark, sf_dir, "corpus_mix_weights")
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
