@@ -162,6 +162,8 @@ EXTRA = [
     "join_bloom_pruned",
     "sink_bucketed_join",
     "multimodal_decode",
+    "corpus_pack_contexts",
+    "corpus_decontaminate",
 ]
 
 
