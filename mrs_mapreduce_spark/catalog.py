@@ -39,18 +39,34 @@ TABLES: tuple[str, ...] = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
-    ``events`` gets the TIMESTAMP(NANOS) shim (FIXTURES.md): the parquet
-    int64-nanos column is exposed both as ``ts_ns`` (exact raw nanos, used
-    for ordering and oracle comparisons via DuckDB ``epoch_ns``) and as
-    ``ts`` (microsecond ``timestamp_ntz``, used for window()/date_trunc).
-    ``ts_ns div 1000`` is integer division — no double round-trip, exact.
+    ``events`` is normalized to expose BOTH ``ts`` (microsecond
+    ``timestamp_ntz``, used for window()/date_trunc) and ``ts_ns`` (exact
+    epoch-nanos int64, used for ordering and oracle comparisons via DuckDB
+    ``epoch_ns``), whatever the fixture's physical layout:
+
+    - parquet TIMESTAMP(NANOS) + ``nanosAsLong=true`` → ``ts`` arrives as
+      raw int64 nanos (round-1 fixtures); derive the ntz via exact integer
+      division ``ts_ns div 1000``.
+    - parquet TIMESTAMP(MICROS) → ``ts`` arrives as timestamp/ntz (round-2
+      fixtures); derive ``ts_ns = unix_micros(ts) * 1000``, exact because
+      the session zone is pinned UTC (RUNTIME_CONFS) so the ntz→instant
+      cast is the identity.
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)")
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+                "ts",
+                F.expr("cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)"),
+            )
+        else:
+            df = df.withColumn(
+                "ts", F.expr("cast(ts as timestamp_ntz)")
+            ).withColumn(
+                "ts_ns", F.expr("unix_micros(cast(ts as timestamp)) * 1000")
+            )
     return df
 
 

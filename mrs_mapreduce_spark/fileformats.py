@@ -10,6 +10,23 @@ datasets a Mrs user wrote and re-read between jobs.
 Scale note: these are interchange formats for the RDD parity layer only
 (pickle + text encoding); anything analytical belongs in parquet where
 scans are columnar and pushdown works.
+
+.. warning:: **Trusted data only.** Hex and binary pair files embed
+   pickled Python objects; ``hex_decode_line`` / ``bin_decode_blob`` /
+   ``read_hex`` / ``read_bin`` call :func:`pickle.loads` on file
+   contents, so reading a pair dataset from an untrusted directory can
+   execute arbitrary code (the stdlib pickle caveat, inherited from the
+   reference format — ``mrs/fileformats.py`` HexReader/BinReader have
+   the same property). Never point these readers at data you did not
+   write.
+
+.. note:: **Shared-storage contract.** ``write_hex``/``read_hex`` go
+   through Hadoop text I/O (``saveAsTextFile``/``textFile``) and work on
+   any Spark-visible filesystem. ``write_bin``/``read_bin`` write part
+   files with local ``Path`` I/O from executor tasks and list them on
+   the driver, so they require a filesystem shared between driver and
+   executors (local mode, NFS, or a fuse-mounted object store); on a
+   multi-node cluster with node-local disks use the hex format instead.
 """
 
 from __future__ import annotations

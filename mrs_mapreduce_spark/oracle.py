@@ -59,6 +59,104 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def _rows_close(a: list[tuple], b: list[tuple], tol: float) -> bool:
+    """Cell-wise comparison allowing ``tol`` absolute error on floats."""
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False
+        for x, y in zip(ra, rb):
+            if x == y:
+                continue
+            if (
+                isinstance(x, (int, float))
+                and isinstance(y, (int, float))
+                and not isinstance(x, bool)
+                and not isinstance(y, bool)
+                and abs(float(x) - float(y)) <= tol
+            ):
+                continue
+            return False
+    return True
+
+
+#: DuckDB result type → Spark ``simpleString`` it must pair with for the
+#: driver's *type-sensitive* value hash to match. HUGEINT/UHUGEINT are
+#: deliberately absent: DuckDB's bare ``sum(int)`` is HUGEINT, which
+#: pandas/arrow widens to float64/object and the driver hash diverges even
+#: when the values are equal (the round-1 ``agg_pivot`` failure) — oracles
+#: must ``CAST(... AS BIGINT)`` instead.
+_DUCK_TO_SPARK = {
+    "BOOLEAN": "boolean",
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp_ntz",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "BLOB": "binary",
+}
+
+#: type kinds that hash identically after the driver's canonicalization
+#: (python ints of any width; naive vs zoned timestamps collapse once the
+#: tz is stripped), so a width difference inside one kind is not an error.
+_TYPE_KINDS = {
+    "tinyint": "i",
+    "smallint": "i",
+    "int": "i",
+    "bigint": "i",
+    "float": "f",
+    "double": "f",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+}
+
+
+def _duck_type_to_spark(t) -> str:
+    """Canonical Spark simpleString for a DuckDB result type (best effort)."""
+    s = str(t).upper()
+    if s.endswith("[]"):
+        return f"array<{_duck_type_to_spark(s[:-2])}>"
+    if s.startswith("DECIMAL"):
+        return s.lower()
+    return _DUCK_TO_SPARK.get(s, s.lower())
+
+
+def _type_issues(spark_df: DataFrame, rel) -> list[str]:
+    """Flag DuckDB↔Spark result-type pairs the driver's hash would split.
+
+    The driver's value hash is type-sensitive (ADVICE round 1): HUGEINT vs
+    BIGINT hash-mismatches even with equal values. Compare the oracle's
+    result types against the Spark schema by *hash kind* so a locally-green
+    query predicts a driver-green query.
+    """
+    issues = []
+    s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    for col, dtyp in zip(rel.columns, rel.types):
+        d = _duck_type_to_spark(dtyp)
+        s = s_types.get(col)
+        if s is None:
+            continue  # column-name diff reported separately
+        if d == s:
+            continue
+        if _TYPE_KINDS.get(d) is not None and _TYPE_KINDS.get(d) == _TYPE_KINDS.get(s):
+            continue
+        if d.startswith("array<") and s.startswith("array<"):
+            di, si = d[6:-1], s[6:-1]
+            if di == si or (
+                _TYPE_KINDS.get(di) is not None
+                and _TYPE_KINDS.get(di) == _TYPE_KINDS.get(si)
+            ):
+                continue
+        issues.append(f"type-kind mismatch on {col!r}: duck={d} spark={s}")
+    return issues
+
+
 @dataclass
 class CompareResult:
     name: str
@@ -82,12 +180,19 @@ def compare(
     sql: str,
     float_tol: float = 0.0,
 ) -> CompareResult:
-    """Run both sides and diff (count, column names, canonical values)."""
+    """Run both sides and diff (count, column names, types, canonical values).
+
+    ``float_tol`` > 0 relaxes the value check: rows that differ only by
+    ≤ ``float_tol`` absolute error in numeric cells still pass. The default
+    0.0 mirrors the driver (exact hash); use a tolerance only for local
+    debugging of summation-order effects, never to declare a query.
+    """
     issues: list[str] = []
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.execute(sql)
-    d_cols = [d[0] for d in rel.description]
+    rel = con.sql(sql)
+    d_cols = list(rel.columns)
+    issues.extend(_type_issues(spark_df, rel))
     d_rows = rel.fetchall()
 
     if sorted(s_cols) != sorted(d_cols):
@@ -98,7 +203,7 @@ def compare(
     if not issues:
         cs = _canon_rows(s_cols, s_rows)
         cd = _canon_rows(d_cols, d_rows)
-        if cs != cd:
+        if cs != cd and not (float_tol > 0.0 and _rows_close(cs, cd, float_tol)):
             n_bad = sum(1 for a, b in zip(cs, cd) if a != b)
             issues.append(f"{n_bad}/{len(cs)} canonical rows differ")
             for a, b in zip(cs, cd):

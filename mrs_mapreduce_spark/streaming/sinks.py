@@ -45,15 +45,10 @@ from ..registry import register
 )
 def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events stream -> foreachBatch parquet append -> audited rollup."""
-    from ..session import apply_runtime_confs
+    from .source import events_stream
 
-    apply_runtime_confs(spark)
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumnRenamed("ts", "ts_ns")
+        events_stream(spark, sf_dir)
         .filter(F.col("value") > 0)
         .select(
             # integer div: ts_ns ~ 1.7e18 exceeds double's exact range,
@@ -121,19 +116,10 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """purchases ⋈ signups within 1h, executed as a real dual-stream join."""
-    from ..session import apply_runtime_confs
-
-    apply_runtime_confs(spark)
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from .source import events_stream
 
     def src():
-        return (
-            spark.readStream.schema(batch_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
-        )
+        return events_stream(spark, sf_dir)
 
     p = (
         src()

@@ -1,0 +1,43 @@
+"""Streaming source for the events fixture, layout-normalized.
+
+The batch-side twin of this normalization lives in ``catalog.table``:
+whatever the parquet physical layout of ``events.ts`` — TIMESTAMP(NANOS)
+read as int64 via ``nanosAsLong`` (round-1 fixtures) or TIMESTAMP(MICROS)
+read as timestamp/ntz (round-2 fixtures) — the stream exposes
+
+- ``ts``   : plain TIMESTAMP (not NTZ — ``withWatermark`` rejects NTZ;
+  the session zone is pinned UTC so the instant equals the naive value),
+- ``ts_ns``: exact epoch-nanos int64, the unit the DuckDB oracles use
+  (``epoch_ns``), kept integer end-to-end so no double rounding occurs.
+
+Scale note: schema is passed explicitly (required by file streaming
+sources) and the per-file source lists the directory once per trigger;
+on a real deployment the same column contract comes from Kafka +
+``from_json``/``from_avro`` — only the first two lines change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with ``ts``/``ts_ns`` contract."""
+    apply_runtime_confs(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        # file source wants a directory; glob down to the events table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if batch_schema["ts"].dataType.simpleString() == "bigint":
+        return stream.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.expr("timestamp_micros(ts_ns div 1000)")
+        )
+    return stream.withColumn(
+        "ts", F.expr("cast(ts as timestamp)")
+    ).withColumn("ts_ns", F.expr("unix_micros(cast(ts as timestamp)) * 1000"))

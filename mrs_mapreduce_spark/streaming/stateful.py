@@ -120,7 +120,13 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(180)
+    finished = query.awaitTermination(180)
+    if not finished:
+        query.stop()
+        raise TimeoutError(
+            "stream_stateful: availableNow batch did not finish in 180s; "
+            "memory sink would be partial — failing loudly instead"
+        )
     # one update row per user per micro-batch: keep the final state
     snap = spark.table(sink_name)
     from ..exprs import pround

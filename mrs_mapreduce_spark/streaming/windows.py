@@ -176,21 +176,9 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming watermarked tumbling count over events."""
-    from ..session import apply_runtime_confs
+    from .source import events_stream
 
-    apply_runtime_confs(spark)
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        # file source wants a directory; glob down to the events table
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn(
-            # plain TIMESTAMP (session tz = UTC): withWatermark rejects NTZ
-            "ts", F.expr("timestamp_micros(ts_ns div 1000)")
-        )
-    )
+    stream = events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

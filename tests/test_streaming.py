@@ -8,14 +8,9 @@ from pyspark.sql import functions as F
 
 
 def _run_stream(spark, sf_dir, checkpoint, sink):
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
-    )
+    from mrs_mapreduce_spark.streaming.source import events_stream
+
+    stream = events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -71,16 +66,10 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
 
     from mrs_mapreduce_spark.registry import load_all
 
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from mrs_mapreduce_spark.streaming.source import events_stream
 
     def ev_stream():
-        return (
-            spark.readStream.schema(batch_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
-        )
+        return events_stream(spark, sf_dir)
 
     purchases = (
         ev_stream()
