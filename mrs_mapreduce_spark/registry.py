@@ -121,7 +121,12 @@ def load_all() -> dict[str, Query]:
     )
     from .functions import arrays, jsons, scalars  # noqa: F401
     from .llm import curation, dedup, multimodal, similarity, text  # noqa: F401
-    from .sources import pairsource, partitioned, roundtrips  # noqa: F401
+    from .sources import (  # noqa: F401
+        layouts,
+        pairsource,
+        partitioned,
+        roundtrips,
+    )
     from .streaming import sinks, stateful  # noqa: F401
     from .streaming import windows as _stream_windows  # noqa: F401
     from . import mapreduce  # noqa: F401

@@ -170,3 +170,76 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(180)
     return spark.table(sink_name)
+
+
+#: static enrichment dimension: event_type -> (category, weight). Inline
+#: and tiny by design — the stream-static join pattern is about joining a
+#: slowly-changing dim table (catalog, user profile, model registry) into
+#: an unbounded stream without any state.
+_EVENT_DIM: tuple[tuple[str, str, float], ...] = (
+    ("click", "engagement", 0.5),
+    ("view", "engagement", 0.25),
+    ("signup", "conversion", 2.0),
+    ("purchase", "conversion", 5.0),
+    ("error", "quality", 1.0),
+)
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id,
+           e.event_type,
+           v.category,
+           round(e.value * v.weight, 2) AS weighted
+    FROM events e
+    JOIN (VALUES ('click', 'engagement', 0.5),
+                 ('view', 'engagement', 0.25),
+                 ('signup', 'conversion', 2.0),
+                 ('purchase', 'conversion', 5.0),
+                 ('error', 'quality', 1.0)) AS v(event_type, category, weight)
+      ON e.event_type = v.event_type
+    """,
+    survey="C (stream-static enrichment join, REAL streaming execution)",
+    scale="""
+    The production enrichment pattern: an unbounded stream joined to a
+    bounded dim relation. Spark plans the static side as a broadcast hash
+    join probed per micro-batch — NO streaming state at all (unlike
+    stream-stream joins there is nothing to retain: the static side is
+    complete by definition), no watermark needed, append output. At
+    100 TB/day the dim refresh is a re-broadcast per batch; row-level
+    enrichment stays narrow so source parallelism is the only knob.
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events stream ⋈ broadcast static dim — stateless enrichment."""
+    from .source import events_stream
+
+    dim = spark.createDataFrame(
+        list(_EVENT_DIM), "event_type string, category string, weight double"
+    )
+    enriched = (
+        events_stream(spark, sf_dir)
+        .join(F.broadcast(dim), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "category",
+            pround(F.col("value") * F.col("weight"), 2).alias("weighted"),
+        )
+    )
+    sink_name = "mrs_stream_static_join_sink"
+    checkpoint = tempfile.mkdtemp(prefix="mrs_ssj_static_ckpt_")
+    query = (
+        enriched.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(180)
+    if not finished:
+        query.stop()
+        raise TimeoutError("stream_static_join: drain did not finish in 180s")
+    return spark.table(sink_name)

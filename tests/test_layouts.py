@@ -145,3 +145,65 @@ def test_declared_salted_join_salt_in_partitioning(spark, sf_dir):
         assert len(salted_exchanges) == 2, plan  # both join inputs
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_zorder_skips_on_every_clustered_dim(spark, sf_dir):
+    """Z-order's contract: min/max pruning works on EITHER clustered key.
+
+    Linear sort on o_custkey gives perfect stats on o_custkey but NO
+    pruning on o_totalprice (every file spans the full price range).
+    Z-order trades a little leading-key tightness for skipping on all
+    interleaved keys. Assert the pruning decision a stats-based scan
+    makes, by reading the written parquet footers directly.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mrs_mapreduce_spark.sources.layouts import write_zordered
+
+    orders = table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="mrs_zcmp_")
+    z_path, lin_path = f"{base}/z", f"{base}/lin"
+    write_zordered(orders, z_path, ["o_custkey", "o_totalprice"], n_files=16)
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(lin_path)
+    )
+
+    def touched(path: str, col: str, lo, hi) -> tuple[int, int]:
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            may_match = False
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                if st.min <= hi and st.max >= lo:
+                    may_match = True
+            hit += may_match
+        return hit, len(files)
+
+    # non-leading dim: linear layout cannot prune at all, z-order must
+    z_p, z_total = touched(z_path, "o_totalprice", 50000.0, 150000.0)
+    lin_p, lin_total = touched(lin_path, "o_totalprice", 50000.0, 150000.0)
+    assert lin_p == lin_total  # linear: price range spans every file
+    assert z_p < z_total  # z-order: price is clustered too
+    # leading dim: both layouts prune a narrow custkey stripe
+    z_c, _ = touched(z_path, "o_custkey", 100, 200)
+    lin_c, _ = touched(lin_path, "o_custkey", 100, 200)
+    assert lin_c < lin_total
+    assert z_c < z_total
+    # and the data survives: rectangle counts agree with the direct scan
+    rect = (F.col("o_custkey").between(100, 200)) & (
+        F.col("o_totalprice").between(50000.0, 150000.0)
+    )
+    assert (
+        spark.read.parquet(z_path).filter(rect).count()
+        == orders.filter(rect).count()
+    )
