@@ -151,3 +151,97 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         pround("o_totalprice", 2).alias("price"),
     )
+
+
+@register(
+    "scan_profile",
+    oracle="""
+    SELECT col,
+           n_rows,
+           n_null,
+           n_distinct,
+           round(vmin, 2) AS vmin,
+           round(vmax, 2) AS vmax
+    FROM (
+      SELECT 'o_custkey' AS col,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+             CAST(min(o_custkey) AS DOUBLE) AS vmin,
+             CAST(max(o_custkey) AS DOUBLE) AS vmax
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(o_totalprice) AS BIGINT),
+             CAST(count(DISTINCT o_totalprice) AS BIGINT),
+             CAST(min(o_totalprice) AS DOUBLE),
+             CAST(max(o_totalprice) AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(o_orderstatus) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             NULL, NULL
+      FROM orders)
+    """,
+    survey="E (table profiling: per-column null/distinct/range in one pass)",
+    scale="""
+    The ingestion-gate profile every pipeline runs before trusting a new
+    drop: one wide aggregate computes count/nulls/min/max for all
+    columns in a single scan; the per-column exact count(DISTINCT)s are
+    the expensive part — Spark plans the multi-distinct via Expand (one
+    shuffle carrying |cols| replicas). At 100 TB swap the exact
+    distincts for approx_count_distinct (HLL++, no Expand, one pass,
+    ~2% error) — the builder keeps exact here because the driver oracle
+    hashes values. The unpivot to (col, stat) rows is a driver-side
+    relational reshape of an already-1-row result: free.
+    """,
+)
+def scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (rows/nulls/distinct/range) of orders in one scan."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_ck"),
+        F.count_distinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("double").alias("min_ck"),
+        F.max("o_custkey").cast("double").alias("max_ck"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("null_tp"),
+        F.count_distinct("o_totalprice").alias("nd_tp"),
+        F.min("o_totalprice").cast("double").alias("min_tp"),
+        F.max("o_totalprice").cast("double").alias("max_tp"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("null_os"),
+        F.count_distinct("o_orderstatus").alias("nd_os"),
+    )
+    return wide.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("n_rows"),
+                    F.col("null_ck").alias("n_null"),
+                    F.col("nd_ck").alias("n_distinct"),
+                    pround("min_ck", 2).alias("vmin"),
+                    pround("max_ck", 2).alias("vmax"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice").alias("col"),
+                    F.col("n_rows"),
+                    F.col("null_tp").alias("n_null"),
+                    F.col("nd_tp").alias("n_distinct"),
+                    pround("min_tp", 2).alias("vmin"),
+                    pround("max_tp", 2).alias("vmax"),
+                ),
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("n_rows"),
+                    F.col("null_os").alias("n_null"),
+                    F.col("nd_os").alias("n_distinct"),
+                    F.lit(None).cast("double").alias("vmin"),
+                    F.lit(None).cast("double").alias("vmax"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
