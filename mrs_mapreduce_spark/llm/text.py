@@ -622,3 +622,51 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.col("c12") / F.col("c1"), 6).alias("cond_p"),
         )
     )
+
+
+@register(
+    "text_postings",
+    oracle="""
+    WITH occ AS (SELECT DISTINCT doc_id,
+                        unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    posting AS (SELECT w, doc_id FROM occ WHERE w <> '')
+    SELECT w,
+           CAST(count(*) AS BIGINT) AS df,
+           list(doc_id ORDER BY doc_id) AS docs
+    FROM posting
+    GROUP BY w
+    HAVING count(*) >= 100
+    """,
+    survey="D4 extension (inverted index / posting lists)",
+    scale="""
+    The retrieval structure behind every corpus search: one
+    explode-distinct pass builds (term, doc) postings, one groupBy
+    materializes per-term sorted doc lists. Both shuffles key on the
+    term, so skew follows Zipf — at 100 TB cap posting-list length for
+    stop-word-degree terms (they carry no retrieval signal and one
+    term's list must fit an executor; the df >= 100 gate here is the
+    inverse: keeping only frequent terms bounds the OUTPUT relation for
+    the oracle). Downstream intersection of sorted lists is a merge —
+    the classic AND-query plan.
+    """,
+)
+def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over documents: term -> (df, sorted doc list)."""
+    docs = table(spark, sf_dir, "documents")
+    posting = (
+        fan_out(docs)
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .dropDuplicates(["w", "doc_id"])
+    )
+    return (
+        posting.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("docs"),
+        )
+        .filter(F.col("df") >= 100)
+    )

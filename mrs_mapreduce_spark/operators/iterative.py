@@ -310,3 +310,85 @@ def iterative_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.select(F.col("v").cast("int").alias("nationkey"), "pr")
+
+
+@register(
+    "graph_triangles",
+    oracle="""
+    WITH raw AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey),
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST(count(DISTINCT x) AS BIGINT) AS n_apex_nations
+    FROM tri
+    """,
+    survey="E (triangle counting — the canonical multi-way self-join)",
+    scale="""
+    Triangle counting via the ordered-wedge plan: canonicalize to
+    undirected a<b edges (halves the relation, kills duplicate and
+    mirror wedges), self-join to wedges (a<b<c by construction), close
+    with a second join. Orientation is THE classic trick: without a<b
+    each triangle is found 6 times and high-degree hubs explode the
+    wedge count; with it the wedge relation is bounded by sum over
+    nodes of C(outdeg, 2) on the LOW-degree orientation. At 100 TB:
+    wedges shuffle on the join key, so pre-bucket edges by a; skewed
+    hubs (a social-graph celebrity) get the salted-join treatment or
+    degree-threshold splitting (count hub triangles by intersection of
+    sorted adjacency lists instead). The edge build reuses the
+    pagerank prune-then-probe joins — broadcast until dims outgrow it,
+    then AQE flips to sort-merge.
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count nation-graph triangles with the orientation (a<b<c) plan."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+
+    order_nation = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "c_nationkey")
+    raw = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(F.broadcast(order_nation), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    und = (
+        raw.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; probed three times below
+    )
+    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c2"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+    tri = (
+        und.join(F.broadcast(e2), F.col("b") == F.col("b2"))
+        .join(
+            F.broadcast(e3),
+            (F.col("a") == F.col("a3")) & (F.col("c2") == F.col("b3")),
+        )
+    )
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.count_distinct("a").alias("n_apex_nations"),
+    )
