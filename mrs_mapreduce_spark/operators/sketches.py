@@ -447,3 +447,30 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_estimate"),
         )
     )
+
+
+@register(
+    "sketch_quantile",
+    oracle=None,  # estimator-specific (Greenwald-Khanna): rows-only by design
+    survey="B10 extension (approximate quantiles — the fourth sketch)",
+    scale="""
+    percentile_approx is Spark's Greenwald-Khanna sketch: mergeable
+    bounded-size per-group state, one shuffle — the 100 TB quantile
+    answer (exact percentile needs a full sort or rank pass per group).
+    accuracy=10000 bounds rank error at n/10000 per group. No SQL oracle
+    because DuckDB's approx_quantile is a different estimator (t-digest);
+    tests/test_sketches.py asserts the rank-error bound against the
+    exact per-group percentile instead — a stronger check than value
+    equality with a second estimator would be.
+    """,
+)
+def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of extendedprice per return flag (GK sketch)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+            F.lit(10000),
+        ).alias("approx_pcts"),
+        F.count(F.lit(1)).alias("cnt"),
+    )

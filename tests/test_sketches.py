@@ -11,6 +11,7 @@ from mrs_mapreduce_spark.operators.sketches import (
     words_of,
 )
 from mrs_mapreduce_spark.catalog import table
+from pyspark.sql import functions as F
 
 
 def test_countmin_never_underestimates(spark, sf_dir):
@@ -42,3 +43,32 @@ def test_hll_estimate_within_theoretical_error(spark, sf_dir):
     # 3 sigma of the 1.04/sqrt(64) standard error
     assert abs(r.hll_estimate - r.exact_distinct) <= 0.39 * r.exact_distinct
     assert r.harmonic_denom > 0
+
+
+def test_sketch_quantile_rank_error_bound(spark, sf_dir):
+    """GK sketch values must sit within rank n/accuracy of the exact rank.
+
+    This is the estimator's actual contract (rank error, not value
+    error) — checked per group against the exact sorted values.
+    """
+    from mrs_mapreduce_spark.registry import load_all
+
+    rows = (
+        load_all()["sketch_quantile"].builder(spark, sf_dir).collect()
+    )
+    li = table(spark, sf_dir, "lineitem")
+    for r in rows:
+        vals = sorted(
+            x.l_extendedprice
+            for x in li.filter(F.col("l_returnflag") == r.l_returnflag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        assert n == r.cnt
+        tol = max(1, n // 10000 + 1)
+        for q, got in zip((0.5, 0.95, 0.99), r.approx_pcts):
+            target = int(q * n)
+            lo = vals[max(0, target - tol)]
+            hi = vals[min(n - 1, target + tol)]
+            assert lo <= got <= hi, (r.l_returnflag, q, got, lo, hi)
