@@ -131,3 +131,72 @@ def test_mix_weights_single_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_mix_weights")
     assert plan.count("FileScan") == 1, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_triangles_all_joins_broadcast(spark, sf_dir):
+    """Wedge-close joins on the tiny edge relation must broadcast, and the
+    orientation must keep the plan free of cartesian products."""
+    plan = _plan(spark, sf_dir, "graph_triangles")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_static_join_dim_broadcast(spark, sf_dir):
+    """The static dim must enter the micro-batch as a broadcast probe —
+    checked on the batch twin of the stream plan (same join planning)."""
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.catalog import table
+    from mrs_mapreduce_spark.streaming.sinks import _EVENT_DIM
+
+    dim = spark.createDataFrame(
+        list(_EVENT_DIM), "event_type string, category string, weight double"
+    )
+    ev = table(spark, sf_dir, "events")
+    df = ev.join(F.broadcast(dim), "event_type").select("event_id", "category")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_write_is_single_range_shuffle(spark, sf_dir):
+    """The clustered write plan: one RangePartitioning exchange on the
+    z-key, sort within partitions, no global sort."""
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.catalog import table
+    from mrs_mapreduce_spark.sources.layouts import (
+        _minmax_struct,
+        _scale_expr,
+        zorder_key,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice"]
+    bounds = _minmax_struct(orders, cols)
+    scaled = orders.crossJoin(F.broadcast(bounds)).select(
+        orders["*"], *[_scale_expr(c).alias(f"__z_{c}") for c in cols]
+    )
+    keyed = scaled.withColumn("__zkey", zorder_key(cols))
+    staged = keyed.repartitionByRange(16, "__zkey").sortWithinPartitions(
+        "__zkey"
+    )
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(__zkey" in plan.lower()
+    # local sort only — no second exchange after the range partitioning
+    assert plan.lower().count("exchange rangepartitioning") == 1
+
+
+def test_scan_profile_single_scan_expand(spark, sf_dir):
+    """Exact multi-distinct must plan as ONE scan + Expand, not one scan
+    per distinct column."""
+    plan = _plan(spark, sf_dir, "scan_profile")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_postings_partial_aggregation(spark, sf_dir):
+    """Posting-list build must partial-aggregate before the term shuffle."""
+    plan = _plan(spark, sf_dir, "text_postings")
+    assert "partial_count" in plan or "partial" in plan.lower()
