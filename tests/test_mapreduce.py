@@ -172,3 +172,25 @@ def test_wait_concurrent_materialization(spark):
     # serial would be >= 6s; concurrent leaves >2.9s of headroom for
     # scheduling noise
     assert elapsed < 5.9, elapsed
+
+
+def test_reduce_data_sorted_orders_values(spark):
+    """reduce_data_sorted must deliver each key's values ascending,
+    whatever the input order, with groups contiguous per key."""
+    import random as _random
+
+    from mrs_mapreduce_spark.mapreduce import Job
+
+    rng = _random.Random(7)
+    pairs = [(k, v) for k in range(5) for v in range(40)]
+    rng.shuffle(pairs)
+
+    def check_sorted(key, vals):
+        vals = list(vals)
+        assert vals == sorted(vals), (key, vals[:5])
+        yield len(vals)
+
+    job = Job(spark, default_splits=4)
+    ds = job.local_data(pairs, splits=4)
+    out = job.reduce_data_sorted(ds, check_sorted, splits=3).collect()
+    assert sorted(out) == [(k, 40) for k in range(5)]
