@@ -77,3 +77,34 @@ def test_curate_corpus_example(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in (
         pruned._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_search_corpus_example(spark, sf_dir):
+    """The retrieval example: AND semantics hold and ranking is total."""
+    import importlib.util
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.catalog import table
+
+    path = Path(__file__).resolve().parent.parent / "examples/search_corpus.py"
+    spec = importlib.util.spec_from_file_location("search_corpus", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    terms = ["spark", "join"]
+    rows = mod.search(spark, sf_dir, terms, top=10).collect()
+    assert 0 < len(rows) <= 10
+    # every hit really contains every term
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin([r.doc_id for r in rows]))
+        .collect()
+    }
+    for r in rows:
+        words = set(docs[r.doc_id].split())
+        assert all(t in words for t in terms), r.doc_id
+    # scores descend (ties broken by doc_id ascending)
+    scores = [(r.score, -r.doc_id) for r in rows]
+    assert scores == sorted(scores, reverse=True)
