@@ -204,3 +204,63 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         pround(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "sink_schema_evolution",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus,
+                       round(o_totalprice, 2) AS price
+                FROM orders WHERE o_orderkey % 2 = 0),
+    v2 AS (SELECT o_orderkey, o_orderstatus,
+                  round(o_totalprice, 2) AS price,
+                  o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 1),
+    unified AS (
+        SELECT o_orderkey, o_orderstatus, price,
+               CAST(NULL AS VARCHAR) AS o_orderpriority FROM v1
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, price, o_orderpriority FROM v2)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority,
+           round(CAST(sum(price) AS DOUBLE), 2) AS total
+    FROM unified GROUP BY o_orderstatus
+    """,
+    survey="A4 extension (schema evolution: widening append + mergeSchema)",
+    scale="""
+    The schema-drift reality of long-lived tables: an early writer lacks
+    a column a later writer adds. Parquet handles widening appends
+    structurally — each file carries its own schema; the read unifies
+    them with mergeSchema=true, NULL-filling the missing column.
+    mergeSchema costs one footer read PER FILE at planning time, so at
+    100 TB/millions of files pin the unified schema in a metastore (or
+    table format) and pass it explicitly — the plan below is identical
+    from the scan up. Writers must only WIDEN (add nullable columns);
+    renames/retypes need a rewrite, which is why table formats version
+    schemas.
+    """,
+)
+def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 (3 cols) + v2 (4 cols) appends, mergeSchema read, NULL audit."""
+    import tempfile
+
+    orders = table(spark, sf_dir, "orders")
+    target = tempfile.mkdtemp(prefix="mrs_schevo_") + "/t"
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", pround("o_totalprice", 2).alias("price")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        pround("o_totalprice", 2).alias("price"),
+        "o_orderpriority",
+    )
+    v1.write.mode("overwrite").parquet(target)
+    v2.write.mode("append").parquet(target)
+    back = spark.read.option("mergeSchema", "true").parquet(target)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        pround(F.sum("price"), 2).alias("total"),
+    )

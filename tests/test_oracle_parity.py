@@ -26,3 +26,40 @@ def all_results(spark, sf_dir):
 def test_query_matches_oracle(all_results, name):
     result = all_results[name]
     assert result.ok, str(result)
+
+
+def test_compare_flags_hugeint_type_mismatch(spark, sf_dir):
+    """The round-1 agg_pivot failure mode must now be caught locally:
+    DuckDB bare sum(int) is HUGEINT, which the driver's type-sensitive
+    hash splits from Spark's bigint even when values are equal."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.oracle import compare
+
+    con = duckdb.connect()
+    spark_df = spark.range(3).agg(F.sum("id").cast("long").alias("s"))
+    bad = compare("hugeint", spark_df, con, "SELECT sum(x) AS s FROM (VALUES (0), (1), (2)) t(x)")
+    assert not bad.ok and any("type-kind" in i for i in bad.issues)
+    good = compare("bigint", spark_df, con, "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (0), (1), (2)) t(x)")
+    assert good.ok, str(good)
+
+
+def test_compare_float_tol(spark, sf_dir):
+    """float_tol relaxes only numeric cells, and only within tolerance."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.oracle import compare
+
+    con = duckdb.connect()
+    spark_df = spark.range(1).select(F.lit(1.0005).alias("v"))
+    strict = compare("strict", spark_df, con, "SELECT CAST(1.0 AS DOUBLE) AS v")
+    assert not strict.ok
+    loose = compare(
+        "loose", spark_df, con, "SELECT CAST(1.0 AS DOUBLE) AS v",
+        float_tol=0.01,
+    )
+    assert loose.ok, str(loose)
