@@ -328,3 +328,61 @@ def events_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (SELECT DISTINCT
+                    CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                    user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),
+    wau AS (SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+            FROM days d
+            JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day)
+    SELECT a.day, a.dau, w.wau
+    FROM dau a JOIN wau w ON a.day = w.day
+    """,
+    survey="D6 extension (rolling active users: DAU + 7-day WAU)",
+    scale="""
+    count(DISTINCT user) over a sliding range frame is not a window
+    Spark (or any engine) can stream, because distinctness does not
+    decompose over frame slides. The scalable identity: dedup to
+    (day, user) FIRST — the only corpus-sized stage, one shuffle whose
+    output is bounded by |days| x |users|, not |events| — then a range
+    join against the tiny day dimension replays each (day, user) into
+    the <=7 windows it can affect, and the final distinct-count runs on
+    window-sized groups. The day grid broadcasts at any corpus size; at
+    100 TB the (day, user) relation is the thing to persist
+    incrementally (append today's dedup, never rescan history).
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and rolling 7-day WAU per active day."""
+    ev = table(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            # integer division: ts_ns exceeds double's exact range, so
+            # float division would misbucket near day boundaries
+            F.expr(f"ts_ns div {_NS_PER_DAY}").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # corpus-sized stage runs once
+    )
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        du.alias("u")
+        .join(
+            F.broadcast(days.alias("d")),
+            (F.col("u.day") >= F.col("d.day") - 6)
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("u.user_id").alias("wau"))
+    )
+    return dau.join(wau, "day")

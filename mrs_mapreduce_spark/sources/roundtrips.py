@@ -264,3 +264,51 @@ def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_with_priority"),
         pround(F.sum("price"), 2).alias("total"),
     )
+
+
+@register(
+    "sink_compaction",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey="A4 extension (small-file compaction rewrite)",
+    scale="""
+    The small-files disease: streaming/partitioned writers fragment a
+    table into files far below the scan-efficient size, and every query
+    pays per-file open/footer/seek overhead. The cure is a periodic
+    rewrite: read fragmented, repartition to ceil(bytes / target_file_
+    bytes), write back — one round-robin shuffle whose only job is
+    output geometry. Spark 4 can do it statement-level via AQE
+    advisoryPartitionSizeInBytes on the final exchange; explicit
+    repartition keeps the file count deterministic for the test, which
+    asserts the 64 -> 4 collapse AND content equality. At 100 TB
+    compact per partition-directory, newest partitions first (they
+    fragment; closed ones don't), and prefer a table format's
+    transactional rewrite when concurrent readers exist.
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment lineitem into 64 files, compact to 4, audit the content."""
+    import tempfile
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    base = tempfile.mkdtemp(prefix="mrs_compact_")
+    frag, compact = f"{base}/frag", f"{base}/compact"
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compact
+    )
+    return (
+        spark.read.parquet(compact)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )

@@ -207,3 +207,23 @@ def test_zorder_skips_on_every_clustered_dim(spark, sf_dir):
         spark.read.parquet(z_path).filter(rect).count()
         == orders.filter(rect).count()
     )
+
+
+def test_compaction_collapses_file_count(spark, sf_dir):
+    """The compaction rewrite must actually reduce the file count and
+    preserve the exact row multiset."""
+    import glob
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    base = tempfile.mkdtemp(prefix="mrs_compact_t_")
+    frag, compact = f"{base}/frag", f"{base}/compact"
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(compact)
+    n_frag = len(glob.glob(f"{frag}/part-*.parquet"))
+    n_compact = len(glob.glob(f"{compact}/part-*.parquet"))
+    assert n_frag == 64 and n_compact == 4
+    a = spark.read.parquet(frag).groupBy("l_orderkey").count()
+    b = spark.read.parquet(compact).groupBy("l_orderkey").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
