@@ -43,3 +43,44 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
         F.get_json_object("props", "$.missing").cast("int").alias("k_missing"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10
+                AS INT) AS k_decade,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT))
+                AS INT) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT))
+                AS INT) AS k_max
+    FROM events
+    GROUP BY 1
+    """,
+    survey="B25 extension (Spark 4 VARIANT: open-schema JSON columns)",
+    scale="""
+    VARIANT is Spark 4's answer to schema-drifting JSON: parse_json once
+    at ingest into a binary-encoded open type, then variant_get paths
+    evaluate WITHOUT re-parsing the string per access — unlike
+    get_json_object, which re-parses per call. Shredded storage
+    (variantShredding writes hot paths as real parquet columns) restores
+    pushdown/pruning for the common fields while keeping the long tail.
+    At 100 TB: persist props as VARIANT (or shredded), keep string JSON
+    only at the very edge of ingest. The aggregate result here is plain
+    typed columns, so the oracle stays exact.
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props through VARIANT: parse once, typed path extraction."""
+    ev = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy(F.expr("cast(k div 10 as int)").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

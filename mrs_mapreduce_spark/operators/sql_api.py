@@ -165,3 +165,44 @@ def recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY n
         """
     )
+
+
+@register(
+    "sql_scripting",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+    """,
+    survey="A17 extension (SQL scripting: BEGIN/DECLARE/SET control flow)",
+    scale="""
+    Spark 4 SQL scripting (SQL/PSM): DECLARE session variables, SET them
+    from scalar queries, branch and loop — the parameterized-report
+    pattern without any driver-language glue. Control flow runs on the
+    driver; every statement inside still compiles to a full Catalyst
+    plan, so data-path performance is identical to the unscripted query
+    (the variable reference is folded as a literal into the filter,
+    which then pushes down to the scan like any constant). Use it for
+    orchestration-of-statements, never for per-row logic.
+    """,
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized aggregate via a BEGIN...END script with a variable."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE threshold DOUBLE DEFAULT 0.0;
+          SET threshold = (SELECT 100000.0);
+          SELECT o_orderpriority,
+                 count(*) AS n,
+                 round(sum(o_totalprice), 2) AS total
+          FROM orders
+          WHERE o_totalprice > threshold
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
