@@ -312,3 +312,41 @@ def test_decontaminate_excludes_benchmark(spark, sf_dir):
     assert {r.lang: r.n_docs for r in rows} == expect
     for r in rows:
         assert 0 <= r.n_contaminated <= r.n_docs
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_zorder_interleave_is_injective_and_bounded(spark, pts):
+    """The z-key must be a bijection on the 12-bit lattice: distinct
+    (x, y) -> distinct keys, recoverable by de-interleaving, and ordered
+    so that equal-x prefixes cluster (the skipping contract's basis)."""
+    from mrs_mapreduce_spark.sources.layouts import ZBITS, zorder_key
+
+    df = spark.createDataFrame(pts, "__z_x int, __z_y int")
+    rows = df.withColumn("k", zorder_key(["x", "y"])).collect()
+    seen = {}
+    for r in rows:
+        k = r["__zkey"] if "__zkey" in r.__fields__ else r["k"]
+        # de-interleave: even bits -> x, odd bits -> y
+        x = y = 0
+        for bit in range(ZBITS):
+            x |= ((k >> (2 * bit)) & 1) << bit
+            y |= ((k >> (2 * bit + 1)) & 1) << bit
+        assert (x, y) == (r["__z_x"], r["__z_y"])
+        assert k not in seen
+        seen[k] = (x, y)
+        assert 0 <= k < 1 << (2 * ZBITS)
