@@ -108,3 +108,44 @@ def test_search_corpus_example(spark, sf_dir):
     # scores descend (ties broken by doc_id ascending)
     scores = [(r.score, -r.doc_id) for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_stream_pipeline_example(spark, sf_dir, tmp_path):
+    """The streaming pipeline drains and its sink equals the batch twin."""
+    import importlib.util
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.catalog import table
+    from mrs_mapreduce_spark.streaming.sinks import _EVENT_DIM
+
+    path = Path(__file__).resolve().parent.parent / "examples/stream_pipeline.py"
+    spec = importlib.util.spec_from_file_location("stream_pipeline", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "sessions")
+    rows = {r.category: (r.n_sessions, r.n_events) for r in mod.run(spark, sf_dir, out)}
+    assert rows
+
+    dim = spark.createDataFrame(
+        list(_EVENT_DIM), "event_type string, category string, weight double"
+    )
+    twin = {
+        r.category: (r.n_sessions, r.n_events)
+        for r in table(spark, sf_dir, "events")
+        .join(F.broadcast(dim), "event_type")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            "user_id",
+            "category",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+        )
+        .collect()
+    }
+    assert rows == twin
