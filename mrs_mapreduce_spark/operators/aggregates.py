@@ -468,3 +468,37 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.c_mktsegment").alias("mode_segment"),
         F.col("m.c").alias("c"),
     )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+               AS n_big,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(min(o_custkey) AS BIGINT) AS a_custkey
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    survey="B9 extension (conditional/boolean aggregates: count_if, bool_and/or, any_value)",
+    scale="""
+    count_if / bool_and / bool_or are single-pass partial-aggregated
+    counters — same HashAggregate shape as sum/count, no second scan or
+    CASE scaffolding. any_value is the one to watch: it is
+    NON-DETERMINISTIC by contract (whichever partial arrives first), so
+    a testable pipeline pins it to min/max_by — done here (min), which
+    keeps the oracle exact; use true any_value only where the consumer
+    genuinely doesn't care, it saves the comparator.
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional and boolean aggregates per order status."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.min("o_custkey").alias("a_custkey"),
+    )
