@@ -493,3 +493,50 @@ REGISTRY["dedup_components"] = REGISTRY["dedup_components"].__class__(
     survey=REGISTRY["dedup_components"].survey,
     scale=REGISTRY["dedup_components"].scale,
 )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    SELECT h, keep_id, n_copies FROM (
+        SELECT md5(lower(trim(text))) AS h,
+               doc_id AS keep_id,
+               count(*) OVER (PARTITION BY md5(lower(trim(text))))
+                   AS n_copies,
+               row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+    WHERE rn = 1
+    """,
+    survey="D1 extension (dedup keeping the best copy, not an arbitrary one)",
+    scale="""
+    Curation-grade exact dedup: near-identical scrapes differ in
+    truncation/boilerplate, so keep the copy maximizing a quality key
+    (here n_chars, tiebroken by doc_id for determinism) instead of
+    min(doc_id). Implemented as max_by over a composite struct — ONE
+    partial->final hash aggregation (the struct max is a monoid), NOT a
+    rank window: no per-group sort, and the shuffle still carries
+    (hash, struct) pairs only. Swap the struct's first field for any
+    quality score (language confidence, perplexity) — same plan.
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the longest copy per content hash (quality-keeping dedup)."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim("text")))
+    return (
+        docs.select(
+            h.alias("h"), "doc_id", "n_chars"
+        )
+        .groupBy("h")
+        .agg(
+            # max over (n_chars, -doc_id): longest copy, lowest id on ties
+            F.max(
+                F.struct(
+                    F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("h", (-F.col("m.neg_id")).alias("keep_id"), "n_copies")
+    )

@@ -386,3 +386,72 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("u.user_id").alias("wau"))
     )
     return dau.join(wau, "day")
+
+
+@register(
+    "events_rfm",
+    oracle="""
+    WITH p AS (SELECT user_id, epoch_ns(ts) AS tsn, value FROM events
+               WHERE event_type = 'purchase'),
+    mx AS (SELECT max(tsn) AS now_ns FROM p),
+    per_user AS (
+        SELECT user_id,
+               CAST((SELECT now_ns FROM mx) - max(tsn) AS BIGINT) AS rec_ns,
+               CAST(count(*) AS BIGINT) AS freq,
+               round(CAST(sum(value) AS DOUBLE), 2) AS monetary
+        FROM p GROUP BY user_id)
+    SELECT user_id, rec_ns, freq, monetary,
+           CAST(ntile(4) OVER (ORDER BY rec_ns, user_id) AS INT) AS r_quart,
+           CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS INT)
+               AS f_quart,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INT)
+               AS m_quart
+    FROM per_user
+    """,
+    survey="D6 extension (RFM segmentation: recency/frequency/monetary)",
+    scale="""
+    The per-entity profile + global quantile-bucket shape: the corpus
+    collapses to one row per user in a single partial-aggregated
+    shuffle, and only THEN do the global ntile windows run — over the
+    |users| relation, not |events|. The user_id tiebreak makes every
+    ntile deterministic (and the oracle identical). At 100 TB the
+    per-user relation still fits a few partitions per billion users;
+    if a single global sort per dimension matters, swap ntile for
+    percentile_approx cutpoints broadcast back — same output contract,
+    no global window.
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartiles per purchasing user, fully deterministic."""
+    from pyspark.sql.window import Window
+
+    p = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = p.groupBy("user_id").agg(
+        F.max("ts_ns").alias("last_ns"),
+        F.count(F.lit(1)).alias("freq"),
+        pround(F.sum("value"), 2).alias("monetary"),
+    )
+    now_ns = per_user.agg(F.max("last_ns").alias("now_ns"))
+    scored = per_user.crossJoin(F.broadcast(now_ns)).select(
+        "user_id",
+        (F.col("now_ns") - F.col("last_ns")).alias("rec_ns"),
+        "freq",
+        "monetary",
+    )
+    return scored.select(
+        "user_id",
+        "rec_ns",
+        "freq",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("rec_ns", "user_id"))
+        .alias("r_quart"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), "user_id"))
+        .alias("f_quart"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), "user_id"))
+        .alias("m_quart"),
+    )

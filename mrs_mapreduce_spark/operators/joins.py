@@ -444,3 +444,54 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("l_quantity"), 2).alias("qty"),
         )
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           (SELECT min(epoch_ns(s.ts) // 1000) FROM events s
+            WHERE s.user_id = p.user_id
+              AND s.event_type = 'click'
+              AND (epoch_ns(s.ts) > epoch_ns(p.ts)
+                   OR (epoch_ns(s.ts) = epoch_ns(p.ts)
+                       AND s.event_id > p.event_id))) AS next_click_us
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    survey="B8 (as-of join, forward direction)",
+    scale="""
+    The forward twin of join_asof: first(ignorenulls) over a
+    currentRow->unboundedFollowing frame carries the NEXT matching event
+    backward — same single user_id shuffle + one sort, direction is just
+    the frame. The (ts_ns, event_id) composite order makes simultaneous
+    events deterministic, and the oracle spells out the identical
+    composite comparison so both engines break ties the same way.
+    Forward as-of is the attribution/"time-to-next-action" primitive.
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next same-user click at-or-after each purchase (forward as-of)."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts_ns"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = ev.withColumn(
+        "next_click_us",
+        F.first(
+            F.when(
+                F.col("event_type") == "click", F.expr("ts_ns div 1000")
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "next_click_us"
+    )
