@@ -266,3 +266,40 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) / F.count(F.lit(1)).over(w_all)) / share, 4
         ).alias("weight"),
     )
+
+
+@register(
+    "corpus_shuffle",
+    oracle="""
+    SELECT doc_id, shuffle_rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY md5('epoch7:' || doc_id),
+                                       doc_id) AS BIGINT) AS shuffle_rank
+        FROM documents)
+    WHERE shuffle_rank <= 100
+    """,
+    survey="E (deterministic corpus shuffle — reproducible training order)",
+    scale="""
+    Training-order shuffling that any worker can reproduce: the sort key
+    is md5(salt || doc_id), so changing the salt re-shuffles and fixing
+    it makes the epoch order a pure function of the corpus — no RNG
+    state, no seed file. At scale the global row_number is the thing to
+    avoid: repartitionByRange on the hash key + sortWithinPartitions
+    gives the same global order physically laid out across files, and
+    readers consume partitions in key order without any rank column
+    (zipWithIndex only if explicit ranks are required). The top-100
+    projection here exists to keep the declared result small; the
+    scalable artifact is the ordered WRITE, not a collected rank.
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 100 docs of the salt-keyed deterministic shuffle order."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(key, "doc_id")
+    return (
+        docs.select("doc_id", F.row_number().over(w).alias("shuffle_rank"))
+        .filter(F.col("shuffle_rank") <= 100)
+    )

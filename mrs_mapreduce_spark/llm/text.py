@@ -670,3 +670,62 @@ def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 100)
     )
+
+
+@register(
+    "text_chunks",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+    grid AS (SELECT doc_id, ws,
+                    unnest(generate_series(
+                        1, greatest(1, len(ws) - 32), 32)) AS start
+             FROM toks)
+    SELECT doc_id,
+           CAST((start - 1) / 32 AS BIGINT) AS chunk_no,
+           array_to_string(ws[start : start + 63], ' ') AS chunk,
+           CAST(least(64, len(ws) - start + 1) AS BIGINT) AS n_tokens
+    FROM grid
+    """,
+    survey="D4 extension (sliding-window chunking: size 64, stride 32)",
+    scale="""
+    The RAG/pretraining chunker: window size 64 tokens, stride 32 (50%
+    overlap), computed entirely in codegen — split once, generate the
+    stride grid with sequence(), slice each window with the array
+    slicing built-in; no UDF touches the text. Row growth is
+    len/stride chunks per doc (2x corpus here) and the op is NARROW:
+    chunks inherit the scan's partitioning, nothing shuffles until a
+    downstream groupBy. At 100 TB: chunk AFTER dedup/quality gates
+    (don't pay 2x on discarded docs) and write chunks partitioned by
+    the downstream consumer's key (training shard, embedding batch).
+    """,
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token chunks (stride 32) of every document."""
+    docs = table(spark, sf_dir, "documents")
+    size, stride = 64, 32
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).withColumn("n", F.size("ws"))
+    grid = toks.select(
+        "doc_id",
+        "ws",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.lit(1), F.col("n") - size + stride),
+                F.lit(stride),
+            )
+        ).alias("start"),
+    )
+    return grid.select(
+        "doc_id",
+        ((F.col("start") - 1) / stride).cast("long").alias("chunk_no"),
+        F.array_join(F.slice("ws", F.col("start"), size), " ").alias(
+            "chunk"
+        ),
+        F.least(F.lit(size), F.col("n") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
