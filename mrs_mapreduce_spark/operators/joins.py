@@ -495,3 +495,75 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "next_click_us"
     )
+
+
+@register(
+    "join_pit_scd2",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, DATE '2023-01-01' AS valid_from,
+               round(c_acctbal, 2) AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, DATE '2024-06-01' AS valid_from,
+               round(c_acctbal * 1.1, 2) AS bal
+        FROM customer),
+    pit AS (
+        SELECT o.o_orderkey, d.valid_from, d.bal,
+               row_number() OVER (PARTITION BY o.o_orderkey
+                                  ORDER BY d.valid_from DESC) AS rn
+        FROM orders o
+        JOIN dim d
+          ON d.c_custkey = o.o_custkey
+         AND d.valid_from <= CAST(o.o_orderdate AS DATE))
+    SELECT o_orderkey, valid_from, bal
+    FROM pit WHERE rn = 1
+    """,
+    survey="B8 extension (point-in-time / SCD2 dimension join)",
+    scale="""
+    The feature-store/warehouse PIT join: facts must see the dimension
+    version valid AT event time, never today's row (training-serving
+    leakage in one join). Versions are synthesized deterministically
+    here (2 per customer); the plan is the real one — broadcast the
+    versioned dim, range-predicate on valid_from, collapse to the
+    LATEST qualifying version per fact with a composite-struct max
+    (monoid partial agg, no per-fact sort). At 100 TB with many
+    versions per key, pre-compute valid_to with one lag window over
+    the dim and the probe becomes a tight [from, to) interval join —
+    one candidate per fact, no aggregation at all.
+    """,
+)
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to the customer-balance version valid at order time."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    v1 = cust.select(
+        "c_custkey",
+        F.lit("2023-01-01").cast("date").alias("valid_from"),
+        pround("c_acctbal", 2).alias("bal"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.lit("2024-06-01").cast("date").alias("valid_from"),
+        pround(F.col("c_acctbal") * 1.1, 2).alias("bal"),
+    )
+    dim = v1.unionByName(v2)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+        )
+        .join(
+            F.broadcast(dim),
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("valid_from") <= F.col("od")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.max(F.struct("valid_from", "bal")).alias("m"))
+        .select(
+            "o_orderkey",
+            F.col("m.valid_from").alias("valid_from"),
+            F.col("m.bal").alias("bal"),
+        )
+    )
