@@ -194,3 +194,20 @@ def test_reduce_data_sorted_orders_values(spark):
     ds = job.local_data(pairs, splits=4)
     out = job.reduce_data_sorted(ds, check_sorted, splits=3).collect()
     assert sorted(out) == [(k, 40) for k in range(5)]
+
+
+def test_pso_example_converges_deterministically(spark):
+    """The reference's flagship workload (PSO via IterativeMR): the swarm
+    must improve on its initial best and two runs must agree exactly."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "examples/pso.py"
+    spec = importlib.util.spec_from_file_location("pso", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    start, best, iters = mod.run(spark, n_particles=16, generations=6)
+    assert best < start
+    assert 1 <= iters <= 6
+    start2, best2, iters2 = mod.run(spark, n_particles=16, generations=6)
+    assert (start2, best2, iters2) == (start, best, iters)
