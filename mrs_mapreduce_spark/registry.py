@@ -54,15 +54,15 @@ SHOWCASE: tuple[str, ...] = (
     "agg_minmax_by", "agg_percentile",
     # joins
     "join_inner", "join_broadcast", "join_left", "join_semi", "join_anti",
-    "join_asof", "join_salted", "join_bloom_pruned", "join_lateral",
+    "join_asof", "join_salted", "join_bloom_pruned", "join_pit_scd2",
     # windows / sort / top-k
     "window_rank", "window_frame", "sort_global", "topk_pergroup",
     # set ops, scan, filter, map
     "set_union", "set_except", "scan_parquet", "filter_pred", "map_explode",
     # sinks
-    "sink_partitioned", "sink_bucketed_join",
+    "sink_zorder_skipping", "sink_bucketed_join",
     # UDF surface
-    "python_udf", "pandas_udaf", "python_udtf", "pandas_grouped_map",
+    "python_udf", "pandas_udaf", "python_udtf", "mr_secondary_sort",
     # Mrs parity layer
     "reduce_sum", "reducemap_chain", "repartition_mod",
     # iterative / recursive
@@ -73,7 +73,7 @@ SHOWCASE: tuple[str, ...] = (
     "stream_session", "stream_tumbling", "stream_stream_join",
     # LLM-data-pipeline extensions
     "dedup_exact", "dedup_minhash", "similarity_topk", "text_tfidf",
-    "text_langid", "corpus_decontaminate", "corpus_pack_contexts",
+    "text_chunks", "corpus_decontaminate", "corpus_pack_contexts",
     # TPC-H end-to-end shapes
     "tpch_q3", "tpch_q18",
 )
