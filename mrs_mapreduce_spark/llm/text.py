@@ -729,3 +729,58 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
+
+
+@register(
+    "text_mask_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+    masked AS (SELECT doc_id,
+                      array_to_string(
+                          list_transform(
+                              list_zip(ws, range(1, len(ws) + 1)),
+                              p -> CASE WHEN (p[2] - 1) % 7 = 3
+                                        THEN '<extra_id>' ELSE p[1] END),
+                          ' ') AS masked_text,
+                      CAST(len(list_filter(range(1, len(ws) + 1),
+                                           i -> (i - 1) % 7 = 3))
+                           AS BIGINT) AS n_masked,
+                      CAST(len(ws) AS BIGINT) AS n_tokens
+               FROM toks)
+    SELECT doc_id, masked_text, n_masked, n_tokens
+    FROM masked WHERE doc_id % 50 = 0
+    """,
+    survey="D4 extension (deterministic span corruption / masking)",
+    scale="""
+    Denoising-objective data prep (T5-style span corruption) as a pure
+    codegen transform: position-keyed masking (every 7th token, offset
+    3) replaces spans with a sentinel — deterministic, so augmented
+    corpora are reproducible and the oracle is exact. The op is NARROW
+    (transform over the token array, no shuffle) and composes with
+    text_chunks upstream. A randomized variant swaps the position rule
+    for hash(doc_id, position) % k — still deterministic per corpus,
+    still zero-shuffle. The doc_id % 50 gate only bounds the declared
+    result; the transform itself streams the full corpus.
+    """,
+)
+def text_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-7th-token sentinel masking over documents (sampled output)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    masked = toks.select(
+        "doc_id",
+        F.array_join(
+            F.expr(
+                "transform(ws, (w, i) -> "
+                "CASE WHEN i % 7 = 3 THEN '<extra_id>' ELSE w END)"
+            ),
+            " ",
+        ).alias("masked_text"),
+        F.expr(
+            "cast(size(filter(sequence(0, size(ws) - 1), "
+            "i -> i % 7 = 3)) as bigint)"
+        ).alias("n_masked"),
+        F.size("ws").cast("long").alias("n_tokens"),
+    )
+    return masked.filter(F.col("doc_id") % 50 == 0)

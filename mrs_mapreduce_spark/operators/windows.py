@@ -199,3 +199,45 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.cume_dist().over(w), 6).alias("cd"),
         pround(F.nth_value("c_acctbal", 2).over(w_full), 2).alias("second_bal"),
     )
+
+
+@register(
+    "window_moving_stats",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           round(avg(value) OVER w, 4) AS mov_avg,
+           round(min(value) OVER w, 2) AS mov_min,
+           round(max(value) OVER w, 2) AS mov_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts), event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    survey="B15 (bounded sliding frame: moving average/min/max)",
+    scale="""
+    The bounded-frame counterpart of window_frame's cumulative sum:
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW keeps O(frame) state per
+    row during the single per-user sort pass — avg/min/max all share
+    the one WindowExec, so adding aggregates to the same frame is free.
+    The (ts_ns, event_id) composite order makes every frame's membership
+    deterministic. At 100 TB the cost model is unchanged from any
+    window: one hash exchange on user_id + one within-partition sort;
+    frame width affects only per-row state, never shuffle volume.
+    """,
+)
+def window_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row moving avg/min/max of value per user, deterministic order."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        pround(F.avg("value").over(w), 4).alias("mov_avg"),
+        pround(F.min("value").over(w), 2).alias("mov_min"),
+        pround(F.max("value").over(w), 2).alias("mov_max"),
+    )
