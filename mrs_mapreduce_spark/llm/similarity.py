@@ -462,3 +462,77 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("q_id", "cand_id", pround("cos", 6).alias("cos_sim"), "rk")
     )
+
+
+@register(
+    "embedding_outliers",
+    oracle="""
+    WITH pts AS (SELECT vec_id, label,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE))
+                            AS a
+                 FROM embeddings),
+    cent AS (SELECT label, g.i AS dim, avg(a[g.i]) AS c
+             FROM pts CROSS JOIN generate_series(1, 64) AS g(i)
+             GROUP BY label, g.i),
+    cv AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent
+           GROUP BY label),
+    d AS (SELECT p.vec_id, p.label,
+                 round(sqrt(list_aggregate(
+                     list_transform(range(1, 65),
+                                    i -> (p.a[i] - c.cv[i])
+                                         * (p.a[i] - c.cv[i])),
+                     'sum')), 4) AS dist
+          FROM pts p JOIN cv c ON p.label = c.label),
+    stats AS (SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sd
+              FROM d GROUP BY label)
+    SELECT d.vec_id, d.label, d.dist,
+           round((d.dist - s.mu) / s.sd, 4) AS z
+    FROM d JOIN stats s ON d.label = s.label
+    WHERE (d.dist - s.mu) / s.sd > 2.0
+    """,
+    survey="D3 extension (embedding-space outlier detection per label)",
+    scale="""
+    The embedding-quality gate: per-label centroids (k x 64 rows via one
+    posexplode + partial-aggregated groupBy), broadcast back, exact
+    per-point distance in a codegen'd array lambda, then a second tiny
+    aggregate for per-label distance moments — the corpus streams twice
+    through narrow stages and shuffles only k x dims + k rows. Points
+    sitting > 2 sigma from their own label's centroid are mislabeled or
+    degenerate embeddings; at 100 TB this is the filter that catches
+    collapsed/NaN vectors before they poison contrastive training.
+    sqrt and round applied identically on both engines keeps the oracle
+    exact.
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors > 2 sigma from their label centroid (per-label z-score)."""
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("a"),
+    )
+    per_dim = (
+        pts.select("label", F.posexplode("a").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg("val").alias("c"))
+    )
+    cv = per_dim.groupBy("label").agg(
+        F.sort_array(F.collect_list(F.struct("dim", "c")))
+        .getField("c")
+        .alias("cv")
+    )
+    diffs = F.zip_with("a", "cv", lambda x, c: (x - c) * (x - c))
+    dist = F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+    d = pts.join(F.broadcast(cv), "label").select(
+        "vec_id", "label", pround(dist, 4).alias("dist")
+    )
+    stats = d.groupBy("label").agg(
+        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sd")
+    )
+    return (
+        d.join(F.broadcast(stats), "label")
+        .withColumn("z", pround((F.col("dist") - F.col("mu")) / F.col("sd"), 4))
+        .filter((F.col("dist") - F.col("mu")) / F.col("sd") > 2.0)
+        .select("vec_id", "label", "dist", "z")
+    )

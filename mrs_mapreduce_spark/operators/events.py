@@ -455,3 +455,62 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("monetary"), "user_id"))
         .alias("m_quart"),
     )
+
+
+@register(
+    "events_funnel_ordered",
+    oracle="""
+    WITH s AS (SELECT user_id, min(epoch_ns(ts)) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t1
+          FROM events e JOIN s ON s.user_id = e.user_id
+          WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s.t0
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t1
+          GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_then_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_then_purchase
+    """,
+    survey="D6 extension (strictly-ordered multi-step funnel)",
+    scale="""
+    The ORDERED funnel (each step must follow the previous step's first
+    completion — events_funnel only checks existence): computed as a
+    chain of min-timestamp semi-reductions, each one partial-aggregated
+    groupBy on user_id. All three stages key on user_id, so AQE reuses
+    one exchange; nothing ever materializes per-event state. The same
+    chain extends to N steps linearly — the window alternative (sort
+    each user's history, scan for the subsequence) costs the same single
+    shuffle but holds the full history per user; the min-chain holds one
+    timestamp. That difference is what survives 100 TB.
+    """,
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup -> click -> purchase completed strictly in order."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev, prev_col: str, out: str):
+        step = ev.filter(F.col("event_type") == event_type).select(
+            "user_id", F.col("ts_ns").alias("t")
+        )
+        return (
+            step.join(prev, "user_id")
+            .filter(F.col("t") > F.col(prev_col))
+            .groupBy("user_id", prev_col)
+            .agg(F.min("t").alias(out))
+        )
+
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t0"))
+    )
+    c = first_after("click", s, "t0", "t1")
+    p = first_after("purchase", c, "t1", "t2")
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_then_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_then_purchase")))
+    )
