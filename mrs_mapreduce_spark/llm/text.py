@@ -784,3 +784,63 @@ def text_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ws").cast("long").alias("n_tokens"),
     )
     return masked.filter(F.col("doc_id") % 50 == 0)
+
+
+@register(
+    "text_bpe_pairs",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w
+           WHERE w <> '' GROUP BY w),
+    pairs AS (SELECT substr(w, g.i, 2) AS pair, cnt
+              FROM wc CROSS JOIN generate_series(1, 40) AS g(i)
+              WHERE g.i < length(w)),
+    agg AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq
+            FROM pairs GROUP BY pair)
+    SELECT pair, freq FROM agg
+    ORDER BY freq DESC, pair
+    LIMIT 20
+    """,
+    survey="D4 extension (BPE training: the merge-pair statistics step)",
+    scale="""
+    One iteration of byte-pair-encoding training, distributed: collapse
+    the corpus to (word, count) FIRST — the classic BPE trick, since
+    pair counts decompose over word counts — then fan each distinct
+    word into its adjacent symbol pairs weighted by the word count, and
+    partial-aggregate. The corpus-sized stage is the word count (one
+    shuffle); the pair stage is |vocab| x word-length, independent of
+    corpus size. Full BPE training iterates: pick argmax pair, merge in
+    the vocab relation (a string replace over |vocab| rows — driver- or
+    map-side), recount pairs; every round touches vocab only, never the
+    corpus again. The cap at position 40 bounds the fanout against
+    pathological tokens and matches the oracle exactly.
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs, weighted by word frequency."""
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        fan_out(docs)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = wc.filter(F.length("w") >= 2).select(
+        # the length guard matters: Spark's sequence(1, 0) is the
+        # DESCENDING [1, 0], not empty, so 1-char words would fan out
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, least(length(w) - 1, 40)), "
+                "i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(20)
+    )
