@@ -514,3 +514,48 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_then_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_then_purchase")))
     )
+
+
+@register(
+    "events_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+    SELECT p2 AS e1, p1 AS e2, event_type AS e3,
+           CAST(count(*) AS BIGINT) AS freq
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY p2, p1, event_type
+    ORDER BY freq DESC, e1, e2, e3
+    LIMIT 20
+    """,
+    survey="D6 extension (sequential pattern mining: top event trigrams)",
+    scale="""
+    Sequence mining without state explosion: the double-lag window turns
+    each user's ordered history into overlapping trigrams inside the
+    SAME single user_id shuffle + sort every other per-user window op
+    pays — no self-joins (the naive 3-way event join is cubic in events
+    per user), no collected arrays. Generalizes to n-grams by adding
+    lags; the composite (ts_ns, event_id) order keeps ties
+    deterministic. The trigram aggregate is |event_types|^3-bounded —
+    trivially partial-aggregated at any corpus size.
+    """,
+)
+def events_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 consecutive event-type trigrams across all user histories."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "e1", "e2", "e3")
+        .limit(20)
+    )
