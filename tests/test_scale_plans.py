@@ -200,3 +200,23 @@ def test_postings_partial_aggregation(spark, sf_dir):
     """Posting-list build must partial-aggregate before the term shuffle."""
     plan = _plan(spark, sf_dir, "text_postings")
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No declared query may plan a CartesianProduct — the one join shape
+    that cannot survive scale. (BroadcastNestedLoopJoin is allowed: it is
+    the correct plan for broadcast scalar-subquery rows and non-equi
+    broadcast range probes, both bounded by the broadcast side.)"""
+    sf_dir = "/root/testdata/sf0.001"
+    skip_prefixes = (
+        "stream_", "sink_", "source_", "mr_", "reduce_", "reducemap",
+        "iterative", "multimodal",
+    )  # side-effecting / RDD / driver-loop builders planned elsewhere
+    offenders = []
+    for name, q in load_all().items():
+        if name.startswith(skip_prefixes):
+            continue
+        plan = q.builder(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        if "CartesianProduct" in plan.toString():
+            offenders.append(name)
+    assert not offenders, offenders
