@@ -502,3 +502,45 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
         F.min("o_custkey").alias("a_custkey"),
     )
+
+
+@register(
+    "agg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+               AS wavg_price,
+           round(sum(l_extendedprice * (1 - l_discount))
+                 / sum(l_extendedprice), 6) AS eff_discount_keep,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey="B9 extension (weighted average / ratio-of-sums aggregates)",
+    scale="""
+    The ratio-of-sums discipline: a weighted average is sum(w*x)/sum(w)
+    computed as TWO algebraic partial aggregates and one final division
+    — never avg() over pre-divided rows (averaging ratios weights every
+    row equally: Simpson's-paradox wrong) and never a two-pass plan.
+    Both numerator and denominator ride the same HashAggregate, so the
+    marginal cost over a plain sum is one more accumulator. Division
+    AFTER final aggregation also keeps the float deterministic: one
+    divide per group instead of a summation of divided terms.
+    """,
+)
+def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price and effective discount per return flag."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pround(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            4,
+        ).alias("wavg_price"),
+        pround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            / F.sum("l_extendedprice"),
+            6,
+        ).alias("eff_discount_keep"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
