@@ -559,3 +559,56 @@ def events_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "e1", "e2", "e3")
         .limit(20)
     )
+
+
+@register(
+    "events_interarrival",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                   (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                   AS gap_ns
+        FROM events),
+    per_user AS (
+        SELECT user_id,
+               CAST(quantile_cont(gap_ns, 0.5) AS DOUBLE) AS med_gap_ns,
+               CAST(count(gap_ns) AS BIGINT) AS n_gaps
+        FROM gaps WHERE gap_ns IS NOT NULL
+        GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(med_gap_ns, 0.25) / 1e9, 2) AS p25_s,
+           round(quantile_cont(med_gap_ns, 0.5) / 1e9, 2) AS p50_s,
+           round(quantile_cont(med_gap_ns, 0.75) / 1e9, 2) AS p75_s
+    FROM per_user
+    """,
+    survey="D6 extension (inter-arrival analysis: per-user median gaps)",
+    scale="""
+    The activity-cadence profile: per-user inter-event gaps from one lag
+    window (single user_id shuffle + sort), per-user exact median
+    (bounded: one user's history), then the cross-user quartiles over
+    the |users| relation — the global exact percentile runs on already-
+    collapsed data, which is the rule: exact order statistics are fine
+    when the relation is entity-sized, and only the corpus-sized level
+    needs the GK/t-digest sketch (sketch_quantile). Integer-nanos gaps,
+    divided only at the final projection.
+    """,
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles of per-user median inter-event gaps (seconds)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.col("ts_ns") - F.lag("ts_ns").over(w)).alias("gap_ns"),
+    ).filter(F.col("gap_ns").isNotNull())
+    per_user = gaps.groupBy("user_id").agg(
+        F.expr("percentile(gap_ns, 0.5)").alias("med_gap_ns"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        pround(F.expr("percentile(med_gap_ns, 0.25)") / 1e9, 2).alias("p25_s"),
+        pround(F.expr("percentile(med_gap_ns, 0.5)") / 1e9, 2).alias("p50_s"),
+        pround(F.expr("percentile(med_gap_ns, 0.75)") / 1e9, 2).alias("p75_s"),
+    )
