@@ -412,19 +412,21 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale="""
     The per-entity profile + global quantile-bucket shape: the corpus
     collapses to one row per user in a single partial-aggregated
-    shuffle, and only THEN do the global ntile windows run — over the
-    |users| relation, not |events|. The user_id tiebreak makes every
-    ntile deterministic (and the oracle identical). At 100 TB the
-    per-user relation still fits a few partitions per billion users;
-    if a single global sort per dimension matters, swap ntile for
-    percentile_approx cutpoints broadcast back — same output contract,
-    no global window.
+    shuffle, and only THEN are quartiles assigned — over the |users|
+    relation, not |events|. The quartiles are EXACT global ntiles but
+    computed WITHOUT any single-partition window: each dimension
+    range-partitions on its (total) order, ranks within each range
+    partition in parallel, and re-bases local ranks with per-partition
+    offsets from a tiny broadcast pid<pid prefix-sum join — the
+    distributed global-rank pattern. Every window in the plan is
+    partitioned by _pid, so a billion-user relation ranks across the
+    whole cluster instead of funnelling through one task per
+    dimension. The user_id tiebreak makes ranks (and the oracle's
+    plain ntile) deterministic.
     """,
 )
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quartiles per purchasing user, fully deterministic."""
-    from pyspark.sql.window import Window
-
     p = table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -440,20 +442,78 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "monetary",
     )
+    scored = _global_ntile(scored, [F.asc("rec_ns"), F.asc("user_id")], "r_quart")
+    scored = _global_ntile(scored, [F.desc("freq"), F.asc("user_id")], "f_quart")
+    scored = _global_ntile(
+        scored, [F.desc("monetary"), F.asc("user_id")], "m_quart"
+    )
     return scored.select(
-        "user_id",
-        "rec_ns",
-        "freq",
-        "monetary",
-        F.ntile(4)
-        .over(Window.orderBy("rec_ns", "user_id"))
-        .alias("r_quart"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("freq"), "user_id"))
-        .alias("f_quart"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), "user_id"))
-        .alias("m_quart"),
+        "user_id", "rec_ns", "freq", "monetary",
+        "r_quart", "f_quart", "m_quart",
+    )
+
+
+#: Range partitions per ntile dimension. At 100 TB size this ∝ input bytes
+#: (like any shuffle partition count); 8 keeps the fixture plans readable.
+_NTILE_PARTS = 8
+
+
+def _global_ntile(df: DataFrame, order: list, out: str) -> DataFrame:
+    """Exact global ``ntile(4)`` with no single-partition window.
+
+    Distributed global-rank: range-partition the relation on the given
+    total order (pid 0 holds the first range), number rows within each
+    partition via ``sortWithinPartitions`` + ``monotonically_increasing_id``
+    (the id embeds the partition index in its high bits, so
+    ``id - min(id per partition) + 1`` is the local rank — NO window and
+    no second full-relation shuffle), then re-base with per-partition
+    row-count offsets (tiny ``b._pid < a._pid`` broadcast prefix-sum
+    join — the same pattern as corpus_pack_contexts' distributed prefix
+    sum). Global rank plus total count give the exact SQL ntile bucket in
+    closed form, so the result is bit-identical to
+    ``ntile(4) OVER (ORDER BY ...)`` whenever the order is total (ours
+    is: user_id tiebreak). The ranked relation is eagerly
+    localCheckpoint'd: entity-sized (one row per user), read by three
+    consumers (stats, total, rebase), materialized exactly once.
+    """
+    ranked = (
+        df.repartitionByRange(_NTILE_PARTS, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    ranked = ranked.withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+    counts = ranked.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min("_mid").alias("_base")
+    )
+    offs = (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.alias("b")),
+            F.col("b._pid") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"), F.col("a._base").alias("_base"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    total = counts.agg(F.sum("_cnt").alias("_n"))
+    # SQL ntile(k): q = n div k rows per bucket, first n%k buckets get one
+    # extra. Closed form over global rank _r (1-based); the q=0 edge never
+    # reaches the ELSE branch because then every rank satisfies the WHEN.
+    bucket = F.expr(
+        "CAST(CASE WHEN _r <= (_n % 4) * (_n div 4 + 1) "
+        "THEN (_r + (_n div 4 + 1) - 1) div (_n div 4 + 1) "
+        "ELSE (_n % 4) + (_r - (_n % 4) * (_n div 4 + 1) + (_n div 4) - 1)"
+        " div (_n div 4) END AS INT)"
+    )
+    return (
+        ranked.join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_r", F.col("_off") + (F.col("_mid") - F.col("_base")) + 1
+        )
+        .withColumn(out, bucket)
+        .drop("_pid", "_mid", "_base", "_off", "_r", "_n")
     )
 
 

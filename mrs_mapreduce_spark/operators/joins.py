@@ -501,11 +501,11 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_pit_scd2",
     oracle="""
     WITH dim AS (
-        SELECT c_custkey, DATE '2023-01-01' AS valid_from,
+        SELECT c_custkey, DATE '1995-01-01' AS valid_from,
                round(c_acctbal, 2) AS bal
         FROM customer
         UNION ALL
-        SELECT c_custkey, DATE '2024-06-01' AS valid_from,
+        SELECT c_custkey, DATE '1998-06-01' AS valid_from,
                round(c_acctbal * 1.1, 2) AS bal
         FROM customer),
     pit AS (
@@ -524,7 +524,9 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     The feature-store/warehouse PIT join: facts must see the dimension
     version valid AT event time, never today's row (training-serving
     leakage in one join). Versions are synthesized deterministically
-    here (2 per customer); the plan is the real one — broadcast the
+    here (2 per customer, valid_from dates INSIDE the fixture's
+    1995-2001 o_orderdate range so both the v1-only and v1->v2
+    version-selection paths are exercised); the plan is the real one — broadcast the
     versioned dim, range-predicate on valid_from, collapse to the
     LATEST qualifying version per fact with a composite-struct max
     (monoid partial agg, no per-fact sort). At 100 TB with many
@@ -539,12 +541,12 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     v1 = cust.select(
         "c_custkey",
-        F.lit("2023-01-01").cast("date").alias("valid_from"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
         pround("c_acctbal", 2).alias("bal"),
     )
     v2 = cust.select(
         "c_custkey",
-        F.lit("2024-06-01").cast("date").alias("valid_from"),
+        F.lit("1998-06-01").cast("date").alias("valid_from"),
         pround(F.col("c_acctbal") * 1.1, 2).alias("bal"),
     )
     dim = v1.unionByName(v2)

@@ -220,3 +220,13 @@ def test_no_cartesian_products_anywhere(spark):
         if "CartesianProduct" in plan.toString():
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_rfm_no_global_window(spark, sf_dir):
+    """events_rfm quartiles must use the distributed global-rank pattern:
+    zero WindowExec anywhere (the old shape was three single-partition
+    ntile windows), exact range partitioning per dimension, offsets joined
+    back as broadcasts."""
+    plan = _plan(spark, sf_dir, "events_rfm")
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
