@@ -43,39 +43,37 @@ REGISTRY: dict[str, Query] = {}
 
 #: Presentation order for the declared inventory. The external driver
 #: evaluates queries in ``queries()`` iteration order and its correctness
-#: report covers a prefix of that order (round 1: exactly the first 50),
-#: so the front of the inventory should be a cross-family sample — one
-#: slice of every capability group, every entry with an EXACT SQL oracle —
-#: rather than whatever import order produced. Queries not listed here
-#: keep their registration order after the showcase.
+#: report covers a prefix of that order (exactly the first 50), so the
+#: prefix ROTATES each round until every declared query has earned a
+#: driver-green CORRECTNESS row: rounds 1-2 verified 73 distinct queries
+#: (see CORRECTNESS_r0{1,2}.json); the round-3 prefix below is 50 queries
+#: the driver has NEVER checked, every one with an EXACT SQL oracle.
+#: Queries not listed here keep their registration order after the
+#: showcase.
 SHOWCASE: tuple[str, ...] = (
-    # aggregation
-    "groupby_agg", "agg_pivot", "agg_rollup", "agg_grouping_sets",
-    "agg_minmax_by", "agg_percentile",
-    # joins
-    "join_inner", "join_broadcast", "join_left", "join_semi", "join_anti",
-    "join_asof", "join_salted", "join_bloom_pruned", "join_pit_scd2",
-    # windows / sort / top-k
-    "window_rank", "window_frame", "sort_global", "topk_pergroup",
-    # set ops, scan, filter, map
-    "set_union", "set_except", "scan_parquet", "filter_pred", "map_explode",
-    # sinks
-    "sink_zorder_skipping", "sink_bucketed_join",
-    # UDF surface
-    "python_udf", "pandas_udaf", "python_udtf", "mr_secondary_sort",
-    # Mrs parity layer
-    "reduce_sum", "reducemap_chain", "repartition_mod",
-    # iterative / recursive
-    "iterative_kmeans_emb", "iterative_pagerank", "recursive_bfs",
-    # event analytics
-    "events_funnel", "events_session_ids",
-    # streaming (incl. one real readStream→writeStream topology)
-    "stream_session", "stream_tumbling", "stream_stream_join",
-    # LLM-data-pipeline extensions
-    "dedup_exact", "dedup_minhash", "similarity_topk", "text_tfidf",
-    "text_chunks", "corpus_decontaminate", "corpus_pack_contexts",
-    # TPC-H end-to-end shapes
-    "tpch_q3", "tpch_q18",
+    # scalar/array/map/JSON function surface (B20-B25)
+    "fn_string", "fn_date", "fn_math", "fn_cond", "fn_null", "fn_hash",
+    "fn_bitwise", "fn_array", "fn_map", "fn_struct", "fn_json", "fn_variant",
+    # TPC-H end-to-end shapes (B3-B9 compositions)
+    "tpch_q2_shape", "tpch_q4_shape", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q10", "tpch_q11_shape", "tpch_q12_shape", "tpch_q13",
+    "tpch_q14", "tpch_q15", "tpch_q16_shape", "tpch_q17", "tpch_q19",
+    "tpch_q20_shape", "tpch_q21_shape", "tpch_q22",
+    # multimodal columns (D5)
+    "multimodal_struct", "multimodal_decode", "multimodal_resize",
+    "multimodal_framesample",
+    # similarity / embedding family (D2-D3), incl. the round-3 additions
+    "similarity_ivf", "similarity_ivf_trained", "similarity_lsh",
+    "similarity_lsh_multiprobe", "dedup_embedding", "embedding_quantize",
+    "embedding_outliers", "dedup_components",
+    # dedup variants (D1-D2)
+    "dedup_simhash", "dedup_keep_best",
+    # event analytics (D6) — events_rfm newly windowless (round 3)
+    "events_rfm", "events_dau_wau",
+    # windows (B13-B15)
+    "window_lag", "window_moving_stats",
+    # sort/top-k + profiling
+    "topk", "scan_profile",
 )
 
 
