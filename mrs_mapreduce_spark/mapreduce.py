@@ -321,7 +321,10 @@ class Job:
         for ds in pending:
             if ds._future is None:
                 ds.rdd.cache()
-                ds._future = _wait_pool().submit(ds.rdd.count)
+                ds._job_group = f"mrs-dataset-{id(ds)}"
+                ds._future = _wait_pool().submit(
+                    self._count_in_group, ds.rdd, ds._job_group
+                )
         if pending:
             done, _ = futures.wait(
                 [ds._future for ds in pending], timeout=timeout
@@ -332,9 +335,51 @@ class Job:
                     ds._future = None
         return [ds for ds in datasets if ds._materialized]
 
+    def _count_in_group(self, rdd: RDD, group: str) -> int:
+        """Run the materializing action under a job group (pool thread).
+
+        PySpark job groups are thread-local, so tagging inside the worker
+        thread scopes exactly this dataset's action — the handle
+        ``progress`` uses to find its tasks in the status tracker.
+        """
+        self.sc.setJobGroup(group, "mrs dataset materialization")
+        try:
+            return rdd.count()
+        finally:
+            self.sc.setJobGroup("", "")
+
     def progress(self, dataset: Dataset) -> float:
-        """Progress fraction (A14): 1.0 once materialized, else 0.0."""
-        return 1.0 if dataset._materialized else 0.0
+        """Progress fraction for an async dataset (A14).
+
+        Parity with ``mrs/job.py::Job.progress`` [upstream-UNVERIFIED]:
+        the reference reports per-dataset completed-task fractions from
+        the master's scheduler state; here the same fraction comes from
+        ``SparkStatusTracker`` — completed tasks over total tasks across
+        every stage of the dataset's job group. Returns 0.0 before the
+        action is scheduled, 1.0 once materialized; in-flight fractions
+        are capped at 0.99 so only materialization reports completion
+        (stage stats lag the job's own completion event).
+        """
+        if dataset._materialized:
+            return 1.0
+        group = getattr(dataset, "_job_group", None)
+        if group is None:
+            return 0.0
+        tracker = self.sc.statusTracker()
+        total = done = 0
+        for job_id in tracker.getJobIdsForGroup(group):
+            job = tracker.getJobInfo(job_id)
+            if job is None:
+                continue
+            for stage_id in job.stageIds:
+                stage = tracker.getStageInfo(stage_id)
+                if stage is None:
+                    continue
+                total += stage.numTasks
+                done += stage.numCompletedTasks
+        if total == 0:
+            return 0.0
+        return min(done / total, 0.99)
 
 
 class IterativeMR:

@@ -58,38 +58,62 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_stateful",
-    oracle="""
-    SELECT user_id,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_val
-    FROM events GROUP BY user_id
-    """,
-    survey="C6 (arbitrary stateful streaming: applyInPandasWithState)",
-    scale="""
-    Arbitrary per-key state with framework-managed fault tolerance: state
-    lives in the state store (RocksDB at scale), keyed by user, updated
-    per micro-batch. With Trigger.AvailableNow and in-order data the
-    final state equals the batch aggregate — which is exactly what the
-    oracle checks. The custom-state path is for logic groupBy can't
-    express (sessionization with side conditions, CEP, model state);
-    everything algebraic should stay in built-in aggregates.
-    """,
-)
-def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user running totals via a real applyInPandasWithState stream."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+def transform_with_state_available() -> bool:
+    """True when transformWithStateInPandas can actually run here.
 
-    from ..session import apply_runtime_confs
+    The Spark 4 API talks to a JVM state server over a protobuf
+    protocol from a driver-side Python worker; without google.protobuf
+    the worker crashes at query start (STREAMING_PYTHON_RUNNER_
+    INITIALIZATION_FAILURE), so the capability gate is the import.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
 
-    apply_runtime_confs(spark)
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        return True
+    except ImportError:
+        return False
+
+
+_TOTALS_OUT = "user_id bigint, n_events bigint, sum_val double"
+
+
+def _totals_transform_with_state(stream: DataFrame) -> DataFrame:
+    """Spark 4 transformWithStateInPandas formulation (primary path)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
     )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, s DOUBLE")
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_val": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=_TOTALS_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _totals_apply_in_pandas(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState fallback — identical per-key semantics."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def totals(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -103,30 +127,95 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "sum_val": [s]}
         )
 
-    result = stream.groupBy("user_id").applyInPandasWithState(
+    return stream.groupBy("user_id").applyInPandasWithState(
         totals,
-        outputStructType="user_id bigint, n_events bigint, sum_val double",
+        outputStructType=_TOTALS_OUT,
         stateStructType="n bigint, s double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+@register(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_val
+    FROM events GROUP BY user_id
+    """,
+    survey="C6 (arbitrary stateful streaming: Spark 4 "
+    "transformWithStateInPandas, applyInPandasWithState fallback)",
+    scale="""
+    Arbitrary per-key state with framework-managed fault tolerance.
+    Primary path is the Spark 4 transformWithState API (SURVEY.md §2.C
+    C6's named target; supersedes applyInPandasWithState): typed
+    ValueState in the RocksDB state store, keyed by user, updated per
+    micro-batch — the API adds composable typed state variables,
+    timers, and state schema evolution over the old single-tuple
+    state. Its state-server protocol needs google.protobuf, which this
+    container lacks, so the builder gates on that import and falls
+    back to applyInPandasWithState with IDENTICAL semantics (the
+    batch-twin oracle pins both). With Trigger.AvailableNow and
+    in-order data the final state equals the batch aggregate — which
+    is exactly what the oracle checks. The custom-state path is for
+    logic groupBy can't express (sessionization with side conditions,
+    CEP, model state); everything algebraic should stay in built-in
+    aggregates.
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via a real stateful streaming query."""
+    from ..session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    use_tws = transform_with_state_available()
+    result = (
+        _totals_transform_with_state(stream)
+        if use_tws
+        else _totals_apply_in_pandas(stream)
+    )
     sink_name = "mrs_stream_stateful_sink"
     checkpoint = tempfile.mkdtemp(prefix="mrs_state_ckpt_")
-    query = (
-        result.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = query.awaitTermination(180)
-    if not finished:
-        query.stop()
-        raise TimeoutError(
-            "stream_stateful: availableNow batch did not finish in 180s; "
-            "memory sink would be partial — failing loudly instead"
+    # transformWithState requires the RocksDB state store (the provider it
+    # was designed around); scope the conf to this query's start and
+    # restore so co-resident HDFS-state queries keep their checkpoints.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if use_tws:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
         )
+    try:
+        query = (
+            result.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = query.awaitTermination(180)
+        if not finished:
+            query.stop()
+            raise TimeoutError(
+                "stream_stateful: availableNow batch did not finish in "
+                "180s; memory sink would be partial — failing loudly instead"
+            )
+    finally:
+        if use_tws:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
     # one update row per user per micro-batch: keep the final state
     snap = spark.table(sink_name)
     from ..exprs import pround

@@ -211,3 +211,37 @@ def test_pso_example_converges_deterministically(spark):
     assert 1 <= iters <= 6
     start2, best2, iters2 = mod.run(spark, n_particles=16, generations=6)
     assert (start2, best2, iters2) == (start, best, iters)
+
+
+def test_progress_reports_task_fractions_midflight(spark):
+    """A14 parity: during an async materialization, Job.progress reports
+    the completed-task fraction from the status tracker — strictly
+    between 0 and 1 while staggered tasks finish, 1.0 only once the
+    dataset materializes."""
+    import time
+
+    job = Job(spark, default_splits=8)
+    job.wait(job.local_data([(0, 0)], splits=1), timeout=30)  # warm
+
+    def staggered_map(key, value):
+        time.sleep(0.5 + key * 0.9)  # tasks finish one by one
+        yield (key, value)
+
+    src = job.local_data([(i, i) for i in range(8)], splits=8)
+    slow = job.map_data(src, staggered_map)
+    job.wait(slow, timeout=0.1)  # kick off async, don't block
+
+    midflight = []
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        ready = job.wait(slow, timeout=0.2)
+        if ready:
+            break
+        p = job.progress(slow)
+        assert 0.0 <= p <= 0.99  # in-flight never reports completion
+        midflight.append(p)
+    assert job.wait(slow, timeout=30) == [slow]
+    assert job.progress(slow) == 1.0
+    # staggered tasks guarantee at least one genuinely partial reading
+    assert any(0.0 < p < 1.0 for p in midflight), midflight
+    assert midflight == sorted(midflight)  # task counts only grow

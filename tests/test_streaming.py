@@ -126,8 +126,10 @@ def test_transform_with_state_next_gen_api(spark, sf_dir):
 
     Requires the python protobuf runtime for the driver<->state-server
     protocol; not installed in this container, so this skips there and
-    runs wherever the dependency exists. applyInPandasWithState (tested
-    via the declared stream_stateful query) is the supported C6 path.
+    runs wherever the dependency exists. The declared stream_stateful
+    query PREFERS this API (transform_with_state_available gate) and
+    falls back to applyInPandasWithState with identical semantics when
+    protobuf is absent.
     """
     import tempfile as _tmp
 
@@ -239,3 +241,20 @@ def test_foreach_batch_sink(spark, sf_dir):
     assert sum(seen.values()) == spark.read.parquet(
         f"{sf_dir}/events.parquet"
     ).count()
+
+
+def test_stream_stateful_api_gate_matches_environment():
+    """The C6 builder must select transformWithStateInPandas exactly when
+    its protobuf dependency is importable (and the fallback otherwise) —
+    the capability probe may not drift from the real requirement."""
+    from mrs_mapreduce_spark.streaming.stateful import (
+        transform_with_state_available,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+    assert transform_with_state_available() == have_protobuf
