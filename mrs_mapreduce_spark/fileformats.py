@@ -20,13 +20,13 @@ scans are columnar and pushdown works.
    the same property). Never point these readers at data you did not
    write.
 
-.. note:: **Shared-storage contract.** ``write_hex``/``read_hex`` go
-   through Hadoop text I/O (``saveAsTextFile``/``textFile``) and work on
-   any Spark-visible filesystem. ``write_bin``/``read_bin`` write part
-   files with local ``Path`` I/O from executor tasks and list them on
-   the driver, so they require a filesystem shared between driver and
-   executors (local mode, NFS, or a fuse-mounted object store); on a
-   multi-node cluster with node-local disks use the hex format instead.
+.. note:: **Shared-storage contract.** Both formats go through Hadoop
+   I/O (``saveAsTextFile``/``textFile`` for hex,
+   ``saveAsSequenceFile``/``sequenceFile`` with ``BytesWritable``
+   key/value blobs for binary), so both work on any Spark-visible
+   filesystem — HDFS, object stores, or local paths in local mode. No
+   driver-side directory listing or executor-local ``Path`` writes
+   anywhere.
 """
 
 from __future__ import annotations
@@ -34,7 +34,7 @@ from __future__ import annotations
 import pickle
 import struct
 from collections.abc import Iterable, Iterator
-from pathlib import Path
+
 
 from pyspark.rdd import RDD
 from pyspark.sql import SparkSession
@@ -68,10 +68,19 @@ def read_hex(spark: SparkSession, outdir: str) -> RDD:
     return spark.sparkContext.textFile(outdir).map(hex_decode_line)
 
 
-# -- binary format: [4-byte klen][key pickle][4-byte vlen][value pickle]*
+# -- binary format: Hadoop SequenceFile of (pickle(key), pickle(value))
+# BytesWritable blobs. The SequenceFile container supplies the length
+# framing the reference's BinWriter hand-rolled ([4-byte len][payload]),
+# plus sync markers, splittability and cluster-safe committers for free.
 
 
 def bin_encode_partition(pairs: Iterable[tuple]) -> Iterator[bytes]:
+    """Length-prefixed blob of a partition's pairs (BinWriter wire parity).
+
+    Kept as the reference-format encoder (``[4-byte klen][key pickle]
+    [4-byte vlen][value pickle]*``) for interchange with external tools;
+    :func:`write_bin` itself now delegates framing to SequenceFile.
+    """
     chunks = []
     for key, value in pairs:
         kb = pickle.dumps(key, protocol=4)
@@ -96,24 +105,20 @@ def bin_decode_blob(blob: bytes) -> Iterator[tuple]:
 
 
 def write_bin(rdd: RDD, outdir: str) -> None:
-    """One length-prefixed binary part-file per partition (BinWriter)."""
-    out = Path(outdir)
-    out.mkdir(parents=True, exist_ok=True)
-
-    def save(idx: int, pairs: Iterable[tuple]) -> Iterator[int]:
-        blob = b"".join(bin_encode_partition(pairs))
-        (out / f"part-{idx:05d}.mrsb").write_bytes(blob)
-        yield idx
-
-    rdd.mapPartitionsWithIndex(save).count()
+    """One binary part-file per partition (BinWriter parity), written
+    through the Hadoop SequenceFile output committer — executor tasks
+    write to any Spark-visible filesystem, no shared driver/executor
+    directory required."""
+    rdd.map(
+        lambda kv: (
+            bytearray(pickle.dumps(kv[0], protocol=4)),
+            bytearray(pickle.dumps(kv[1], protocol=4)),
+        )
+    ).saveAsSequenceFile(outdir)
 
 
 def read_bin(spark: SparkSession, outdir: str) -> RDD:
     """Read a binary dataset back to a pair RDD (BinReader parity)."""
-    files = sorted(str(p) for p in Path(outdir).glob("part-*.mrsb"))
-    sc = spark.sparkContext
-
-    def load(path: str) -> Iterator[tuple]:
-        yield from bin_decode_blob(Path(path).read_bytes())
-
-    return sc.parallelize(files, max(1, len(files))).flatMap(load)
+    return spark.sparkContext.sequenceFile(outdir).map(
+        lambda kv: (pickle.loads(bytes(kv[0])), pickle.loads(bytes(kv[1])))
+    )

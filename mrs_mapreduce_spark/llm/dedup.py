@@ -403,6 +403,62 @@ def _pairs_cte() -> str:
     return sql.strip().removeprefix("WITH ")
 
 
+def propagate_min_labels(
+    sym: DataFrame,
+    max_rounds: int = 50,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Min-label propagation to the exact fixpoint over a symmetric edge list.
+
+    ``sym`` must contain both directions of every edge as (doc_a, doc_b).
+    Returns (doc_id, lbl) with lbl = min node id of the component.
+
+    Hardening for pathological graphs (long chains → rounds ~ diameter):
+    every ``checkpoint_every`` rounds the label frontier is eagerly
+    ``localCheckpoint``'d so lineage stays bounded however many rounds
+    run, and ``max_rounds`` is a loud-failure guard — an
+    iteration-capped result silently presented as components would be a
+    correctness bug, so non-convergence raises instead of returning.
+    """
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .cache()
+    )
+    for round_no in range(1, max_rounds + 1):
+        prop = (
+            labels.join(sym, labels.doc_id == sym.doc_a)
+            .select(F.col("doc_b").alias("doc_id"), "lbl")
+        )
+        new_labels = (
+            labels.select("doc_id", "lbl")
+            .union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        if round_no % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"propagate_min_labels: no fixpoint after {max_rounds} rounds — "
+        "graph diameter exceeds the guard; raise max_rounds explicitly "
+        "rather than trusting a truncated labeling"
+    )
+
+
+
 @register(
     "dedup_components",
     oracle=None,  # set below: needs the pairs CTE assembled at import time
@@ -426,34 +482,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
-    labels = (
-        sym.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .cache()
-    )
-    while True:
-        prop = (
-            labels.join(sym, labels.doc_id == sym.doc_a)
-            .select(F.col("doc_b").alias("doc_id"), "lbl")
-        )
-        new_labels = (
-            labels.select("doc_id", "lbl")
-            .union(prop)
-            .groupBy("doc_id")
-            .agg(F.min("lbl").alias("lbl"))
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = propagate_min_labels(sym)
     out = (
         labels.groupBy(F.col("lbl").alias("component"))
         .agg(

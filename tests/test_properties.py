@@ -350,3 +350,31 @@ def test_zorder_interleave_is_injective_and_bounded(spark, pts):
         assert k not in seen
         seen[k] = (x, y)
         assert 0 <= k < 1 << (2 * ZBITS)
+
+
+def test_label_propagation_long_chain_exact_components(spark):
+    """propagate_min_labels must reach the exact fixpoint on a
+    diameter-N chain (worst case for one-hop propagation: rounds ~ N,
+    crossing several localCheckpoint boundaries), keep a second
+    disconnected component separate, and fail LOUDLY when the guard is
+    too small — never return a truncated labeling."""
+    from mrs_mapreduce_spark.llm.dedup import propagate_min_labels
+
+    n = 13  # chain 0-1-2-...-12 plus a separate triangle 100-101-102
+    chain = [(i, i + 1) for i in range(n - 1)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    edges = spark.createDataFrame(chain + tri, ["doc_a", "doc_b"])
+    sym = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = {
+        r.doc_id: r.lbl
+        for r in propagate_min_labels(sym, checkpoint_every=3).collect()
+    }
+    assert all(labels[i] == 0 for i in range(n))
+    assert all(labels[i] == 100 for i in (100, 101, 102))
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        propagate_min_labels(sym, max_rounds=3, checkpoint_every=2)
