@@ -51,7 +51,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       fixtures); derive ``ts_ns = unix_micros(ts) * 1000``, exact because
       the session zone is pinned UTC (RUNTIME_CONFS) so the ntz→instant
       cast is the identity.
+
+    Memoized per (session, sf_dir, name): ``spark.read.parquet`` plus the
+    events schema probe cost ~95 ms of driver time per call (measured at
+    sf0.1), dominating plan-build for every declared query. Fixtures are
+    immutable within a session and DataFrames are reusable, so the same
+    object is returned on every call.
     """
+    cache: dict = getattr(spark, "_mrs_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._mrs_table_cache = cache
+    key = (sf_dir, name)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
@@ -67,6 +81,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ).withColumn(
                 "ts_ns", F.expr("unix_micros(cast(ts as timestamp)) * 1000")
             )
+    cache[key] = df
     return df
 
 
@@ -94,9 +109,16 @@ def fan_out(df: DataFrame) -> DataFrame:
     parallelism, repartition round-robin; at cluster scale inputs are
     already wide and this is a no-op costing one getNumPartitions call.
     Only worth it when downstream work per row dwarfs the extra shuffle
-    (measured 3.6x on dedup_minhash at sf0.1).
+    (measured 3.6x on dedup_minhash at sf0.1). The ``.rdd`` probe forces
+    a driver-side plan translation (~10 ms), so its result is cached on
+    the DataFrame object — with :func:`table` memoized, each fixture
+    table pays the probe once per session.
     """
+    n = getattr(df, "_mrs_scan_parts", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        df._mrs_scan_parts = n
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    if n >= max(2, target // 2):
         return df
     return df.repartition(target)

@@ -59,24 +59,53 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def _cells_close(ra: tuple, rb: tuple, tol: float) -> bool:
+    if len(ra) != len(rb):
+        return False
+    for x, y in zip(ra, rb):
+        if x == y:
+            continue
+        if (
+            isinstance(x, (int, float))
+            and isinstance(y, (int, float))
+            and not isinstance(x, bool)
+            and not isinstance(y, bool)
+            and abs(float(x) - float(y)) <= tol
+        ):
+            continue
+        return False
+    return True
+
+
 def _rows_close(a: list[tuple], b: list[tuple], tol: float) -> bool:
-    """Cell-wise comparison allowing ``tol`` absolute error on floats."""
+    """Cell-wise comparison allowing ``tol`` absolute error on numerics.
+
+    Rows are matched on their NON-numeric cells first, then greedily
+    within each group — a positional zip after repr-sorting would
+    misalign genuinely-close rows whenever a within-tolerance float
+    delta flips the canonical sort order between engines.
+    """
     if len(a) != len(b):
         return False
-    for ra, rb in zip(a, b):
-        if len(ra) != len(rb):
-            return False
-        for x, y in zip(ra, rb):
-            if x == y:
-                continue
-            if (
-                isinstance(x, (int, float))
-                and isinstance(y, (int, float))
-                and not isinstance(x, bool)
-                and not isinstance(y, bool)
-                and abs(float(x) - float(y)) <= tol
-            ):
-                continue
+
+    def key_of(r: tuple) -> tuple:
+        return tuple(
+            None
+            if isinstance(x, (int, float)) and not isinstance(x, bool)
+            else x
+            for x in r
+        )
+
+    pool: dict[tuple, list[tuple]] = {}
+    for r in b:
+        pool.setdefault(key_of(r), []).append(r)
+    for ra in a:
+        cands = pool.get(key_of(ra), [])
+        for i, rb in enumerate(cands):
+            if _cells_close(ra, rb, tol):
+                cands.pop(i)
+                break
+        else:
             return False
     return True
 

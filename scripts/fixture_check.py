@@ -31,7 +31,12 @@ SNAPSHOT = Path(__file__).resolve().parent / "fixture_snapshot.json"
 def layout(sf_dir: str) -> dict:
     out = {}
     for t in TABLES:
-        f = pq.ParquetFile(f"{sf_dir}/{t}.parquet")
+        path = Path(sf_dir) / f"{t}.parquet"
+        if not path.exists():
+            # a table the driver deleted is drift, not a crash
+            out[t] = {"rows": None, "cols": {"<MISSING FILE>": str(path)}}
+            continue
+        f = pq.ParquetFile(path)
         out[t] = {
             "rows": f.metadata.num_rows,
             "cols": {
@@ -53,8 +58,14 @@ def main() -> int:
     for d, tables in current.items():
         prev = recorded.get(d)
         if prev is None:
-            print(f"[new dir] {d} (not in snapshot)")
+            # an unverified layout is exactly what this script exists to
+            # catch — unknown dirs are drift until snapshotted
+            changed = True
+            print(f"[NEW DIR — UNVERIFIED] {d} (not in snapshot)")
             continue
+        for t in sorted(set(prev) - set(tables)):
+            changed = True
+            print(f"[TABLE GONE FROM CHECK LIST] {d}/{t} was snapshotted")
         for t, cur in tables.items():
             old = prev.get(t, {})
             if cur["cols"] != old.get("cols"):
