@@ -844,3 +844,177 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "pair")
         .limit(20)
     )
+
+
+@register(
+    "text_bm25",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    q AS (SELECT DISTINCT w FROM tok WHERE doc_id = 0 ORDER BY w LIMIT 8),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+               * 1000000 + 0.5) AS BIGINT) AS c
+      FROM tf JOIN q USING (w) JOIN df USING (w)
+      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+    scored AS (SELECT doc_id, sum(c) AS micro FROM contrib GROUP BY doc_id)
+    SELECT doc_id, round(micro / 1000000.0, 4) AS bm25, rk
+    FROM (SELECT doc_id, micro,
+                 row_number() OVER (ORDER BY micro DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= 10
+    """,
+    survey="D4 extension (BM25 ranked retrieval over the token stats)",
+    scale="""
+    Full-text relevance on the same aggregates the tf-idf/postings
+    family already builds: tf, per-doc length, df and corpus stats are
+    partial-aggregated groupBys; the query term set (8 terms) and df
+    broadcast onto tf so the big side never shuffles for the scoring
+    join. Per-term contributions are quantized to integer micro-points
+    BEFORE the per-doc sum — int64 addition is associative, so the
+    score is bit-identical under ANY aggregation order on both engines
+    (a raw double sum would be partial-aggregation-order dependent).
+    Global top-10 is TakeOrderedAndProject. At 100 TB this is the
+    retrieval scorer over the inverted index (text_postings): score
+    only docs in the query terms' postings — exactly what the q-join
+    does here.
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 docs for the query = first 8 distinct words of doc 0."""
+    k1, b = 1.2, 0.75
+    docs = table(spark, sf_dir, "documents")
+    tok = tokens(docs)
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    q = (
+        tok.filter(F.col("doc_id") == 0)
+        .select("word")
+        .distinct()
+        .orderBy("word")
+        .limit(8)
+    )
+    idf = F.log(
+        ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0
+    )
+    score = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(q), "word")
+        .join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(score * 1_000_000 + 0.5).cast("long").alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("c").alias("micro"))
+    w = Window.orderBy(F.desc("micro"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "doc_id",
+            pround(F.col("micro") / 1_000_000.0, 4).alias("bm25"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "text_perplexity",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i+1])) AS pair
+           FROM words WHERE len(ws) >= 2),
+    pairs AS (SELECT pair, count(*) AS c12 FROM bg GROUP BY pair),
+    uni AS (SELECT string_split(pair, ' ')[1] AS w1, sum(c12) AS c1
+            FROM pairs GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents)),
+    contrib AS (
+      SELECT bg.doc_id,
+             CAST(floor(-ln((p.c12 + 1.0)
+                            / (u.c1 + (SELECT v FROM vocab)))
+                        * 1000000 + 0.5) AS BIGINT) AS nll
+      FROM bg JOIN pairs p USING (pair)
+      JOIN uni u ON u.w1 = string_split(bg.pair, ' ')[1])
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(sum(nll) / count(*) / 1000000.0, 4) AS avg_nll
+    FROM contrib GROUP BY doc_id
+    """,
+    survey="D4 extension (bigram-LM negative log-likelihood — the "
+    "CCNet-style LM quality filter)",
+    scale="""
+    The LM filter real pipelines gate pretraining data with: score every
+    document by its average token negative log-likelihood under a
+    Laplace-smoothed bigram model (perplexity = exp(avg_nll); the nll is
+    declared because exp() at the boundary is the only cross-engine
+    rounding risk). The model IS two aggregates (bigram counts + their
+    w1 marginals — the text_bigram_lm table untruncated) joined back
+    onto the per-doc bigram stream keyed on the bigram; per-bigram nll
+    is quantized to integer micro-nats before the per-doc sum so the
+    aggregate is order-independent and bit-identical across engines. At
+    100 TB the model table shuffles once and the join is shuffle-on-pair
+    (or broadcast after frequency pruning); the doc stream is touched
+    twice (model build, scoring) and never materializes its explode.
+    """,
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc avg bigram negative log-likelihood (Laplace-smoothed LM)."""
+    from .dedup import shingles
+
+    docs = table(spark, sf_dir, "documents")
+    bg = shingles(docs, k=2).select("doc_id", F.col("sh").alias("pair"))
+    pairs = bg.groupBy("pair").agg(F.count(F.lit(1)).alias("c12"))
+    uni = pairs.groupBy(
+        F.split("pair", " ").getItem(0).alias("w1")
+    ).agg(F.sum("c12").alias("c1"))
+    vocab = (
+        tokens(docs).select("word").distinct().agg(
+            F.count(F.lit(1)).alias("v")
+        )
+    )
+    nll = -F.log(
+        (F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))
+    )
+    contrib = (
+        bg.join(pairs, "pair")
+        .withColumn("w1", F.split("pair", " ").getItem(0))
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(nll * 1_000_000 + 0.5).cast("long").alias("nll"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        pround(
+            F.sum("nll") / F.count(F.lit(1)) / 1_000_000.0, 4
+        ).alias("avg_nll"),
+    )

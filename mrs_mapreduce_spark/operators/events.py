@@ -672,3 +672,117 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.expr("percentile(med_gap_ns, 0.5)") / 1e9, 2).alias("p50_s"),
         pround(F.expr("percentile(med_gap_ns, 0.75)") / 1e9, 2).alias("p75_s"),
     )
+
+
+@register(
+    "scd2_build",
+    oracle="""
+    WITH ch AS (SELECT user_id, event_id,
+                       epoch_ns(ts) // 1000 AS ts_us,
+                       round(value, 2) AS val
+                FROM events WHERE event_type = 'purchase')
+    SELECT user_id,
+           ts_us AS valid_from_us,
+           coalesce(lead(ts_us) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id),
+                    9223372036854775807) AS valid_to_us,
+           val,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id)
+                AS BIGINT) AS version
+    FROM ch
+    """,
+    survey="B8/E33 companion (SCD2 dimension BUILD from a change log)",
+    scale="""
+    The other half of join_pit_scd2: turn an append-only change log
+    into SCD2 validity intervals — valid_from = the change's own
+    timestamp, valid_to = lead() of the next same-key change (open
+    tail = max int64, so interval probes never need NULL handling).
+    ONE window pass computes both the interval and the version number
+    over a single user_id exchange; no self-join, no aggregation. At
+    100 TB this runs incrementally: only keys present in the new log
+    slice re-window (join the delta's key set semi-style), everything
+    else keeps its intervals — the standard warehouse dim-refresh.
+    Microsecond timestamps on both engines (DuckDB ns truncation
+    rule).
+    """,
+)
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 intervals (valid_from/valid_to/version) from purchase changes."""
+    ch = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+            pround("value", 2).alias("val"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ch.select(
+        "user_id",
+        F.col("ts_us").alias("valid_from_us"),
+        F.coalesce(
+            F.lead("ts_us").over(w), F.lit(9223372036854775807)
+        ).alias("valid_to_us"),
+        "val",
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, value, epoch_ns(ts) AS tsn, event_id,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS channel
+      FROM events)
+    SELECT coalesce(channel, '(none)') AS channel,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS revenue
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    survey="D6 extension (last-touch attribution)",
+    scale="""
+    Marketing attribution without an as-of self-join: the attributed
+    channel is last_value(ignorenulls) of the preceding non-purchase
+    event inside ONE user_id window pass (frame ends at 1 PRECEDING so
+    a purchase never attributes to itself), then a tiny channel-level
+    aggregate. One exchange on user_id, O(1) state per row — the
+    window alternative to join_asof for the "latest prior fact"
+    family. (event_id tiebreak = deterministic under simultaneous
+    events.) At 100 TB identical shape; multi-touch variants swap
+    last_value for collect+weights over the same single window.
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue credited to the last non-purchase touch before purchase."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(none)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            pround(F.sum("value"), 2).alias("revenue"),
+        )
+    )

@@ -265,3 +265,55 @@ def pandas_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         pround("z_raw", 4).alias("z"),
     )
+
+
+@register(
+    "python_udtf_table_arg",
+    oracle="""
+    WITH src AS (SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS p
+                 FROM orders WHERE o_orderkey < 2000)
+    SELECT o_orderkey, o_custkey, p,
+           CASE WHEN p >= 200000 THEN 'high'
+                WHEN p >= 50000 THEN 'mid'
+                ELSE 'low' END AS tier
+    FROM src
+    """,
+    survey="A18 (Spark 4 polymorphic UDTF with TABLE(...) argument)",
+    scale="""
+    The TABLE-argument UDTF: the relation itself is the argument
+    (SELECT * FROM f(TABLE(v))), so user table-functions compose in SQL
+    exactly like built-ins — the Spark 4 capability the reference's
+    registry-by-name UDF model maps onto for whole-dataset transforms.
+    Rows stream through the Python worker in Arrow batches,
+    partition-parallel, no re-partitioning required for a row-wise
+    UDTF like this tier tagger. Still the slow path (same rule as
+    python_udtf): production twin is the pure-codegen CASE the oracle
+    spells.
+    """,
+)
+def python_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise tier tagging via a UDTF taking a TABLE(...) argument."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, o_custkey bigint, p double,"
+          " tier string")
+    class TierTag:
+        def eval(self, row):
+            # p arrives pre-rounded JVM-side (pround): Python's round()
+            # is banker's rounding and would diverge from the oracle
+            p = row["p"]
+            tier = "high" if p >= 200000 else ("mid" if p >= 50000 else "low")
+            yield (row["o_orderkey"], row["o_custkey"], p, tier)
+
+    spark.udtf.register("mrs_tier_tag", TierTag)
+    (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey", "o_custkey", pround("o_totalprice", 2).alias("p")
+        )
+        .createOrReplaceTempView("_udtf_orders")
+    )
+    return spark.sql(
+        "SELECT * FROM mrs_tier_tag(TABLE(_udtf_orders))"
+    )
