@@ -928,15 +928,15 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = contrib.groupBy("doc_id").agg(F.sum("c").alias("micro"))
+    # global top-10 via orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps, no global sort); the rank window then runs over 10 rows only,
+    # never the full scored relation
+    top = scored.orderBy(F.desc("micro"), "doc_id").limit(10)
     w = Window.orderBy(F.desc("micro"), "doc_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select(
-            "doc_id",
-            pround(F.col("micro") / 1_000_000.0, 4).alias("bm25"),
-            "rk",
-        )
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id",
+        pround(F.col("micro") / 1_000_000.0, 4).alias("bm25"),
+        "rk",
     )
 
 

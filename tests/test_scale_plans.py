@@ -230,3 +230,36 @@ def test_rfm_no_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_rfm")
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_topk_and_broadcast_scoring(spark, sf_dir):
+    """BM25: the scoring join must broadcast the query-term/df side and
+    the global top-10 must be TakeOrderedAndProject, not a
+    single-partition sort of the scored relation."""
+    plan = _plan(spark, sf_dir, "text_bm25")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_perplexity_integer_quantized_sum(spark, sf_dir):
+    """The per-doc nll sum must aggregate int64 micro-nats (order-free),
+    partial->final, with no Python in the plan."""
+    plan = _plan(spark, sf_dir, "text_perplexity")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_build_single_window_pass(spark, sf_dir):
+    """Interval + version must come from ONE user-partitioned window
+    (one exchange), no self-join."""
+    plan = _plan(spark, sf_dir, "scd2_build")
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_attribution_single_window_exchange(spark, sf_dir):
+    """Attribution = one user_id window + channel rollup: exactly one
+    full-relation exchange before the tiny aggregate."""
+    plan = _plan(spark, sf_dir, "events_attribution")
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
