@@ -243,3 +243,109 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.stop()
         raise TimeoutError("stream_static_join: drain did not finish in 180s")
     return spark.table(sink_name)
+
+
+@register(
+    "stream_join_left_outer",
+    oracle="""
+    WITH mxp AS (SELECT max(epoch_ns(ts) // 1000000) AS m FROM events
+                 WHERE event_type = 'purchase'),
+    mxs AS (SELECT max(epoch_ns(ts) // 1000000) AS m FROM events
+            WHERE event_type = 'signup'),
+    w AS (SELECT (least(mxp.m, mxs.m) - 3600000) * 1000 AS w_us
+          FROM mxp, mxs),
+    p AS (SELECT event_id AS purchase_id, user_id,
+                 epoch_ns(ts) // 1000 AS p_us
+          FROM events WHERE event_type = 'purchase'),
+    s AS (SELECT event_id AS signup_id, user_id AS s_user,
+                 epoch_ns(ts) // 1000 AS s_us
+          FROM events WHERE event_type = 'signup'),
+    j AS (SELECT p.purchase_id, p.user_id, p.p_us, s.signup_id, s.s_us
+          FROM p LEFT JOIN s
+            ON p.user_id = s.s_user
+           AND s.s_us <= p.p_us
+           AND s.s_us > p.p_us - 3600000000)
+    SELECT purchase_id, signup_id, user_id,
+           CAST(p_us - s_us AS BIGINT) AS gap_us
+    FROM j
+    WHERE signup_id IS NOT NULL OR p_us < (SELECT w_us FROM w)
+    """,
+    survey="C (stream-stream LEFT OUTER join: watermark state eviction)",
+    scale="""
+    The outer variant of stream_stream_join: unmatched purchases are
+    held in the join state and NULL-emitted only when the watermark
+    proves no matching signup can still arrive. The oracle encodes
+    Spark's exact eviction semantics, empirically pinned: the global
+    watermark is min over both sides of (per-side max event time,
+    millisecond-truncated) minus the 1h delay — per-side because each
+    withWatermark sits after its event_type filter — and a left row
+    null-emits iff its event time is strictly below that. At 100 TB
+    the state bound is identical to the inner join (O(rate x
+    interval) per side); the only extra cost is the eviction scan per
+    micro-batch. On an unbounded stream rows near the head simply wait
+    — the availableNow drain surfaces exactly the watermark-proven
+    subset, which is what makes the result deterministic and
+    oracle-checkable at all.
+    """,
+)
+def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """purchases LEFT OUTER signups within 1h as a real dual-stream join."""
+    from .source import events_stream
+
+    def src():
+        return events_stream(spark, sf_dir)
+
+    p = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.expr("ts_ns div 1000").alias("p_us"),
+        )
+    )
+    s = (
+        src()
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+            F.expr("ts_ns div 1000").alias("s_us"),
+        )
+    )
+    joined = p.join(
+        s,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("s_us") <= F.col("p_us"))
+        & (F.col("s_us") > F.col("p_us") - 3_600_000_000),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "signup_id",
+        "user_id",
+        (F.col("p_us") - F.col("s_us")).alias("gap_us"),
+    )
+    sink_name = "mrs_stream_left_outer_sink"
+    checkpoint = tempfile.mkdtemp(prefix="mrs_slo_ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(180)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "stream_join_left_outer: availableNow drain did not finish in "
+            "180s; memory sink would be partial — failing loudly instead"
+        )
+    return spark.table(sink_name)
