@@ -164,6 +164,11 @@ EXTRA = [
     "multimodal_decode",
     "corpus_pack_contexts",
     "corpus_decontaminate",
+    "text_bm25",
+    "text_perplexity",
+    "similarity_ivf_trained",
+    "similarity_lsh_multiprobe",
+    "events_rfm",
 ]
 
 

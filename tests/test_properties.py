@@ -378,3 +378,44 @@ def test_label_propagation_long_chain_exact_components(spark):
 
     with pytest.raises(RuntimeError, match="no fixpoint"):
         propagate_min_labels(sym, max_rounds=3, checkpoint_every=2)
+
+
+def test_scd2_intervals_partition_the_timeline(spark, sf_dir):
+    """Per user: versions are 1..n, intervals are adjacent half-open
+    [from, to) with to = next version's from, and exactly one open tail."""
+    from mrs_mapreduce_spark.registry import load_all
+
+    rows = load_all()["scd2_build"].builder(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    open_tail = 9223372036854775807
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1)), user
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_us == b.valid_from_us, user
+            assert a.valid_from_us < a.valid_to_us, user
+        assert vs[-1].valid_to_us == open_tail, user
+        assert all(r.valid_to_us == open_tail for r in vs[-1:])
+
+
+def test_attribution_conserves_revenue(spark, sf_dir):
+    """Across channels (incl. '(none)'), attributed purchase counts and
+    revenue must equal the raw purchase totals — attribution may move
+    credit, never create or destroy it."""
+    from mrs_mapreduce_spark.catalog import table
+    from mrs_mapreduce_spark.registry import load_all
+
+    rows = load_all()["events_attribution"].builder(spark, sf_dir).collect()
+    total_n = sum(r.n_purchases for r in rows)
+    total_rev = sum(r.revenue for r in rows)
+    raw = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("rev"))
+        .first()
+    )
+    assert total_n == raw.n
+    assert abs(total_rev - raw.rev) < 0.05 * len(rows)  # per-channel rounding
