@@ -35,32 +35,71 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def search(
-    spark: SparkSession, sf_dir: str, terms: list[str], top: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    terms: list[str],
+    top: int = 10,
+    bm25: bool = False,
 ) -> DataFrame:
-    """Top-``top`` docs containing ALL ``terms``, ranked by tf-idf."""
+    """Top-``top`` docs containing ALL ``terms``, tf-idf or BM25 ranked."""
     from mrs_mapreduce_spark.catalog import fan_out, table
 
     docs = table(spark, sf_dir, "documents")
     n_docs = docs.count()
     terms = sorted(set(terms))
 
+    tok = fan_out(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
     tf = (
-        fan_out(docs)
-        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w").isin(terms))
+        tok.filter(F.col("w").isin(terms))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_rel = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_rel.select(
-        "w", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)).alias("idf")
-    )
+    if bm25:
+        # Okapi BM25 (k1=1.2, b=0.75) — the llm.text.text_bm25 formula
+        k1, b = 1.2, 0.75
+        dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+        idf = df_rel.select(
+            "w",
+            F.log(
+                (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ).alias("idf"),
+        )
+        per_term = (
+            tf.join(F.broadcast(idf), "w")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(avgdl))
+            .select(
+                "doc_id",
+                "w",
+                (
+                    F.col("idf")
+                    * (F.col("tf") * (k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + k1
+                        * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
+                    )
+                ).alias("s"),
+            )
+        )
+    else:
+        idf = df_rel.select(
+            "w",
+            F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)).alias("idf"),
+        )
+        per_term = tf.join(F.broadcast(idf), "w").select(
+            "doc_id", "w", (F.col("tf") * F.col("idf")).alias("s")
+        )
     scored = (
-        tf.join(F.broadcast(idf), "w")
-        .groupBy("doc_id")
+        per_term.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_matched"),
-            F.round(F.sum(F.col("tf") * F.col("idf")), 4).alias("score"),
+            F.round(F.sum("s"), 4).alias("score"),
         )
         .filter(F.col("n_matched") == len(terms))  # AND semantics
     )
@@ -73,12 +112,15 @@ def main() -> int:
     parser.add_argument("terms", nargs="+")
     parser.add_argument("--master", default=None)
     parser.add_argument("--top", type=int, default=10)
+    parser.add_argument(
+        "--bm25", action="store_true", help="rank with Okapi BM25"
+    )
     args = parser.parse_args()
 
     from mrs_mapreduce_spark.session import get_session
 
     spark = get_session("search_corpus", master=args.master)
-    result = search(spark, args.sf_dir, args.terms, args.top)
+    result = search(spark, args.sf_dir, args.terms, args.top, bm25=args.bm25)
     for row in result.collect():
         print(f"doc {row.doc_id:>8}  score={row.score:<10} "
               f"matched={row.n_matched}")

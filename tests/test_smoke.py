@@ -149,3 +149,21 @@ def test_stream_pipeline_example(spark, sf_dir, tmp_path):
         .collect()
     }
     assert rows == twin
+
+
+def test_search_corpus_bm25_mode(spark, sf_dir):
+    """BM25 ranking keeps AND semantics and total ordering; the hit SET
+    equals tf-idf's (same AND filter — only the ranking differs)."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "examples/search_corpus.py"
+    spec = importlib.util.spec_from_file_location("search_corpus_b", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    terms = ["spark", "join"]
+    bm = mod.search(spark, sf_dir, terms, top=1000, bm25=True).collect()
+    tfidf = mod.search(spark, sf_dir, terms, top=1000, bm25=False).collect()
+    assert {r.doc_id for r in bm} == {r.doc_id for r in tfidf}
+    scores = [(r.score, -r.doc_id) for r in bm]
+    assert scores == sorted(scores, reverse=True)
