@@ -569,3 +569,82 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.bal").alias("bal"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id,
+                      epoch_ns(ts) AS p_ns, epoch_ns(ts) // 1000 AS p_us
+               FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT p.event_id,
+                 (SELECT max(epoch_ns(s.ts) // 1000) FROM events s
+                  WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                    AND epoch_ns(s.ts) <= p.p_ns) AS back_us
+          FROM p),
+    f AS (SELECT p.event_id,
+                 (SELECT min(epoch_ns(s.ts) // 1000) FROM events s
+                  WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                    AND epoch_ns(s.ts) > p.p_ns) AS fwd_us
+          FROM p)
+    SELECT p.event_id, p.user_id,
+           CASE WHEN f.fwd_us IS NULL THEN b.back_us
+                WHEN b.back_us IS NULL THEN f.fwd_us
+                WHEN p.p_us - b.back_us <= f.fwd_us - p.p_us
+                    THEN b.back_us
+                ELSE f.fwd_us END AS nearest_signup_us,
+           CASE WHEN f.fwd_us IS NULL THEN p.p_us - b.back_us
+                WHEN b.back_us IS NULL THEN p.p_us - f.fwd_us
+                WHEN p.p_us - b.back_us <= f.fwd_us - p.p_us
+                    THEN p.p_us - b.back_us
+                ELSE p.p_us - f.fwd_us END AS gap_us
+    FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+    survey="B8 (as-of join, NEAREST in either direction — completes the "
+    "backward/forward family)",
+    scale="""
+    Nearest-event as-of: both direction candidates — last(ignorenulls)
+    over the preceding frame and first(ignorenulls) over the
+    strictly-following frame — share the same (user_id, ts)
+    partitioning/ordering, so the relation shuffles and sorts exactly
+    ONCE (Spark plans one Window operator per frame, but the second
+    reuses the first's ordering: one Exchange, one Sort, plan-asserted).
+    The argmin-by-|gap| is then a
+    codegen CASE, ties broken toward the earlier (backward) candidate
+    for determinism. The naive formulation is two correlated subqueries
+    per row (the oracle) — quadratic; this is the plan that survives
+    100 TB. Signed gap_us: positive = signup before purchase.
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest same-user signup (before or after) for every purchase."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts_ns"
+    )
+    base = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(1, Window.unboundedFollowing)
+    s_us = F.when(
+        F.col("event_type") == "signup", F.expr("ts_ns div 1000")
+    )
+    carried = ev.withColumn(
+        "back_us", F.last(s_us, ignorenulls=True).over(w_back)
+    ).withColumn("fwd_us", F.first(s_us, ignorenulls=True).over(w_fwd))
+    p_us = F.expr("ts_ns div 1000")
+    back_gap = p_us - F.col("back_us")
+    fwd_gap = F.col("fwd_us") - p_us
+    pick_back = F.col("fwd_us").isNull() | (
+        F.col("back_us").isNotNull() & (back_gap <= fwd_gap)
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.when(pick_back, F.col("back_us"))
+        .otherwise(F.col("fwd_us"))
+        .alias("nearest_signup_us"),
+        F.when(pick_back, back_gap)
+        .otherwise(-fwd_gap)
+        .alias("gap_us"),
+    )

@@ -419,3 +419,34 @@ def test_attribution_conserves_revenue(spark, sf_dir):
     )
     assert total_n == raw.n
     assert abs(total_rev - raw.rev) < 0.05 * len(rows)  # per-channel rounding
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@_SETTINGS
+def test_distributed_global_ntile_equals_builtin(spark, vals):
+    """events_rfm's distributed global-rank ntile must be bit-identical
+    to SQL ntile(4) over the same total order, for any relation size
+    (including n < 4 and n % 4 != 0 bucket-remainder cases)."""
+    from pyspark.sql.window import Window as W
+
+    from mrs_mapreduce_spark.operators.events import _global_ntile
+
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    got = {
+        (r.x, r.q)
+        for r in _global_ntile(df, [F.asc("x")], "q").collect()
+    }
+    want = {
+        (r.x, r.q)
+        for r in df.select(
+            "x", F.ntile(4).over(W.orderBy("x")).alias("q")
+        ).collect()
+    }
+    assert got == want

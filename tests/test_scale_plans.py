@@ -263,3 +263,15 @@ def test_attribution_single_window_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_attribution")
     assert plan.count("Window") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_asof_nearest_single_window_pass(spark, sf_dir):
+    """Both direction candidates (backward last + forward first) must
+    share ONE exchange and ONE sort — Spark splits the two frames into
+    two Window operators, but the second reuses the first's ordering,
+    so the relation shuffles and sorts exactly once and there is no
+    self-join."""
+    plan = _plan(spark, sf_dir, "join_asof_nearest")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+    assert "Join" not in plan, plan
