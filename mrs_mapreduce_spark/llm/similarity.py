@@ -746,3 +746,115 @@ def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("q_id", "cand_id", pround("cos", 6).alias("cos_sim"), "rk")
     )
+
+
+_PQ_M = 8   # subvectors
+_PQ_D = 8   # dims per subvector (M * D = 64)
+_PQ_K = 4   # codes per subvector
+
+
+@register(
+    "embedding_pq",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                 FROM embeddings),
+    sub AS (SELECT vec_id, g.m,
+                   a[g.m * {_PQ_D} + 1 : g.m * {_PQ_D} + {_PQ_D}] AS sv
+            FROM pts CROSS JOIN generate_series(0, {_PQ_M - 1}) AS g(m)),
+    cb AS (SELECT m, vec_id AS k, sv AS cv FROM sub
+           WHERE vec_id < {_PQ_K}),
+    assigned AS (
+      SELECT vec_id, m, k, dmicro FROM (
+        SELECT s.vec_id, s.m, c.k,
+               CAST(floor(list_aggregate(list_transform(
+                        range(1, {_PQ_D} + 1),
+                        i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])),
+                    'sum') * 1000000 + 0.5) AS BIGINT) AS dmicro,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY list_aggregate(list_transform(
+                                      range(1, {_PQ_D} + 1),
+                                      i -> (s.sv[i] - c.cv[i])
+                                           * (s.sv[i] - c.cv[i])),
+                                  'sum'), c.k) AS rk
+        FROM sub s JOIN cb c ON c.m = s.m)
+      WHERE rk = 1)
+    SELECT vec_id,
+           list(k ORDER BY m) AS codes,
+           round(sum(dmicro) / 1000000.0, 4) AS recon_err
+    FROM assigned GROUP BY vec_id
+    """,
+    survey="D3 (product quantization — the ANN compression step beyond "
+    "scalar quantization)",
+    scale="""
+    PQ: the 64-dim vector becomes 8 one-byte codes (one per 8-dim
+    subvector, nearest of 4 codebook entries) — a 32x byte cut that
+    makes billion-vector indexes RAM-resident; search then uses
+    asymmetric distance over per-subvector lookup tables. The codebook
+    here is the first 4 vectors' subvectors (deterministic seed;
+    training composes exactly like similarity_ivf_trained's Lloyd
+    round). Plan shape: subvector explode is a codegen slice lambda,
+    assignment is the broadcast struct-min argmin (one row per
+    (vector, subvector) through the single shuffle), and the
+    reconstruction error aggregates int64 micro-units so the sum is
+    order-independent on both engines.
+    """,
+)
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize embeddings: 8 subvector codes + reconstruction err."""
+    pts = fan_out(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("a"),
+    )
+    sub = pts.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice("a", m * _PQ_D + 1, _PQ_D).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("m").alias("cb_m"),
+        F.col("vec_id").alias("k"),
+        F.col("sv").alias("cv"),
+    )
+    sq = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # argmin as a struct-min partial aggregation (iterative.py's pattern):
+    # the broadcast join is narrow, the one shuffle carries a single row
+    # per (vector, subvector)
+    assigned = (
+        sub.join(F.broadcast(cb), F.col("m") == F.col("cb_m"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(
+                    sq.alias("d"),
+                    F.col("k"),
+                    F.floor(sq * 1_000_000 + 0.5)
+                    .cast("long")
+                    .alias("dmicro"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.col("best.k").alias("k"),
+            F.col("best.dmicro").alias("dmicro"),
+        )
+    )
+    return assigned.groupBy("vec_id").agg(
+        F.sort_array(F.collect_list(F.struct("m", "k")))
+        .getField("k")
+        .alias("codes"),
+        pround(F.sum("dmicro") / 1_000_000.0, 4).alias("recon_err"),
+    )

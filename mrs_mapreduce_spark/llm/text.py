@@ -1005,7 +1005,8 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = (
         bg.join(pairs, "pair")
         .withColumn("w1", F.split("pair", " ").getItem(0))
-        .join(uni, "w1")
+        # w1 marginals are |vocab|-sized — broadcast at any realistic scale
+        .join(F.broadcast(uni), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
