@@ -753,6 +753,71 @@ _PQ_D = 8   # dims per subvector (M * D = 64)
 _PQ_K = 4   # codes per subvector
 
 
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sv): each embedding exploded into its M subvectors."""
+    pts = fan_out(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("a"),
+    )
+    return pts.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice("a", m * _PQ_D + 1, _PQ_D).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _pq_codebook(sub: DataFrame) -> DataFrame:
+    """(cb_m, k, cv): deterministic seed codebook = first K vectors."""
+    return sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("m").alias("cb_m"),
+        F.col("vec_id").alias("k"),
+        F.col("sv").alias("cv"),
+    )
+
+
+def _pq_codes(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, k, dmicro): nearest-codebook assignment per subvector.
+
+    argmin as a struct-min partial aggregation (iterative.py's pattern):
+    the broadcast join is narrow, the one shuffle carries a single row
+    per (vector, subvector).
+    """
+    sq = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        sub.join(F.broadcast(cb), F.col("m") == F.col("cb_m"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(
+                    sq.alias("d"),
+                    F.col("k"),
+                    F.floor(sq * 1_000_000 + 0.5)
+                    .cast("long")
+                    .alias("dmicro"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.col("best.k").alias("k"),
+            F.col("best.dmicro").alias("dmicro"),
+        )
+    )
+
+
+
 @register(
     "embedding_pq",
     oracle=f"""
@@ -802,59 +867,117 @@ _PQ_K = 4   # codes per subvector
 )
 def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantize embeddings: 8 subvector codes + reconstruction err."""
-    pts = fan_out(table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("a"),
-    )
-    sub = pts.select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-                lambda m: F.struct(
-                    m.alias("m"),
-                    F.slice("a", m * _PQ_D + 1, _PQ_D).alias("sv"),
-                ),
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("m").alias("cb_m"),
-        F.col("vec_id").alias("k"),
-        F.col("sv").alias("cv"),
-    )
-    sq = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    # argmin as a struct-min partial aggregation (iterative.py's pattern):
-    # the broadcast join is narrow, the one shuffle carries a single row
-    # per (vector, subvector)
-    assigned = (
-        sub.join(F.broadcast(cb), F.col("m") == F.col("cb_m"))
-        .groupBy("vec_id", "m")
-        .agg(
-            F.min(
-                F.struct(
-                    sq.alias("d"),
-                    F.col("k"),
-                    F.floor(sq * 1_000_000 + 0.5)
-                    .cast("long")
-                    .alias("dmicro"),
-                )
-            ).alias("best")
-        )
-        .select(
-            "vec_id",
-            "m",
-            F.col("best.k").alias("k"),
-            F.col("best.dmicro").alias("dmicro"),
-        )
-    )
+    sub = _pq_subvectors(spark, sf_dir)
+    assigned = _pq_codes(sub, _pq_codebook(sub))
     return assigned.groupBy("vec_id").agg(
         F.sort_array(F.collect_list(F.struct("m", "k")))
         .getField("k")
         .alias("codes"),
         pround(F.sum("dmicro") / 1_000_000.0, 4).alias("recon_err"),
+    )
+
+
+_PQ_NQ = 5  # ADC query vectors
+
+
+@register(
+    "similarity_pq_adc",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                 FROM embeddings),
+    sub AS (SELECT vec_id, g.m,
+                   a[g.m * {_PQ_D} + 1 : g.m * {_PQ_D} + {_PQ_D}] AS sv
+            FROM pts CROSS JOIN generate_series(0, {_PQ_M - 1}) AS g(m)),
+    cb AS (SELECT m, vec_id AS k, sv AS cv FROM sub
+           WHERE vec_id < {_PQ_K}),
+    assigned AS (
+      SELECT vec_id, m, k FROM (
+        SELECT s.vec_id, s.m, c.k,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY list_aggregate(list_transform(
+                                      range(1, {_PQ_D} + 1),
+                                      i -> (s.sv[i] - c.cv[i])
+                                           * (s.sv[i] - c.cv[i])),
+                                  'sum'), c.k) AS rk
+        FROM sub s JOIN cb c ON c.m = s.m)
+      WHERE rk = 1),
+    lut AS (SELECT q.vec_id AS q_id, c.m, c.k,
+                   CAST(floor(list_aggregate(list_transform(
+                            range(1, {_PQ_D} + 1),
+                            i -> (q.sv[i] - c.cv[i])
+                                 * (q.sv[i] - c.cv[i])),
+                        'sum') * 1000000 + 0.5) AS BIGINT) AS lmicro
+            FROM sub q JOIN cb c ON c.m = q.m
+            WHERE q.vec_id < {_PQ_NQ}),
+    scored AS (SELECT l.q_id, a.vec_id AS cand_id,
+                      sum(l.lmicro) AS admicro
+               FROM assigned a
+               JOIN lut l ON l.m = a.m AND l.k = a.k
+               WHERE a.vec_id <> l.q_id
+               GROUP BY l.q_id, a.vec_id)
+    SELECT q_id, cand_id, round(admicro / 1000000.0, 4) AS adist, rk
+    FROM (SELECT q_id, cand_id, admicro,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY admicro, cand_id) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    survey="D3 (asymmetric-distance search over PQ codes — completes "
+    "the embedding_pq compression with its query path)",
+    scale="""
+    ADC: queries never decompress the corpus — each query precomputes
+    an M x K lookup table of exact subvector distances to the codebook
+    (here 5 x 8 x 4 = 160 rows, broadcast), and a candidate's
+    approximate distance is the sum of 8 table lookups keyed by its
+    stored codes. The per-candidate work is the (m, k) equijoin against
+    the broadcast LUT plus an int64 partial-aggregated sum — the
+    corpus-side relation is the 8-codes table, 32x smaller than the
+    raw vectors, which is why billion-vector indexes serve from RAM.
+    Integer micro-unit LUT entries make the summed distance
+    order-independent and oracle-exact. Per-query top-3 is a
+    rank-limited window (WindowGroupLimit). In production ADC composes
+    with IVF (similarity_ivf_trained): probe a cell, ADC-scan only its
+    codes.
+    """,
+)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors per query by asymmetric distance over PQ codes."""
+    sub = _pq_subvectors(spark, sf_dir)
+    cb = _pq_codebook(sub)
+    assigned = _pq_codes(sub, cb).select("vec_id", "m", "k")
+    lsq = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < _PQ_NQ)
+        .join(F.broadcast(cb), F.col("m") == F.col("cb_m"))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("m").alias("l_m"),
+            F.col("k").alias("l_k"),
+            F.floor(lsq * 1_000_000 + 0.5).cast("long").alias("lmicro"),
+        )
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("l_m")) & (F.col("k") == F.col("l_k")),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("lmicro").alias("admicro"))
+    )
+    w = Window.partitionBy("q_id").orderBy("admicro", "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "q_id",
+            "cand_id",
+            pround(F.col("admicro") / 1_000_000.0, 4).alias("adist"),
+            "rk",
+        )
     )
