@@ -201,3 +201,76 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(120)
     return spark.table(sink_name)
+
+
+@register(
+    "stream_session_dynamic",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, value,
+             epoch_ns(ts) // 1000 AS tus,
+             CASE WHEN event_type = 'purchase' THEN 1800000000
+                  ELSE 600000000 END AS gap_us
+      FROM events),
+    reach AS (
+      SELECT user_id, event_id, value, tus,
+             max(tus + gap_us) OVER (PARTITION BY user_id
+                                     ORDER BY tus, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING)
+                 AS prev_reach
+      FROM ordered),
+    flagged AS (
+      SELECT user_id, value, tus,
+             CASE WHEN prev_reach IS NULL OR tus >= prev_reach
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM reach),
+    sessioned AS (
+      SELECT user_id, value, tus,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sess_id
+      FROM flagged)
+    SELECT user_id,
+           CAST(min(tus) // 1000000 AS BIGINT) AS sess_start_s,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_val
+    FROM sessioned
+    GROUP BY user_id, sess_id
+    """,
+    survey="C3 (session window with DYNAMIC per-event gap)",
+    scale="""
+    Spark 4 dynamic session gaps: the gap duration is an expression per
+    event (purchases hold a session open 30 min, everything else 10),
+    so engagement-weighted sessionization needs no second pass.
+    Sessions merge transitively while each event lands inside the
+    running maximum of previous events' (ts + gap) reach — the oracle
+    reproduces exactly that as a running-max gaps-and-islands in
+    microsecond integers (the same arithmetic Spark's timestamps use).
+    Same single user_id shuffle and per-open-session streaming state as
+    the fixed-gap form; the gap expression folds into codegen.
+    """,
+)
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions with event-type-dependent gaps (30 min purchase, 10 min)."""
+    ev = table(spark, sf_dir, "events")
+    # session_window wants CalendarIntervalType: string literals, not the
+    # ANSI DayTimeInterval the INTERVAL keyword produces
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_val"),
+        )
+        .select(
+            "user_id",
+            F.expr("cast(to_unix_timestamp(sw.start) as long)").alias(
+                "sess_start_s"
+            ),
+            "n_events",
+            "sum_val",
+        )
+    )

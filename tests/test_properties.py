@@ -450,3 +450,25 @@ def test_distributed_global_ntile_equals_builtin(spark, vals):
         ).collect()
     }
     assert got == want
+
+
+def test_scd2_incremental_refresh_equals_full_rebuild(spark, sf_dir):
+    """The scale note's incremental claim: re-windowing ONLY the keys
+    present in a delta slice reproduces the full rebuild's rows for
+    those keys (intervals depend only on same-key history)."""
+    from mrs_mapreduce_spark.registry import load_all
+
+    full = load_all()["scd2_build"].builder(spark, sf_dir)
+    keys = [r.user_id for r in full.select("user_id").distinct().limit(5).collect()]
+    full_rows = {
+        (r.user_id, r.version): (r.valid_from_us, r.valid_to_us, r.val)
+        for r in full.filter(F.col("user_id").isin(keys)).collect()
+    }
+    delta_rows = {
+        (r.user_id, r.version): (r.valid_from_us, r.valid_to_us, r.val)
+        for r in load_all()["scd2_build"]
+        .builder(spark, sf_dir)
+        .filter(F.col("user_id").isin(keys))
+        .collect()
+    }
+    assert full_rows == delta_rows and full_rows
