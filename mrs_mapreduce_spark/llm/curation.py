@@ -303,3 +303,66 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.row_number().over(w).alias("shuffle_rank"))
         .filter(F.col("shuffle_rank") <= 100)
     )
+
+
+@register(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH lt AS (SELECT lang,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                           AS toks
+                FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM lt),
+    scaled AS (SELECT lang, toks,
+                      CAST(floor(pow(toks * 1.0 / total, 0.7)
+                                 * 1000000000 + 0.5) AS BIGINT) AS nano
+               FROM lt CROSS JOIN tot),
+    z AS (SELECT CAST(sum(nano) AS BIGINT) AS znano FROM scaled)
+    SELECT lang, toks,
+           round(nano * 1.0 / znano, 6) AS p_sample,
+           round((nano * 1.0 / znano)
+                 / (toks * 1.0 / (SELECT total FROM tot)), 4)
+               AS boost
+    FROM scaled CROSS JOIN z
+    """,
+    survey="E15 extension (temperature-scaled multilingual sampling — "
+    "the mC4/multilingual-LLM mixture rule)",
+    scale="""
+    Temperature sampling p_d ∝ share_d^τ (τ=0.7): the standard fix for
+    low-resource languages being drowned by natural shares. The
+    per-domain pow terms are quantized to int64 nano-units BEFORE the
+    normalizer sum, so the partition function is an exact integer on
+    both engines and the probabilities hash-match regardless of
+    aggregation order (the raw double sum over domains would be
+    order-dependent). Same tiny-relation shape as corpus_mix_weights:
+    one partial-aggregated groupBy; every downstream arithmetic runs on
+    the dozens-of-rows domain relation. boost = p_sample / natural
+    share is the per-domain resampling rate to feed sample_stratified.
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (tau=0.7) language sampling probabilities."""
+    d = table(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("toks").over(w_all)
+    scaled = lt.select(
+        "lang",
+        "toks",
+        F.floor(
+            F.pow(F.col("toks") * 1.0 / total, 0.7) * 1_000_000_000 + 0.5
+        )
+        .cast("long")
+        .alias("nano"),
+        total.alias("total"),
+    )
+    znano = F.sum("nano").over(w_all)
+    p = F.col("nano") * 1.0 / znano
+    return scaled.select(
+        "lang",
+        "toks",
+        pround(p, 6).alias("p_sample"),
+        pround(p / (F.col("toks") * 1.0 / F.col("total")), 4).alias("boost"),
+    )
