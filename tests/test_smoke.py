@@ -167,3 +167,18 @@ def test_search_corpus_bm25_mode(spark, sf_dir):
     assert {r.doc_id for r in bm} == {r.doc_id for r in tfidf}
     scores = [(r.score, -r.doc_id) for r in bm]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_showcase_prefix_protects_the_driver_gate():
+    """The external driver hashes the FIRST 50 of queries() — every
+    prefix slot must carry an exact SQL oracle (rows-only entries would
+    waste a rotation slot), and SHOWCASE must stay exactly 50 so query
+    additions can't silently push a planned slot out of the window."""
+    from mrs_mapreduce_spark.registry import SHOWCASE, load_all
+
+    reg = load_all()
+    assert len(SHOWCASE) == 50
+    prefix = list(reg)[:50]
+    assert prefix == list(SHOWCASE)
+    missing = [n for n in prefix if reg[n].oracle is None]
+    assert not missing, missing
