@@ -265,3 +265,70 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampler through real mapInPandas plumbing, SQL-verifiable."""
     mm = attach_payload(table(spark, sf_dir, "documents"))
     return sample_frames(mm)
+
+
+AUDIO_SCHEMA = "doc_id bigint, win int, energy bigint"
+
+
+def window_energy(
+    mm: DataFrame, real_codec: bool = False
+) -> DataFrame:
+    """Audio-style windowed energy over binary payloads (mapInPandas 1:n).
+
+    Treats the 16-byte payload as 8 unsigned 16-bit PCM samples and emits
+    one row per 2-sample window with its integer energy (sum of squares)
+    — the frame-windowing shape of a real audio feature extractor, with
+    the codec seam stubbed exactly like :func:`decode_frames`.
+    """
+
+    def extract(batches):
+        for pdf in batches:
+            if real_codec:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/ffmpeg; "
+                    "not in container"
+                )
+            out = {"doc_id": [], "win": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = [
+                    payload[2 * i] * 256 + payload[2 * i + 1]
+                    for i in range(8)
+                ]
+                for w in range(4):
+                    s1, s2 = samples[2 * w], samples[2 * w + 1]
+                    out["doc_id"].append(doc_id)
+                    out["win"].append(w)
+                    out["energy"].append(s1 * s1 + s2 * s2)
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(extract, schema=AUDIO_SCHEMA)
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    win AS (SELECT doc_id, g.w,
+                   ('0x' || substr(hx, 8 * g.w + 1, 4))::BIGINT AS s1,
+                   ('0x' || substr(hx, 8 * g.w + 5, 4))::BIGINT AS s2
+            FROM h CROSS JOIN generate_series(0, 3) AS g(w))
+    SELECT doc_id, CAST(w AS INT) AS win,
+           CAST(s1 * s1 + s2 * s2 AS BIGINT) AS energy
+    FROM win
+    """,
+    survey="D5 (audio-style frame windowing over binary payloads)",
+    scale="""
+    The audio twin of multimodal_framesample: payload bytes window into
+    fixed-size PCM frames inside an Arrow-batched mapInPandas (1:n, no
+    shuffle — the fan-out is pipelined), integer energies per frame.
+    With a real codec the same stage decodes then windows; the schema,
+    batch shape and partitioning are what production needs. At 100 TB
+    compute features BEFORE any shuffle and drop the payload column
+    immediately after — frames/features are orders of magnitude smaller
+    than raw audio, exactly like dropping decoded pixels after resize.
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window integer energies of the fake-PCM payload (4 per doc)."""
+    mm = attach_payload(table(spark, sf_dir, "documents"))
+    return window_energy(mm)

@@ -1019,3 +1019,70 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nll") / F.count(F.lit(1)) / 1_000_000.0, 4
         ).alias("avg_nll"),
     )
+
+
+@register(
+    "text_pmi",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                  i -> ws[i] || ' ' || ws[i+1])) AS pair
+           FROM words WHERE len(ws) >= 2),
+    pairs AS (SELECT string_split(pair, ' ')[1] AS w1,
+                     string_split(pair, ' ')[2] AS w2,
+                     count(*) AS c12
+              FROM bg GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM pairs),
+    m1 AS (SELECT w1, sum(c12) AS c1 FROM pairs GROUP BY w1),
+    m2 AS (SELECT w2, sum(c12) AS c2 FROM pairs GROUP BY w2)
+    SELECT p.w1, p.w2, p.c12,
+           round(ln((p.c12 * 1.0 / t.n)
+                    / ((m1.c1 * 1.0 / t.n) * (m2.c2 * 1.0 / t.n))), 6)
+               AS pmi
+    FROM pairs p
+    JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot t
+    WHERE p.c12 >= 30
+    """,
+    survey="D4 extension (PMI collocation extraction)",
+    scale="""
+    Collocation mining: pointwise mutual information over the SAME
+    bigram aggregate text_bigram_lm builds — both marginals (w1 starts,
+    w2 ends) and the total derive FROM the pair counts (the tfidf
+    df-trick: the corpus is exploded exactly once), then join back
+    broadcast since both are vocabulary-sized. The c12 floor prunes the
+    Zipf tail BEFORE the marginal joins. Frequency-floored PMI is the
+    standard phrase-detection gate (word2vec-style phrase merging) in
+    corpus preprocessing.
+    """,
+)
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI of frequent bigrams (collocation strength)."""
+    from .dedup import shingles
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = (
+        shingles(docs, k=2)
+        .select(
+            F.split("sh", " ").getItem(0).alias("w1"),
+            F.split("sh", " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    tot = pairs.agg(F.sum("c12").cast("long").alias("n"))
+    m1 = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    m2 = pairs.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    p12 = F.col("c12") * 1.0 / F.col("n")
+    p1 = F.col("c1") * 1.0 / F.col("n")
+    p2 = F.col("c2") * 1.0 / F.col("n")
+    return (
+        pairs.filter(F.col("c12") >= 30)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c12",
+            pround(F.log(p12 / (p1 * p2)), 6).alias("pmi"),
+        )
+    )
