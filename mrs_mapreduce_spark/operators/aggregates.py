@@ -544,3 +544,42 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("eff_discount_keep"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2)
+               AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey="B9 (OLS regression aggregates — regr_* family)",
+    scale="""
+    Per-group ordinary least squares without collecting anything: the
+    regr_* aggregates are algebraic (sums of x, y, xy, x², count), so
+    they partial-aggregate map-side like any sum — a linear trend per
+    segment at 100 TB costs exactly one groupBy. Both engines implement
+    the same closed form; rounding per the float value-hash discipline.
+    The window variant (regr_slope OVER a trailing frame) gives rolling
+    trend detection with the same state.
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag OLS of extendedprice on quantity (slope/intercept/R²)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity")
+        .cast("long")
+        .alias("n"),
+        pround(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "slope"
+        ),
+        pround(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+        pround(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )

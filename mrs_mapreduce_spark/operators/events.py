@@ -786,3 +786,63 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("value"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "events_ewma",
+    oracle="""
+    WITH p AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+                      CAST(value AS DOUBLE) AS v
+               FROM events WHERE event_type = 'purchase'),
+    seq AS (SELECT user_id,
+                   list(v ORDER BY tsn, event_id) AS vs
+            FROM p GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_purchases,
+           round(CAST(list_reduce(vs,
+                 (acc, x) -> acc * 0.5 + x * 0.5) AS DOUBLE), 6) AS ewma
+    FROM seq
+    """,
+    survey="B15 extension (exponentially weighted moving average — "
+    "recursive state, not frame-expressible)",
+    scale="""
+    EWMA is a linear RECURRENCE (acc = (1-α)·acc + α·x), which no
+    window frame expresses — the engine's answer is an order-stable
+    in-group fold: collect the user's ordered history once and fold
+    with a higher-order aggregate, the same left-to-right discipline as
+    the vector dot product, so both engines produce bit-identical
+    doubles (α=0.5 is dyadic: every step is exact halving, no rounding
+    drift). The group history must fit a task — per-user purchase
+    streams do by orders of magnitude; for unbounded keys the same
+    recurrence runs as transformWithState with one double of state per
+    key (streaming/stateful.py), or segmented-scan style over fixed
+    windows. One shuffle on user_id, partial-aggregated collect.
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=0.5) of purchase values, order-stable fold."""
+    p = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.struct(
+                F.col("ts_ns"), F.col("event_id"),
+                F.col("value").cast("double").alias("v"),
+            ).alias("s"),
+        )
+    )
+    seq = p.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("s")).alias("ss")
+    )
+    vs = F.col("ss").getField("v")
+    fold = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1),
+        lambda acc, x: acc * 0.5 + x * 0.5,
+    )
+    return seq.select(
+        "user_id",
+        F.size("ss").cast("long").alias("n_purchases"),
+        pround(fold, 6).alias("ewma"),
+    )
