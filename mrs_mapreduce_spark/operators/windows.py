@@ -241,3 +241,56 @@ def window_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.min("value").over(w), 2).alias("mov_min"),
         pround(F.max("value").over(w), 2).alias("mov_max"),
     )
+
+
+@register(
+    "window_regression",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+             CAST(value AS DOUBLE) AS v,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ns(ts), event_id)
+                  AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id, event_id,
+           round(regr_slope(v, x) OVER (
+               PARTITION BY user_id ORDER BY x
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS slope10
+    FROM seq
+    """,
+    survey="B15 extension (rolling OLS slope — windowed regr_* family)",
+    scale="""
+    Trend detection as a window aggregate: regr_slope over a trailing
+    10-row frame per user — the regression state (sums of x, y, xy, x²)
+    is algebraic, so the frame slides in O(1) per row and the whole
+    relation costs the one user_id exchange every per-entity window
+    shares. The x regressor is the per-user sequence number, NOT the
+    raw epoch (micro-second x values would put both engines' variance
+    sums into catastrophic-cancellation territory and their last-ulp
+    noise would diverge); small dense x keeps the closed form stable
+    enough that 4-decimal rounding hash-matches.
+    """,
+)
+def window_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-purchase OLS slope of value per user."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+        F.row_number().over(w_seq).cast("double").alias("x"),
+    )
+    w_frame = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return seq.select(
+        "user_id",
+        "event_id",
+        pround(F.regr_slope("v", "x").over(w_frame), 4).alias("slope10"),
+    )
