@@ -846,3 +846,153 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ss").cast("long").alias("n_purchases"),
         pround(fold, 6).alias("ewma"),
     )
+
+
+@register(
+    "events_abtest",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS grp FROM events
+      GROUP BY user_id),
+    conv AS (
+      SELECT a.grp,
+             count(*) AS n_users,
+             CAST(sum(CASE WHEN EXISTS (
+                 SELECT 1 FROM events p
+                 WHERE p.user_id = a.user_id
+                   AND p.event_type = 'purchase'
+                   AND p.value > 180)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+      FROM assign a GROUP BY a.grp),
+    wide AS (
+      SELECT max(CASE WHEN grp = 0 THEN n_users END) AS n0,
+             max(CASE WHEN grp = 0 THEN n_conv END) AS c0,
+             max(CASE WHEN grp = 1 THEN n_users END) AS n1,
+             max(CASE WHEN grp = 1 THEN n_conv END) AS c1
+      FROM conv)
+    SELECT n0, c0, n1, c1,
+           round(c0 * 1.0 / n0, 6) AS p0,
+           round(c1 * 1.0 / n1, 6) AS p1,
+           round((c0 * 1.0 / n0 - c1 * 1.0 / n1)
+                 / sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                        * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 4) AS z
+    FROM wide
+    """,
+    survey="D6 extension (two-proportion z-test — experimentation rollup)",
+    scale="""
+    The A/B readout: deterministic hash assignment (user_id parity
+    stands in for the hash bucket), per-user conversion collapse (one
+    partial-aggregated groupBy — EXISTS in the oracle, max-of-flag
+    here), then a 2-row group rollup pivoted wide and the closed-form
+    pooled z-statistic computed from integer counts — identical doubles
+    on both engines because every input to the formula is an exact
+    int64. At 100 TB only the per-user collapse touches the corpus;
+    everything after is constant-size. Extend grp to a hash-mod-k for
+    multi-arm tests; same shape.
+    """,
+)
+def events_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: high-value purchase conversion by parity."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 180),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    conv = per_user.groupBy(
+        F.pmod("user_id", F.lit(2)).cast("int").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    wide = conv.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    p0 = F.col("c0") * 1.0 / F.col("n0")
+    p1 = F.col("c1") * 1.0 / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    z = (p0 - p1) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        pround(p0, 6).alias("p0"),
+        pround(p1, 6).alias("p1"),
+        pround(z, 4).alias("z"),
+    )
+
+
+_NS_PER_WEEK = 7 * _NS_PER_DAY
+
+
+@register(
+    "events_funnel_bounded",
+    oracle=f"""
+    WITH s AS (SELECT user_id, min(epoch_ns(ts)) AS s_ns FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+      SELECT s.user_id,
+             CASE WHEN EXISTS (
+                 SELECT 1 FROM events p
+                 WHERE p.user_id = s.user_id
+                   AND p.event_type = 'purchase'
+                   AND epoch_ns(p.ts) >= s.s_ns
+                   AND epoch_ns(p.ts) < s.s_ns + {_NS_PER_WEEK})
+             THEN 1 ELSE 0 END AS in_window
+      FROM s)
+    SELECT count(*) AS n_signups,
+           CAST(sum(in_window) AS BIGINT) AS n_conv_7d,
+           round(100.0 * sum(in_window) / count(*), 2) AS conv_7d_pct
+    FROM conv
+    """,
+    survey="D6 (TIME-BOUNDED funnel: convert within 7 days of signup)",
+    scale="""
+    The windowed conversion metric product teams actually track
+    (events_funnel counts ever-converted): first signup per user is one
+    partial-aggregated groupBy, the 7-day bound is integer-nanos
+    arithmetic on the same user_id-keyed join, and the rollup is
+    constant-size. One co-partitioned shuffle pair at any corpus size.
+    The bound also CAPS the join state in the streaming form — this
+    batch query is exactly stream_join_left_outer's interval shape with
+    an aggregation on top.
+    """,
+)
+def events_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion within a 7-day window."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("s_ns"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_ns").alias("p_ns")
+    )
+    conv = (
+        s.join(p, "user_id", "left")
+        .groupBy("user_id", "s_ns")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("p_ns") >= F.col("s_ns"))
+                    & (F.col("p_ns") < F.col("s_ns") + _NS_PER_WEEK),
+                    1,
+                ).otherwise(0)
+            ).alias("in_window")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.sum("in_window").cast("long").alias("n_conv_7d"),
+        pround(
+            100.0 * F.sum("in_window") / F.count(F.lit(1)), 2
+        ).alias("conv_7d_pct"),
+    )
