@@ -569,3 +569,192 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("h", (-F.col("m.neg_id")).alias("keep_id"), "n_copies")
     )
+
+
+@register(
+    "dedup_against_corpus",
+    oracle="""
+    WITH hist AS (SELECT md5(lower(trim(text))) AS h FROM documents
+                  WHERE doc_id < 250 GROUP BY 1),
+    batch AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+              WHERE doc_id >= 250)
+    SELECT b.doc_id
+    FROM batch b LEFT JOIN hist ON hist.h = b.h
+    WHERE hist.h IS NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM batch b2
+        WHERE b2.h = b.h AND b2.doc_id < b.doc_id)
+    """,
+    survey="D1 extension (incremental dedup: new batch vs historical "
+    "corpus hash set)",
+    scale="""
+    The daily-ingest pattern: the historical corpus is represented by
+    its (16-byte) content-hash relation only — the new batch anti-joins
+    against it (no text ever shuffles), then dedups within itself
+    keeping the earliest id. At 100 TB the historical hash set is
+    bucketed/sorted on disk so the anti-join is a zero-exchange
+    sort-merge per ingest (sink_bucketed_join's layout), or a bloom
+    pre-filter (join_bloom_pruned) cuts the probe before the exact
+    anti-join; either way ingest cost is O(batch), never O(corpus).
+    New survivors' hashes append to the same bucketed set — the state
+    grows by exactly the accepted rows.
+    """,
+)
+def dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch doc_ids surviving exact dedup vs the historical corpus."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    hist = d.filter(F.col("doc_id") < 250).select(h).distinct()
+    batch = d.filter(F.col("doc_id") >= 250).select("doc_id", h)
+    survivors = batch.join(hist, "h", "left_anti")
+    return (
+        survivors.groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+@register(
+    "dedup_minhash_eval",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM words WHERE len(ws) >= 3),
+    sig AS (SELECT doc_id, CAST(seed AS INT) AS seed,
+                   min(({_DUCK_A}[seed + 1] * {_DUCK_N}
+                        + {_DUCK_B}[seed + 1]) % 2147483647) AS minhash
+            FROM sh CROSS JOIN generate_series(0, 15) AS s(seed)
+            GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), ','
+                                    ORDER BY seed)) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    agree AS (SELECT c.doc_a, c.doc_b,
+                     CAST(sum(CASE WHEN sa.minhash = sb.minhash
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+              GROUP BY c.doc_a, c.doc_b),
+    ssets AS (SELECT doc_id, sh FROM sh GROUP BY doc_id, sh),
+    truth AS (
+      SELECT c.doc_a, c.doc_b,
+             count(sb.sh) AS inter_n,
+             any_value(na.n) + any_value(nb.n) - count(sb.sh) AS union_n
+      FROM cand c
+      JOIN ssets sa ON sa.doc_id = c.doc_a
+      LEFT JOIN ssets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      JOIN (SELECT doc_id, count(*) AS n FROM ssets GROUP BY doc_id) na
+        ON na.doc_id = c.doc_a
+      JOIN (SELECT doc_id, count(*) AS n FROM ssets GROUP BY doc_id) nb
+        ON nb.doc_id = c.doc_b
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT a.doc_a, a.doc_b,
+           round(a.n_agree / 16.0, 4) AS est_jaccard,
+           round(t.inter_n * 1.0 / t.union_n, 4) AS true_jaccard
+    FROM agree a JOIN truth t
+      ON t.doc_a = a.doc_a AND t.doc_b = a.doc_b
+    """,
+    survey="D2 extension (MinHash estimator calibration: signature "
+    "agreement vs true Jaccard per candidate pair)",
+    scale="""
+    The diagnostics query that keeps a dedup pipeline honest: for every
+    LSH candidate pair, the signature-agreement estimate (matching
+    seeds / 16) next to the exact shingle Jaccard — drift between the
+    columns is how you detect a broken hash family or a banding layout
+    mismatched to the similarity threshold. Estimation runs entirely on
+    the 16-row signatures; the exact Jaccard runs only on the
+    LSH-surviving pairs (the whole point of banding), so the expensive
+    truth computation is candidate-bounded, not corpus-quadratic —
+    affordable to sample continuously in production.
+    """,
+)
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-pair MinHash estimate vs true Jaccard."""
+    sig = dedup_minhash(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", F.expr("seed div 4"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(F.struct("seed", "minhash"))
+                    ).getField("minhash"),
+                )
+            ).alias("band_key")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "seed",
+        F.col("minhash").alias("mh_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "seed",
+        F.col("minhash").alias("mh_b"),
+    )
+    agree = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree")
+        )
+    )
+    d = table(spark, sf_dir, "documents")
+    ssets = shingles(d).distinct()
+    na = ssets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pa = ssets.select(F.col("doc_id").alias("doc_a"), "sh")
+    pb = ssets.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    truth = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na.select(F.col("doc_id").alias("doc_a"),
+                        F.col("n").alias("n_a")), "doc_a")
+        .join(na.select(F.col("doc_id").alias("doc_b"),
+                        F.col("n").alias("n_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.coalesce("inter_n", F.lit(0)).alias("inter_n"),
+            (F.col("n_a") + F.col("n_b")
+             - F.coalesce("inter_n", F.lit(0))).alias("union_n"),
+        )
+    )
+    return agree.join(truth, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b",
+        pround(F.col("n_agree") / 16.0, 4).alias("est_jaccard"),
+        pround(F.col("inter_n") * 1.0 / F.col("union_n"), 4).alias(
+            "true_jaccard"
+        ),
+    )

@@ -1086,3 +1086,46 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.log(p12 / (p1 * p2)), 6).alias("pmi"),
         )
     )
+
+
+@register(
+    "text_fertility",
+    oracle="""
+    WITH tok AS (SELECT d.lang, unnest(string_split(d.text, ' ')) AS w
+                 FROM documents d)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CAST(ceil(length(w) / 4.0) AS BIGINT)) AS BIGINT)
+               AS n_subwords,
+           round(sum(CAST(ceil(length(w) / 4.0) AS BIGINT)) * 1.0
+                 / count(*), 4) AS fertility,
+           round(sum(length(w)) * 1.0
+                 / sum(CAST(ceil(length(w) / 4.0) AS BIGINT)), 4)
+               AS chars_per_subword
+    FROM tok GROUP BY lang
+    """,
+    survey="D4 extension (tokenizer fertility per language — the "
+    "multilingual token-budget planner)",
+    scale="""
+    Fertility (subword tokens per word) and compression (chars per
+    subword) per language, from the same chars/4 BPE proxy text_tokens
+    uses: languages with high fertility eat disproportionate context
+    budget, which is exactly what corpus_temperature_mix's boost must
+    be corrected by when budgets are measured in TOKENS not documents.
+    One partial-aggregated groupBy over the token stream, integer
+    numerators — nothing floats until the final ratios.
+    """,
+)
+def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language subword fertility and chars-per-subword."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    sub = F.ceil(F.length("w") / 4.0).cast("long")
+    return tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(sub).cast("long").alias("n_subwords"),
+        pround(F.sum(sub) * 1.0 / F.count(F.lit(1)), 4).alias("fertility"),
+        pround(F.sum(F.length("w")) * 1.0 / F.sum(sub), 4).alias(
+            "chars_per_subword"
+        ),
+    )
