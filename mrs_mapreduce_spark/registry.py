@@ -50,6 +50,22 @@ REGISTRY: dict[str, Query] = {}
 #: the driver has NEVER checked, every one with an EXACT SQL oracle.
 #: Queries not listed here keep their registration order after the
 #: showcase.
+#:
+#: ROUND-4 ROTATION PREP: after r03 lands, the cross-round union should
+#: be 123 distinct; rotate the remaining never-checked exact-oracle
+#: queries in next — notably the round-3 additions (text_bm25,
+#: text_perplexity, text_pmi, text_fertility, scd2_build,
+#: events_attribution, events_abtest, events_funnel_bounded,
+#: events_ewma, window_regression, agg_regression, join_asof_nearest,
+#: embedding_pq, similarity_pq_adc, multimodal_audio_energy,
+#: python_udtf_table_arg, python_udf_arrow, stream_join_left_outer,
+#: stream_session_dynamic, corpus_temperature_mix, dedup_against_corpus,
+#: dedup_minhash_eval) plus the r01-leftover families (sink_*/source_*,
+#: stream_* remainder, mr_*, sketch_bloom/hll, window_lag leftovers,
+#: agg_conditional, agg_weighted, events_* remainder, sql_scripting,
+#: join_lateral, topk, sql_api_q5, scalar_subquery, map_explode_pos,
+#: graph_triangles). Run scripts/fixture_check.py FIRST (fixtures
+#: regenerate between rounds).
 SHOWCASE: tuple[str, ...] = (
     # scalar/array/map/JSON function surface (B20-B25)
     "fn_string", "fn_date", "fn_math", "fn_cond", "fn_null", "fn_hash",
