@@ -474,3 +474,98 @@ def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_pcts"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@register(
+    "sketch_hll_merge",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS w,
+                         CAST(o_custkey % 2 AS INT) AS shard
+                  FROM orders),
+    h AS (SELECT shard, ('0x' || substr(md5(w), 1, 15))::BIGINT AS n
+          FROM keys),
+    parts AS (SELECT shard, n % 64 AS bucket, n // 64 AS rem FROM h),
+    rho AS (SELECT shard, bucket,
+                   CASE WHEN rem = 0 THEN 55
+                        ELSE 55 - length(bin(rem)) END AS rho
+            FROM parts),
+    per_shard AS (SELECT shard, bucket, max(rho) AS m
+                  FROM rho GROUP BY shard, bucket),
+    merged AS (SELECT bucket, max(m) AS m FROM per_shard GROUP BY bucket),
+    direct AS (SELECT bucket, max(rho) AS m FROM rho GROUP BY bucket),
+    cmp AS (SELECT count(*) AS n_diff
+            FROM merged g JOIN direct d
+              ON d.bucket = g.bucket AND d.m <> g.m),
+    est AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (55 - m)) AS BIGINT)
+                       AS s_ne,
+                   count(*) AS n_buckets
+            FROM merged)
+    SELECT CAST((SELECT n_diff FROM cmp) AS BIGINT)
+               AS n_bucket_mismatches,
+           round(0.709 * 64 * 64 * (CAST(1 AS BIGINT) << 55)
+                 / (e.s_ne + (64 - e.n_buckets)
+                    * (CAST(1 AS BIGINT) << 55)), 4)
+               AS merged_estimate
+    FROM est e
+    """,
+    survey="B10 extension (HLL shard-merge — the mergeability property "
+    "that makes sketches cluster/day-partitionable)",
+    scale="""
+    The property that makes HLL production-grade: per-shard sketches
+    (here: custkey parity shards standing in for day partitions or
+    executors) merge by plain bucket-max, and because max is an
+    associative idempotent monoid the merged sketch is BIT-IDENTICAL to
+    the sketch built directly over the union — the query proves it
+    (n_bucket_mismatches = 0) and reports the merged estimate. At
+    100 TB this is how daily distinct-count rollups work: store 64
+    integers per day, never re-scan history; merging k days costs k×64
+    rows. Exact integer arithmetic end to end.
+    """,
+)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge per-shard HLL sketches; prove equality with the direct build."""
+    orders = table(spark, sf_dir, "orders")
+    keys = orders.select(
+        F.col("o_custkey").cast("string").alias("w"),
+        F.pmod("o_custkey", F.lit(2)).cast("int").alias("shard"),
+    ).distinct()
+    n = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    parts = keys.select(
+        "shard", n.alias("full_n")
+    ).select(
+        "shard",
+        (F.col("full_n") % 64).alias("bucket"),
+        F.expr("full_n div 64").alias("rem"),
+    )
+    rho = parts.select(
+        "shard",
+        "bucket",
+        F.when(F.col("rem") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin("rem")))
+        .alias("rho"),
+    )
+    per_shard = rho.groupBy("shard", "bucket").agg(F.max("rho").alias("m"))
+    merged = per_shard.groupBy("bucket").agg(F.max("m").alias("m"))
+    direct = rho.groupBy("bucket").agg(F.max("rho").alias("m"))
+    n_diff = (
+        merged.alias("g")
+        .join(
+            direct.alias("d"),
+            (F.col("d.bucket") == F.col("g.bucket"))
+            & (F.col("d.m") != F.col("g.m")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bucket_mismatches"))
+    )
+    est = merged.agg(
+        F.sum(F.expr("cast(1 as bigint) << (55 - m)")).alias("s_ne"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    denom = F.col("s_ne") + (64 - F.col("n_buckets")) * F.expr(
+        "cast(1 as bigint) << 55"
+    )
+    return n_diff.crossJoin(est).select(
+        "n_bucket_mismatches",
+        pround(
+            0.709 * 64 * 64 * F.expr("cast(1 as bigint) << 55") / denom, 4
+        ).alias("merged_estimate"),
+    )
