@@ -206,3 +206,37 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+    survey="A17 extension (Spark 4 SQL pipe syntax — |> operators)",
+    scale="""
+    The Spark 4 pipe-syntax surface (FROM t |> WHERE |> AGGREGATE):
+    pure parser sugar — the plan is bit-identical to the classic
+    SELECT, so every optimization (pushdown, partial agg, AQE) applies
+    unchanged, which is exactly what the oracle demonstrates by
+    spelling the same query in ANSI form. Declared so a user migrating
+    pipeline-style SQL onto this engine knows the dialect is covered.
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter→aggregate written in Spark 4 SQL pipe syntax."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderdate >= DATE '1996-01-01'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice) * 100, 0) / 100 AS total
+           GROUP BY o_orderpriority
+        """
+    )
