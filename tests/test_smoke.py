@@ -182,3 +182,23 @@ def test_showcase_prefix_protects_the_driver_gate():
     assert prefix == list(SHOWCASE)
     missing = [n for n in prefix if reg[n].oracle is None]
     assert not missing, missing
+
+
+def test_threshold_queries_nondegenerate(spark, sf_dir):
+    """Queries with data-dependent constants must exercise their logic:
+    a fixture regeneration that silently empties them (the round-2
+    join_pit_scd2 lesson — 0 rows passed the oracle trivially) should
+    fail HERE first."""
+    from mrs_mapreduce_spark.registry import load_all
+
+    reg = load_all()
+    nonempty = [
+        "join_pit_scd2", "dedup_minhash_eval", "text_pmi", "text_bm25",
+        "events_funnel_bounded", "dedup_against_corpus",
+    ]
+    for name in nonempty:
+        assert reg[name].builder(spark, sf_dir).count() > 0, name
+    ab = reg["events_abtest"].builder(spark, sf_dir).collect()[0]
+    # both arms must be PARTIAL conversions (0 < c < n) or the pooled
+    # z denominator degenerates to zero
+    assert 0 < ab.c0 < ab.n0 and 0 < ab.c1 < ab.n1, ab
