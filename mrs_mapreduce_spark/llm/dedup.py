@@ -758,3 +758,148 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_jaccard"
         ),
     )
+
+
+def star_components(
+    sym: DataFrame, max_rounds: int = 25, return_rounds: bool = False
+):
+    """Connected components via alternating large-star/small-star.
+
+    ``sym`` must contain both directions of every edge as (doc_a, doc_b).
+    Returns (doc_id, lbl) with lbl = min node id of the component —
+    identical contract to :func:`propagate_min_labels`, but convergence
+    is O(log^2 n) ROUNDS instead of O(diameter): each large-star hooks
+    every node's neighborhood onto its local minimum, halving tree
+    heights, so a million-node chain finishes in ~20 rounds where
+    one-hop propagation needs a million. The per-round cost is two
+    groupBys over the (shrinking) edge list — the same shuffle budget
+    per round as propagation, exponentially fewer rounds.
+
+    large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
+    small-star(u): over edges (u, v) with v ≤ u: m = min(N̲(u) ∪ {u});
+    emit (v, m) for v ∈ N̲(u) ∪ {u}, v ≠ m. (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" — public algorithm.)
+    """
+    edges = sym.filter(F.col("doc_a") != F.col("doc_b")).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).distinct().cache()
+    for round_no in range(1, max_rounds + 1):
+        # large-star over the symmetrized adjacency
+        adj = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        grouped = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m"),
+            F.collect_set("v").alias("ns"),
+        )
+        large = (
+            grouped.select(
+                "u", "m", F.explode("ns").alias("v")
+            )
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star over downward edges of the large-star output
+        down = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        sgrouped = down.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m"),
+            F.collect_set("v").alias("ns"),
+        )
+        small = (
+            sgrouped.select(
+                "u",
+                "m",
+                F.explode(
+                    F.array_union("ns", F.array(F.col("u")))
+                ).alias("v"),
+            )
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # bounded lineage per round
+        )
+        # converged when the edge set is star-shaped and stable
+        changed = (
+            small.alias("n")
+            .join(
+                edges.alias("o"),
+                (F.col("n.u") == F.col("o.u"))
+                & (F.col("n.v") == F.col("o.v")),
+                "left_anti",
+            )
+            .count()
+            + edges.alias("o")
+            .join(
+                small.alias("n"),
+                (F.col("n.u") == F.col("o.u"))
+                & (F.col("n.v") == F.col("o.v")),
+                "left_anti",
+            )
+            .count()
+        )
+        edges.unpersist()
+        edges = small
+        if changed == 0:
+            labels = (
+                edges.select(F.col("u").alias("doc_id"),
+                             F.col("v").alias("lbl"))
+                .union(
+                    edges.select(F.col("v").alias("doc_id"),
+                                 F.col("v").alias("lbl"))
+                )
+                .groupBy("doc_id")
+                .agg(F.min("lbl").alias("lbl"))
+            )
+            return (labels, round_no) if return_rounds else labels
+    raise RuntimeError(
+        f"star_components: no fixpoint after {max_rounds} rounds — "
+        "raise max_rounds explicitly rather than trusting a truncated "
+        "labeling"
+    )
+
+
+@register(
+    "dedup_components_star",
+    oracle=None,  # set below: reuses dedup_components' recursive-CTE oracle
+    survey="D2/A12 extension (connected components via alternating "
+    "large-star/small-star — O(log^2 n) rounds)",
+    scale="""
+    The scale-robust successor to dedup_components' one-hop propagation:
+    label propagation needs rounds ~ graph DIAMETER (a pathological
+    million-node chain = a million shuffles), while the alternating-star
+    algorithm hooks each neighborhood onto its local minimum and
+    converges in O(log^2 n) rounds on ANY graph — the public
+    Kiveris-et-al MapReduce formulation, expressed as two partial-
+    aggregated groupBys per round over a monotonically simplifying edge
+    list, localCheckpoint'd per round. Same LSH-verified input edges,
+    same exact-fixpoint contract (loud failure at the round cap), same
+    recursive-CTE oracle proving TRUE components. Property test pins
+    the round advantage: a 64-node chain converges in <=8 star rounds
+    vs 64 propagation rounds.
+    """,
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via alternating-star connected components."""
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = star_components(sym)
+    out = labels.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+    sym.unpersist()
+    return out
+
+
+REGISTRY["dedup_components_star"] = REGISTRY["dedup_components_star"].__class__(
+    name="dedup_components_star",
+    builder=REGISTRY["dedup_components_star"].builder,
+    oracle=REGISTRY["dedup_components"].oracle,
+    survey=REGISTRY["dedup_components_star"].survey,
+    scale=REGISTRY["dedup_components_star"].scale,
+)

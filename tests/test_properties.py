@@ -472,3 +472,26 @@ def test_scd2_incremental_refresh_equals_full_rebuild(spark, sf_dir):
         .collect()
     }
     assert full_rows == delta_rows and full_rows
+
+
+def test_star_components_log_rounds_on_long_chain(spark):
+    """Alternating-star must produce the same exact components as
+    one-hop propagation but in O(log^2 n) rounds: a 64-node chain
+    (diameter 63 — propagation would need ~63 rounds) must converge in
+    <= 8 star rounds."""
+    from mrs_mapreduce_spark.llm.dedup import star_components
+
+    n = 64
+    chain = [(i, i + 1) for i in range(n - 1)]
+    tri = [(200, 201), (201, 202), (200, 202)]
+    edges = spark.createDataFrame(chain + tri, ["doc_a", "doc_b"])
+    sym = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels_df, rounds = star_components(sym, return_rounds=True)
+    labels = {r.doc_id: r.lbl for r in labels_df.collect()}
+    assert rounds <= 8, rounds
+    assert all(labels[i] == 0 for i in range(n))
+    assert all(labels[i] == 200 for i in (200, 201, 202))
