@@ -784,18 +784,19 @@ def star_components(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).distinct().cache()
     for round_no in range(1, max_rounds + 1):
-        # large-star over the symmetrized adjacency
+        # large-star over the symmetrized adjacency. No collect_set
+        # anywhere: neighborhoods are never materialized per node (a
+        # hub's adjacency would otherwise have to fit one task's
+        # memory) — the per-u minimum is a plain partial-aggregated
+        # groupBy joined back onto the edge stream.
         adj = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        grouped = adj.groupBy("u").agg(
-            F.least(F.min("v"), F.col("u")).alias("m"),
-            F.collect_set("v").alias("ns"),
+        mins_l = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
         )
         large = (
-            grouped.select(
-                "u", "m", F.explode("ns").alias("v")
-            )
+            adj.join(mins_l, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
@@ -803,20 +804,17 @@ def star_components(
         down = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
-        sgrouped = down.groupBy("u").agg(
-            F.least(F.min("v"), F.col("u")).alias("m"),
-            F.collect_set("v").alias("ns"),
+        mins_s = down.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
         )
         small = (
-            sgrouped.select(
-                "u",
-                "m",
-                F.explode(
-                    F.array_union("ns", F.array(F.col("u")))
-                ).alias("v"),
+            down.join(mins_s, "u")
+            .select(F.col("v").alias("node"), F.col("m"))
+            .union(
+                mins_s.select(F.col("u").alias("node"), F.col("m"))
             )
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("u"), F.col("m").alias("v"))
             .distinct()
             .localCheckpoint(eager=True)  # bounded lineage per round
         )
