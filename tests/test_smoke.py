@@ -202,3 +202,23 @@ def test_threshold_queries_nondegenerate(spark, sf_dir):
     # both arms must be PARTIAL conversions (0 < c < n) or the pooled
     # z denominator degenerates to zero
     assert 0 < ab.c0 < ab.n0 and 0 < ab.c1 < ab.n1, ab
+
+
+def test_pretrain_pipeline_example(spark, sf_dir, tmp_path):
+    """The end-to-end pretraining curation chain runs and the funnel is
+    monotone non-increasing with a non-empty, lang-partitioned output."""
+    import importlib.util
+    from pathlib import Path
+
+    path = (
+        Path(__file__).resolve().parent.parent
+        / "examples/pretrain_pipeline.py"
+    )
+    spec = importlib.util.spec_from_file_location("pretrain_pipeline", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "corpus")
+    assert mod.main([sf_dir, out, "--master", "local[8]"]) == 0
+    written = spark.read.parquet(out)
+    assert written.count() > 0
+    assert "lang" in written.columns  # partition column survives
