@@ -996,3 +996,54 @@ def events_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * F.sum("in_window") / F.count(F.lit(1)), 2
         ).alias("conv_7d_pct"),
     )
+
+
+_NS_PER_30D = 30 * _NS_PER_DAY
+
+
+@register(
+    "events_mom_growth",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT epoch_ns(ts) // {_NS_PER_30D} AS period,
+             count(*) AS n_events,
+             round(sum(value), 2) AS revenue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1)
+    SELECT period, n_events, revenue,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY period))
+                 / lag(revenue) OVER (ORDER BY period), 2) AS rev_mom_pct
+    FROM monthly
+    """,
+    survey="B14 extension (period-over-period growth — the BI staple)",
+    scale="""
+    Month-over-month revenue growth: the corpus collapses to one row
+    per 30-day period FIRST (partial-aggregated groupBy on integer-nanos
+    arithmetic), and only then does the lag window run — over the
+    |periods| relation, dozens of rows per decade, so its global window
+    is bounded by CALENDAR TIME, not data volume (the same
+    entity-collapse-first discipline as events_rfm). At 100 TB the
+    rollup is the only corpus-sized stage.
+    """,
+)
+def events_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day-period purchase revenue with period-over-period % change."""
+    monthly = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.expr(f"ts_ns div {_NS_PER_30D}").alias("period"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+    w = Window.orderBy("period")  # |periods| rows — calendar-bounded
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "period",
+        "n_events",
+        "revenue",
+        pround(100.0 * (F.col("revenue") - prev) / prev, 2).alias(
+            "rev_mom_pct"
+        ),
+    )
