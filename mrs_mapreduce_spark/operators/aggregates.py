@@ -583,3 +583,41 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         pround(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey="B10 extension (EXACT distinct via Spark 4 bitmap aggregates — "
+    "the shard-mergeable alternative to count_distinct's expand)",
+    scale="""
+    Two-level exact distinct count that merges like a monoid: keys map to
+    (bucket, bit) via bitmap_bucket_number/bitmap_bit_position, each
+    (group, bucket) partial-aggregates a fixed 4 KB bitmap map-side, the
+    shuffle carries bitmaps instead of raw keys, and the final count is
+    sum(bitmap_count). Unlike count(DISTINCT x) — whose Expand doubles
+    the input when combined with other aggregates — bitmaps OR
+    associatively, so per-shard/per-day bitmap relations can be stored
+    and re-merged incrementally (the exact-distinct rollup pattern at
+    100 TB: materialize per-partition bitmaps once, answer any
+    date-range distinct by OR-ing a few thousand bitmap rows).
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct customers per priority via mergeable bitmaps."""
+    orders = table(spark, sf_dir, "orders")
+    per_bucket = orders.groupBy(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias(
+            "bm"
+        )
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_cust")
+    )

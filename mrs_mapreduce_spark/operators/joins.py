@@ -648,3 +648,41 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-fwd_gap)
         .alias("gap_us"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (SELECT o_orderkey, nullif(o_custkey % 5, 0) AS k
+               FROM orders),
+    d AS (SELECT nullif(r_regionkey % 5, 0) AS k, r_name FROM region)
+    SELECT d.r_name, count(*) AS n_orders
+    FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.r_name
+    """,
+    survey="B3/B5 extension (null-safe equality join: <=> / "
+    "IS NOT DISTINCT FROM)",
+    scale="""
+    eqNullSafe keys stay HASH-JOINABLE: Catalyst normalizes `a <=> b` to
+    coalesce-keys + null-flags, so the plan is the same broadcast/SMJ as
+    a plain equi-join — no nested-loop fallback for NULL-matching
+    semantics. The 5-row dim broadcasts; the orders side is scanned once
+    with the count partial-aggregated map-side. NULL keys all hash to one
+    value — at 100 TB a NULL-heavy fact column is a skew key by
+    construction, which is exactly when AQE skew-join or an explicit NULL
+    pre-split (filter nulls, union back) applies.
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join: NULL bucket keys match the NULL dim row."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 5, F.lit(0)).alias("k")
+    )
+    dim = table(spark, sf_dir, "region").select(
+        F.nullif(F.col("r_regionkey") % 5, F.lit(0)).alias("dk"), "r_name"
+    )
+    return (
+        orders.join(F.broadcast(dim), F.col("k").eqNullSafe(F.col("dk")))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -88,3 +88,27 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_side = orders.select("o_custkey")
     f_side = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return all_side.exceptAll(f_side)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    survey="B19 (INTERSECT ALL — bag semantics, completes the set-op family)",
+    scale="""
+    INTERSECT ALL preserves multiplicity: per-key counts on both sides,
+    emit min(left, right) copies per key. Like exceptAll this compiles to
+    counted generation after one shuffle per side — the shuffle carries
+    (key, count) after partial aggregation, never the raw bags, so a
+    100 TB bag intersect moves only distinct-key-sized data.
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersection (matched order slots per customer)."""
+    orders = table(spark, sf_dir, "orders")
+    f_side = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_side = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_side.intersectAll(o_side)

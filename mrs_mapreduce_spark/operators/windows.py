@@ -294,3 +294,45 @@ def window_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         pround(F.regr_slope("v", "x").over(w_frame), 4).alias("slope10"),
     )
+
+
+@register(
+    "window_count_distinct",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           count(DISTINCT o_orderpriority)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS run_distinct
+    FROM orders WHERE o_custkey < 200
+    """,
+    survey="B13/B15 extension (COUNT(DISTINCT) OVER — an aggregate Spark's "
+    "window operator does not support natively, expressed as "
+    "size(collect_set) over the same frame)",
+    scale="""
+    Spark rejects DISTINCT aggregates in windows; size(collect_set(...))
+    over the identical ROWS frame is the standard rewrite and plans as
+    ONE WindowExec after one hash exchange on o_custkey — same shape as
+    any frame aggregate. The state per partition row is the set of
+    distinct values seen, bounded by the attribute's cardinality (5
+    priorities here); for high-cardinality columns the rewrite to a
+    dense_rank-over-first-occurrence running max avoids the set
+    entirely. Frames are pinned ROWS (not RANGE) on both engines so tied
+    order keys cannot diverge.
+    """,
+)
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct order-priority count per customer."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.size(F.collect_set("o_orderpriority").over(w))
+        .cast("long")
+        .alias("run_distinct"),
+    )
