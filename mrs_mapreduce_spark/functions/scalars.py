@@ -263,3 +263,47 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr"),
         F.bit_count(k).alias("popcnt"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH u AS (SELECT doc_id,
+                      'https://' || source || '.example.com/docs/'
+                        || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+               FROM documents WHERE doc_id < 200)
+    SELECT doc_id, url,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'lang=([^&]+)', 1) AS lang_param
+    FROM u
+    """,
+    survey="B20 extension (URL parsing — parse_url host/path/query, the "
+    "web-corpus curation substrate)",
+    scale="""
+    parse_url is a codegen'd JVM expression (no UDF): extracting
+    host/path/query from trillions of crawl URLs stays inside
+    whole-stage codegen, pipelined with the scan. Host extraction is the
+    canonical first step of URL-keyed dedup and per-domain quality
+    rollups; the projection prunes to the three columns read.
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction over synthesized document URLs."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    d = d.select("doc_id", url.alias("url"))
+    return d.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -901,3 +901,58 @@ REGISTRY["dedup_components_star"] = REGISTRY["dedup_components_star"].__class__(
     survey=REGISTRY["dedup_components_star"].survey,
     scale=REGISTRY["dedup_components_star"].scale,
 )
+
+
+@register(
+    "dedup_substring",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 md5(unnest(list_transform(range(1, len(ws) - 6),
+                     i -> array_to_string(ws[i:i+7], ' ')))) AS h
+          FROM w WHERE len(ws) >= 8),
+    per AS (SELECT doc_id, h, count(*) AS c FROM g GROUP BY doc_id, h),
+    df AS (SELECT h, count(*) AS nd FROM per GROUP BY h)
+    SELECT per.doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           round(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END)
+                 / CAST(sum(c) AS DOUBLE), 6) AS dup_ratio
+    FROM per JOIN df USING (h)
+    GROUP BY per.doc_id
+    """,
+    survey="D2 extension (exact-substring dedup, fixed-k gram relaxation "
+    "of Lee et al. 2022's suffix-array ExactSubstr — any duplicated "
+    "span of >= 8 words is caught by its 8-gram)",
+    scale="""
+    The suffix-array dedup re-expressed relationally: 8-word grams are
+    built in-codegen from the hoisted split (shingles' measured 6x
+    discipline), hashed to md5 AT THE SCAN so every downstream shuffle
+    carries 16-byte hashes, never gram text. Three partial-aggregated
+    exchanges — (doc,gram) counts, per-gram doc counts via a window on
+    the gram hash, per-doc rollup. Cross-doc sharing is decided on
+    distinct (doc,gram) rows, so a gram repeated inside ONE doc does
+    not mark it duplicated. At 100 TB this is the plan that replaces a
+    monolithic suffix array: no global sort, no driver state, and the
+    gram-hash relation can persist as the corpus's substring index for
+    incremental batches (dedup_against_corpus's pattern).
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-8-gram fraction (exact-substring dedup signal)."""
+    from pyspark.sql.window import Window
+
+    g = shingles(table(spark, sf_dir, "documents"), k=8).select(
+        "doc_id", F.md5("sh").alias("h")
+    )
+    per = g.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    per = per.withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    dup = F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.sum(dup).cast("long").alias("n_dup_grams"),
+        pround(F.sum(dup) / F.sum("c").cast("double"), 6).alias("dup_ratio"),
+    )

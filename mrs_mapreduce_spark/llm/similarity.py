@@ -981,3 +981,85 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@register(
+    "dedup_semdedup",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                 FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, a AS cv FROM pts WHERE vec_id < {_IVF_K}),
+    {_duck_assign('pts', 'c0', 'asg')},
+    pairs AS (
+      SELECT y.cid, x.vec_id AS va, y.vec_id AS vb,
+             {_duck_cos('pa.a', 'pb.a')} AS cos
+      FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN pts pa ON pa.vec_id = x.vec_id
+      JOIN pts pb ON pb.vec_id = y.vec_id
+      WHERE {_duck_cos('pa.a', 'pb.a')} >= 0.4)
+    SELECT vb AS vec_id, cid, CAST(count(*) AS BIGINT) AS n_dups,
+           round(max(cos), 6) AS max_cos
+    FROM pairs GROUP BY vb, cid
+    """,
+    survey="D2/D3 (SemDeDup: semantic dedup via k-means cells + "
+    "within-cell cosine — Abbas et al. 2023, arXiv:2303.09540)",
+    scale="""
+    SemDeDup as a relational plan: nearest-centroid cell assignment (the
+    broadcast struct-min argmin shared with similarity_ivf), then the
+    near-dup self-join keyed ON THE CELL — candidate pairs are per-cell
+    quadratic, never corpus quadratic, and the keep-lowest-id rule needs
+    only a per-victim aggregate, not connected components. At 100 TB
+    the cells come from a trained codebook (similarity_ivf_trained's
+    Lloyd rounds) sized so cells fit an executor; the threshold filter
+    runs on the unrounded cosine so both engines keep identical pairs.
+    Threshold 0.4 is fixture-calibrated (max within-cell cosine 0.49;
+    11 victims at sf0.01) and guarded non-degenerate in test_smoke.
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup: within-cell cosine >= 0.4 drops the higher id."""
+    pts = (
+        fan_out(table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("a"),
+        )
+        .cache()
+    )
+    cents = pts.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("a").alias("cv")
+    )
+
+    def sq_dist():
+        diffs = F.zip_with("a", "cv", lambda x, c: (x - c) * (x - c))
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    assigned = (
+        pts.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(sq_dist().alias("dist"), "cid")).alias("m"),
+            F.first("a").alias("a"),
+        )
+        .select("vec_id", F.col("m.cid").alias("cid"), "a")
+    )
+    x = assigned.select(
+        F.col("vec_id").alias("va"), F.col("cid").alias("ca"),
+        F.col("a").alias("aa"),
+    )
+    y = assigned.select(
+        F.col("vec_id").alias("vb"), F.col("cid").alias("cb"),
+        F.col("a").alias("ab"),
+    )
+    pairs = (
+        x.join(y, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")))
+        .withColumn("cos", cosine("aa", "ab"))
+        .filter(F.col("cos") >= 0.4)
+    )
+    return pairs.groupBy(
+        F.col("vb").alias("vec_id"), F.col("cb").alias("cid")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+        pround(F.max("cos"), 6).alias("max_cos"),
+    )

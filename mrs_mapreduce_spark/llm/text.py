@@ -1129,3 +1129,91 @@ def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_subword"
         ),
     )
+
+
+@register(
+    "text_entropy",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(c * log2(c)) / CAST(sum(c) AS DOUBLE), 6) AS entropy
+    FROM tf GROUP BY doc_id
+    """,
+    survey="D4 (unigram Shannon entropy per document — the low-diversity / "
+    "boilerplate quality signal)",
+    scale="""
+    Entropy decomposed into the algebraic form
+    H = log2(n) - sum(c*log2(c))/n so it is TWO partial-aggregated
+    groupBys over the token stream (no join back to per-doc totals, no
+    collected frequency vectors): (doc,word) counts shuffle once, then
+    per-doc sums shuffle doc-count rows. Both sums are monoids — the
+    100 TB plan is the wordcount plan. Low-entropy docs (template spam,
+    repeated boilerplate) are exactly what this gate drops in a
+    pretraining curation pipeline.
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy via the algebraic decomposition."""
+    tf = (
+        tokens(table(spark, sf_dir, "documents"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        pround(
+            F.log2(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c").cast("double"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+@register(
+    "text_zipf",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    wf AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+    top AS (SELECT w, f FROM wf ORDER BY f DESC, w LIMIT 256),
+    ranked AS (SELECT f,
+                      row_number() OVER (ORDER BY f DESC, w) AS r
+               FROM top)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+           round(regr_r2(ln(f), ln(r)), 4) AS zipf_r2
+    FROM ranked
+    """,
+    survey="D4 extension (Zipf rank-frequency slope — corpus-health "
+    "profiling: natural text fits ~-1, templated/synthetic corpora "
+    "deviate)",
+    scale="""
+    The log-log regression runs over the TOP-256 frequencies only, so
+    the global ranking never funnels the full vocabulary through one
+    partition (the events_rfm lesson): word counts partial-aggregate,
+    the top-256 cut is TakeOrderedAndProject (per-partition heaps +
+    driver merge), and the row_number window then orders a
+    256-row relation — bounded by construction at any corpus size.
+    regr_slope/regr_r2 are algebraic aggregates (sums of x, y, xy, x²),
+    partial-aggregated like any sum.
+    """,
+)
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope fit on the top-256 corpus word frequencies."""
+    wf = (
+        tokens(table(spark, sf_dir, "documents"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    top = wf.orderBy(F.desc("f"), "word").limit(256)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), "word"))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        pround(F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_slope"),
+        pround(F.regr_r2(F.log("f"), F.log("r")), 4).alias("zipf_r2"),
+    )

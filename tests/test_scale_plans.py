@@ -275,3 +275,58 @@ def test_asof_nearest_single_window_pass(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Sort ") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    """eqNullSafe must not fall back to nested-loop: Catalyst normalizes
+    <=> into hash-joinable keys and the 5-row dim broadcasts."""
+    plan = _plan(spark, sf_dir, "join_null_safe")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bitmap_distinct_partial_bitmaps(spark, sf_dir):
+    """Both aggregation levels partial-aggregate: the shuffle carries
+    bitmaps / per-bucket counts, never raw keys."""
+    plan = _plan(spark, sf_dir, "agg_bitmap_distinct")
+    # bitmap level is a SortAggregate (binary buffer), count level a
+    # HashAggregate — BOTH must partial-aggregate map-side
+    assert "partial_bitmap_construct_agg" in plan
+    assert "partial_sum" in plan
+    # no Expand: this is the point vs count(DISTINCT x) with other aggs
+    assert "Expand" not in plan
+
+
+def test_window_count_distinct_single_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_count_distinct")
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1
+
+
+def test_zipf_ranks_only_topk(spark, sf_dir):
+    """The global ranking window must sit on TOP of the top-256 cut
+    (TakeOrderedAndProject), never over the full vocabulary."""
+    plan = _plan(spark, sf_dir, "text_zipf")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_substring_dedup_shuffles_hashes_only(spark, sf_dir):
+    """Gram text must be hashed at the scan: no shuffle carries 'sh'."""
+    plan = _plan(spark, sf_dir, "dedup_substring")
+    assert "md5" in plan
+    import re
+    for exch in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "sh#" not in exch, exch
+
+
+def test_semdedup_pairs_join_on_cell(spark, sf_dir):
+    """The near-dup self-join must be keyed on the cell id (per-cell
+    quadratic), and centroid assignment must broadcast."""
+    plan = _plan(spark, sf_dir, "dedup_semdedup")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the 16-row codebook broadcast,
+    # once per self-join branch (assignment recomputed, pts cached)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # the pair join itself must be an equi-join KEYED ON THE CELL
+    assert "SortMergeJoin [ca" in plan or "BroadcastHashJoin [ca" in plan \
+        or "ShuffledHashJoin [ca" in plan

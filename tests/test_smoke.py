@@ -222,3 +222,25 @@ def test_pretrain_pipeline_example(spark, sf_dir, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() > 0
     assert "lang" in written.columns  # partition column survives
+
+
+def test_round3_threshold_queries_nondegenerate(spark, sf_dir):
+    """Round-3 data-dependent constants must stay observable after any
+    fixture regeneration (the join_pit_scd2 lesson)."""
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.registry import load_all
+
+    reg = load_all()
+    # SemDeDup's 0.4 cosine threshold must actually drop vectors
+    assert reg["dedup_semdedup"].builder(spark, sf_dir).count() > 0
+    # substring dedup must see SOME cross-doc shared 8-grams
+    dup = (
+        reg["dedup_substring"].builder(spark, sf_dir)
+        .agg(F.sum("n_dup_grams").alias("s")).collect()[0].s
+    )
+    assert dup and dup > 0
+    # the null-safe join's NULL bucket must be populated (region 0 row)
+    ns = {r.r_name: r.n_orders
+          for r in reg["join_null_safe"].builder(spark, sf_dir).collect()}
+    assert len(ns) == 5 and all(v > 0 for v in ns.values())
