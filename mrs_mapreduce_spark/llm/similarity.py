@@ -1063,3 +1063,51 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_dups"),
         pround(F.max("cos"), 6).alias("max_cos"),
     )
+
+
+@register(
+    "similarity_range",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10)
+    SELECT q.q_id, e.vec_id AS cand_id,
+           round({_duck_cos('qv', 'embedding')}, 6) AS cos_sim
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.q_id
+      AND {_duck_cos('qv', 'embedding')} >= 0.33
+    """,
+    survey="D3 (range / epsilon-neighborhood search — the threshold dual "
+    "of top-k: ALL neighbors above a similarity floor)",
+    scale="""
+    Same broadcast-queries / stream-candidates shape as similarity_topk
+    but WITHOUT the per-query window: the threshold filter is a plain
+    codegen predicate, so the plan is scan -> broadcast join -> filter
+    with no shuffle at all on the candidate side — range search is
+    CHEAPER than top-k at scale (no rank state), at the cost of an
+    unbounded result per query. The 0.33 floor is fixture-calibrated
+    (20 hits at sf0.01) and guarded non-degenerate in test_smoke; the
+    threshold filters on the UNROUNDED cosine so both engines keep the
+    identical hit set.
+    """,
+)
+def similarity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All candidate vectors with cosine >= 0.33 of the 10 query vectors."""
+    e = with_norm(fan_out(table(spark, sf_dir, "embeddings")))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cos", dot("qv", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+        )
+        .filter(F.col("cos") >= 0.33)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            pround("cos", 6).alias("cos_sim"),
+        )
+    )

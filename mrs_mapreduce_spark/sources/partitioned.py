@@ -147,3 +147,52 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "join_dpp",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT o_orderpriority AS pr,
+                        CAST(substr(o_orderpriority, 1, 1) AS INT) AS urg
+                 FROM orders)
+    SELECT d.pr, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN dim d ON o.o_orderpriority = d.pr
+    WHERE d.urg <= 2
+    GROUP BY d.pr
+    """,
+    survey="B3/B4 + §4 (DYNAMIC partition pruning: the dim-side filter "
+    "prunes fact partitions at runtime)",
+    scale="""
+    The fact is laid out partitioned on the join key; the selective
+    filter lives on the DIM side, so static pruning cannot fire — the
+    runtime takes the broadcast dim's key set and injects it as a
+    dynamicpruningexpression PartitionFilter on the fact scan (asserted
+    in tests). At 100 TB this is the star-schema scan killer: a
+    date-dim filter like 'fiscal Q3' prunes a date-partitioned fact to
+    ~1/4 of its directories before any I/O, with zero query rewrite.
+    DPP subsumes manually propagating dim predicates onto the fact.
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-filtered join whose fact scan is runtime-partition-pruned."""
+    orders = table(spark, sf_dir, "orders")
+    target = tempfile.mkdtemp(prefix="mrs_dpp_") + "/orders_by_priority"
+    write_partitioned(orders, target, ["o_orderpriority"])
+    fact = spark.read.parquet(target)
+    dim = (
+        orders.select(F.col("o_orderpriority").alias("pr"))
+        .distinct()
+        .withColumn("urg", F.substring("pr", 1, 1).cast("int"))
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("urg") <= 2)),
+            fact["o_orderpriority"] == F.col("pr"),
+        )
+        .groupBy("pr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            pround(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -330,3 +330,19 @@ def test_semdedup_pairs_join_on_cell(spark, sf_dir):
     # the pair join itself must be an equi-join KEYED ON THE CELL
     assert "SortMergeJoin [ca" in plan or "BroadcastHashJoin [ca" in plan \
         or "ShuffledHashJoin [ca" in plan
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """The dim-side filter must reach the fact scan as a runtime
+    dynamicpruningexpression PartitionFilter."""
+    plan = _plan(spark, sf_dir, "join_dpp")
+    assert "dynamicpruning" in plan
+    assert "PartitionFilters: [" in plan
+
+
+def test_similarity_range_no_candidate_shuffle(spark, sf_dir):
+    """Range search must be scan -> broadcast join -> filter: no hash
+    exchange of the candidate side, no window."""
+    plan = _plan(spark, sf_dir, "similarity_range")
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in plan

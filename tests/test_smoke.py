@@ -244,3 +244,9 @@ def test_round3_threshold_queries_nondegenerate(spark, sf_dir):
     ns = {r.r_name: r.n_orders
           for r in reg["join_null_safe"].builder(spark, sf_dir).collect()}
     assert len(ns) == 5 and all(v > 0 for v in ns.values())
+
+
+def test_similarity_range_nondegenerate(spark, sf_dir):
+    from mrs_mapreduce_spark.registry import load_all
+
+    assert load_all()["similarity_range"].builder(spark, sf_dir).count() > 0
