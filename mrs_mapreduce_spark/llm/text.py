@@ -1217,3 +1217,49 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_slope"),
         pround(F.regr_r2(F.log("f"), F.log("r")), 4).alias("zipf_r2"),
     )
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 + 0.5) / 4294967296.0) / n_chars AS k
+      FROM documents)
+    SELECT doc_id, n_chars, round(k, 6) AS es_key
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 64
+    """,
+    survey="D4 extension (weighted sampling WITHOUT replacement — "
+    "Efraimidis-Spirakis A-ES: top-k by exponential keys, the "
+    "distributed weighted reservoir)",
+    scale="""
+    Weighted reservoir sampling with zero reservoir state: each row gets
+    the deterministic key ln(u)/w (u uniform from md5, w = n_chars), and
+    'sample k proportional to weight, without replacement' becomes plain
+    top-k by key — TakeOrderedAndProject (per-partition heaps + driver
+    merge of k rows), no global sort, no sequential pass (plan-asserted).
+    This is how a 100 TB corpus yields a quality-weighted eval slice in
+    one scan; u is hash-derived so the sample is reproducible across
+    runs and engines (the same discipline as sample_hash). Selection
+    compares UNROUNDED keys; collisions would need md5 agreement on the
+    first 8 hex chars AND equal weights — then doc_id breaks the tie
+    identically on both engines.
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-64 weighted sample (A-ES exponential keys, weight = n_chars)."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    return (
+        keyed.orderBy(F.desc("k"), "doc_id")
+        .limit(64)
+        .select("doc_id", "n_chars", pround("k", 6).alias("es_key"))
+    )

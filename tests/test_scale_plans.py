@@ -346,3 +346,11 @@ def test_similarity_range_no_candidate_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "similarity_range")
     assert "Window" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_sample_weighted_is_topk_not_sort(spark, sf_dir):
+    """A-ES sampling must plan as TakeOrderedAndProject — never a global
+    sort of the keyed corpus."""
+    plan = _plan(spark, sf_dir, "sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
