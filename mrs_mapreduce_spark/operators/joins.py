@@ -686,3 +686,65 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    WITH iv AS (SELECT o_orderkey AS iv_id,
+                       CAST(o_orderdate AS DATE) AS lo,
+                       CAST(o_orderdate AS DATE) + 30 AS hi
+                FROM orders WHERE o_orderkey % 97 = 0),
+    pts AS (SELECT CAST(l_shipdate AS DATE) AS d, l_extendedprice
+            FROM lineitem)
+    SELECT iv.iv_id, count(*) AS n_ship,
+           round(sum(l_extendedprice), 2) AS rev
+    FROM pts JOIN iv ON pts.d >= iv.lo AND pts.d < iv.hi
+    GROUP BY iv.iv_id
+    """,
+    survey="B8 (range join at scale: grid-binned to an equi-join on "
+    "bucket + residual — implements join_range's scale note)",
+    scale="""
+    The point-in-interval join that survives two BIG sides: both sides
+    map to a 30-day grid (intervals explode to every covered bucket —
+    <= 2 rows here since span == grid width), the join becomes an
+    EQUI-join on bucket with the exact range check as a residual, and
+    each (interval, point) pair meets in exactly one bucket (the
+    point's own), so no post-join dedup is needed. Plan-asserted: a
+    hash/SMJ family join, never BroadcastNestedLoopJoin — the naive
+    theta form degrades to O(n*m) nested loops once the interval side
+    outgrows broadcast. Grid width tunes fanout vs selectivity: width ~
+    median interval length keeps explode factor ~2 while the residual
+    discards ~half the bucket's candidates.
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via grid binning: equi-join on bucket + residual."""
+    orders = table(spark, sf_dir, "orders")
+    iv = orders.filter((F.col("o_orderkey") % 97) == 0).select(
+        F.col("o_orderkey").alias("iv_id"),
+        F.to_date("o_orderdate").alias("lo"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("hi"),
+    )
+    ivb = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr("unix_date(lo) div 30"),
+                F.expr("unix_date(hi - INTERVAL '1' DAY) div 30"),
+            )
+        ),
+    )
+    pts = table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("d"), "l_extendedprice"
+    ).withColumn("bucket", F.expr("unix_date(d) div 30"))
+    j = pts.join(
+        ivb,
+        (pts["bucket"] == ivb["bucket"])
+        & (F.col("d") >= F.col("lo"))
+        & (F.col("d") < F.col("hi")),
+    )
+    return j.groupBy("iv_id").agg(
+        F.count(F.lit(1)).alias("n_ship"),
+        pround(F.sum("l_extendedprice"), 2).alias("rev"),
+    )

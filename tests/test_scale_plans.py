@@ -354,3 +354,15 @@ def test_sample_weighted_is_topk_not_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sample_weighted")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_range_binned_is_equi_join(spark, sf_dir):
+    """Grid binning must turn the interval join into a hash-family
+    equi-join on bucket — never the nested-loop theta form."""
+    plan = _plan(spark, sf_dir, "join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join [bucket" in plan.replace("BroadcastHashJoin [bucket",
+                                          "Join [bucket").replace(
+        "SortMergeJoin [bucket", "Join [bucket").replace(
+        "ShuffledHashJoin [bucket", "Join [bucket")
