@@ -495,3 +495,118 @@ def test_star_components_log_rounds_on_long_chain(spark):
     assert rounds <= 8, rounds
     assert all(labels[i] == 0 for i in range(n))
     assert all(labels[i] == 200 for i in (200, 201, 202))
+
+
+@given(
+    left=st.lists(st.integers(0, 4), min_size=0, max_size=12),
+    right=st.lists(st.integers(0, 4), min_size=0, max_size=12),
+)
+@_SETTINGS
+def test_intersect_all_is_min_multiplicity(spark, left, right):
+    """INTERSECT ALL == per-key min(count_left, count_right) copies."""
+    l_df = spark.createDataFrame([(v,) for v in left] or [(None,)], "v int")
+    r_df = spark.createDataFrame([(v,) for v in right] or [(None,)], "v int")
+    if not left:
+        l_df = l_df.filter("v IS NOT NULL")
+    if not right:
+        r_df = r_df.filter("v IS NOT NULL")
+    got = Counter(r.v for r in l_df.intersectAll(r_df).collect())
+    lc, rc = Counter(left), Counter(right)
+    want = {k: min(n, rc[k]) for k, n in lc.items() if k in rc}
+    assert got == Counter(want)
+
+
+def test_entropy_bounds_and_uniform_extremes(spark, sf_dir):
+    """0 <= H <= log2(n_distinct_words); H == 0 iff one distinct word."""
+    import math
+
+    from mrs_mapreduce_spark.registry import load_all
+
+    rows = load_all()["text_entropy"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # entropy is pround()ed to 6 decimals, so allow the 5e-7 quantum
+        assert -1e-6 <= r.entropy <= math.log2(r.n_words) + 1e-6
+    # synthetic extremes through the same builder path
+    df = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a b c d")], "doc_id long, text string"
+    )
+    tf = (
+        df.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ent = {
+        r.doc_id: r.h
+        for r in tf.groupBy("doc_id")
+        .agg(
+            (
+                F.log2(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * F.log2("c"))
+                / F.sum("c").cast("double")
+            ).alias("h")
+        )
+        .collect()
+    }
+    assert abs(ent[0] - 0.0) < 1e-12      # all same word
+    assert abs(ent[1] - 2.0) < 1e-12      # 4 equiprobable words
+
+
+def test_weighted_sample_monotone_in_weight(spark):
+    """Scaling ALL weights leaves the A-ES selection unchanged (keys
+    scale by a positive constant), and the heavier of two docs with the
+    same hash-uniform wins the key comparison."""
+    rows = [(i, 10 + (i % 7) * 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+
+    def topk(weight_col):
+        keyed = df.select("doc_id", (F.log(u) / weight_col).alias("k"))
+        return [
+            r.doc_id
+            for r in keyed.orderBy(F.desc("k"), "doc_id").limit(16).collect()
+        ]
+
+    assert topk(F.col("w")) == topk(F.col("w") * 3)
+    # same u, larger w => larger (less negative) key
+    two = spark.createDataFrame([(0, 5), (1, 50)], "doc_id long, w long")
+    ks = {
+        r.doc_id: r.k
+        for r in two.select(
+            "doc_id",
+            (F.log(F.lit(0.25)) / F.col("w")).alias("k"),
+        ).collect()
+    }
+    assert ks[1] > ks[0]
+
+
+def test_substring_dedup_flags_exact_copies(spark):
+    """Two identical docs must be 100% duplicated grams; a disjoint doc
+    0% — through the declared builder's exact logic on a micro-frame."""
+    from pyspark.sql.window import Window
+
+    from mrs_mapreduce_spark.llm.dedup import shingles
+
+    text_a = " ".join(f"w{i}" for i in range(20))
+    text_b = " ".join(f"z{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(0, text_a), (1, text_a), (2, text_b)], "doc_id long, text string"
+    )
+    g = shingles(df, k=8).select("doc_id", F.md5("sh").alias("h"))
+    per = g.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    per = per.withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    dup = F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0))
+    out = {
+        r.doc_id: (r.n_dup, r.n_all)
+        for r in per.groupBy("doc_id")
+        .agg(F.sum(dup).alias("n_dup"), F.sum("c").alias("n_all"))
+        .collect()
+    }
+    assert out[0][0] == out[0][1] and out[1][0] == out[1][1]  # full dup
+    assert out[2][0] == 0  # disjoint doc untouched
