@@ -450,7 +450,15 @@ def propagate_min_labels(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
-            return labels
+            # cut lineage FOR REAL before returning: the caller will
+            # unpersist the edge list, and DataFrame.unpersist cascades
+            # to dependent cached plans — a merely-cached result would
+            # silently re-expand to the full iterative lineage (measured
+            # 546 FileScans / 2913 exchanges in the returned plan; 1 / 3
+            # after this checkpoint)
+            final = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            return final
     raise RuntimeError(
         f"propagate_min_labels: no fixpoint after {max_rounds} rounds — "
         "graph diameter exceeds the guard; raise max_rounds explicitly "
