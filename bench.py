@@ -169,6 +169,14 @@ EXTRA = [
     "similarity_ivf_trained",
     "similarity_lsh_multiprobe",
     "events_rfm",
+    # round-3b additions
+    "dedup_substring",
+    "dedup_semdedup",
+    "join_dpp",
+    "join_range_binned",
+    "agg_bitmap_distinct",
+    "text_entropy",
+    "sample_weighted",
 ]
 
 

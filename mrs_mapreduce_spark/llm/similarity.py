@@ -1013,6 +1013,11 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cells come from a trained codebook (similarity_ivf_trained's
     Lloyd rounds) sized so cells fit an executor; the threshold filter
     runs on the unrounded cosine so both engines keep identical pairs.
+    k MUST grow with the corpus (cells of bounded size): the fixture
+    keeps k=16 fixed for oracle determinism, and the scale sweep shows
+    exactly the predicted fixed-k artifact — 4.5x time for 100x rows
+    (per-cell pairs quadratic in cell size) — which scaling k to
+    n/cell_target removes.
     Threshold 0.4 is fixture-calibrated (max within-cell cosine 0.49;
     11 victims at sf0.01) and guarded non-degenerate in test_smoke.
     """,

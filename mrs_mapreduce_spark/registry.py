@@ -64,7 +64,11 @@ REGISTRY: dict[str, Query] = {}
 #: stream_* remainder, mr_*, sketch_bloom/hll, window_lag leftovers,
 #: agg_conditional, agg_weighted, events_* remainder, sql_scripting,
 #: join_lateral, topk, sql_api_q5, scalar_subquery, map_explode_pos,
-#: graph_triangles). Run scripts/fixture_check.py FIRST (fixtures
+#: graph_triangles) and the round-3b additions (set_intersect_all,
+#: join_null_safe, window_count_distinct, agg_bitmap_distinct, fn_url,
+#: text_entropy, text_zipf, dedup_semdedup, dedup_substring, join_dpp,
+#: similarity_range, sample_weighted, join_range_binned,
+#: dedup_components_star). Run scripts/fixture_check.py FIRST (fixtures
 #: regenerate between rounds).
 SHOWCASE: tuple[str, ...] = (
     # scalar/array/map/JSON function surface (B20-B25)
