@@ -250,3 +250,22 @@ def test_similarity_range_nondegenerate(spark, sf_dir):
     from mrs_mapreduce_spark.registry import load_all
 
     assert load_all()["similarity_range"].builder(spark, sf_dir).count() > 0
+
+
+def test_observation_metrics_piggyback_on_flagship(spark, sf_dir):
+    """A14 monitoring parity, batch side: Observation collects row/sum
+    metrics DURING the flagship query's own execution (no second scan),
+    complementing Job.progress' task-fraction view."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.registry import load_all
+
+    obs = Observation("flagship")
+    df = load_all()["groupby_agg"].builder(spark, sf_dir)
+    observed = df.observe(
+        obs, F.count(F.lit(1)).alias("n_groups"), F.sum("cnt").alias("n_rows")
+    )
+    rows = observed.collect()
+    assert obs.get["n_groups"] == len(rows)
+    assert obs.get["n_rows"] == sum(r.cnt for r in rows)
