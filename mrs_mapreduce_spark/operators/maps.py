@@ -350,3 +350,60 @@ def python_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev("c_name").alias("rev_name"),
         F.length("c_name").alias("name_len"),
     )
+
+
+@register(
+    "arrow_grouped_map",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal,
+           round(max(c_acctbal) - min(c_acctbal), 2) AS bal_range
+    FROM customer GROUP BY c_mktsegment
+    """,
+    survey="A18 (Spark 4 applyInArrow — the Arrow-native grouped map: no "
+    "pandas materialization between the JVM and user code)",
+    scale="""
+    Same execution contract as applyInPandas (full group to one worker,
+    Arrow transfer) but the user function sees a pyarrow.Table directly —
+    skipping the Arrow->pandas conversion removes the per-batch copy and
+    pandas' object-dtype traps for string columns. The per-group Python
+    work here is pyarrow.compute (C++ kernels), so only control flow is
+    interpreted. Still bound group sizes at 100 TB; the oracle is the
+    built-in-aggregate twin that wins whenever the logic is expressible.
+    """,
+)
+def arrow_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment stats through applyInArrow (pyarrow.compute kernels)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def seg_stats(tbl: pa.Table) -> pa.Table:
+        bal = tbl["c_acctbal"]
+        total = pc.sum(bal).as_py()
+        lo, hi = pc.min(bal).as_py(), pc.max(bal).as_py()
+        # rounding happens Spark-side with pround: Python's round() is
+        # half-EVEN, the engine discipline is DuckDB's half-away form
+        return pa.table(
+            {
+                "c_mktsegment": [tbl["c_mktsegment"][0].as_py()],
+                "n_cust": pa.array([tbl.num_rows], pa.int64()),
+                "total_bal": pa.array([total], pa.float64()),
+                "bal_range": pa.array([hi - lo], pa.float64()),
+            }
+        )
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal"
+    )
+    raw = cust.groupBy("c_mktsegment").applyInArrow(
+        seg_stats,
+        schema="c_mktsegment string, n_cust bigint, total_bal double, "
+        "bal_range double",
+    )
+    return raw.select(
+        "c_mktsegment",
+        "n_cust",
+        pround("total_bal", 2).alias("total_bal"),
+        pround("bal_range", 2).alias("bal_range"),
+    )
