@@ -7,6 +7,8 @@ phases; here it is one declarative plan.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -476,6 +478,22 @@ def _global_ntile(df: DataFrame, order: list, out: str) -> DataFrame:
     localCheckpoint'd: entity-sized (one row per user), read by three
     consumers (stats, total, rebase), materialized exactly once.
     """
+    # SQL ntile(k): q = n div k rows per bucket, first n%k buckets get one
+    # extra. Closed form over global rank _r (1-based); the q=0 edge never
+    # reaches the ELSE branch because then every rank satisfies the WHEN.
+    bucket = F.expr(
+        "CAST(CASE WHEN _r <= (_n % 4) * (_n div 4 + 1) "
+        "THEN (_r + (_n div 4 + 1) - 1) div (_n div 4 + 1) "
+        "ELSE (_n % 4) + (_r - (_n % 4) * (_n div 4 + 1) + (_n div 4) - 1)"
+        " div (_n div 4) END AS INT)"
+    )
+    return _global_rank(df, order).withColumn(out, bucket).drop("_r", "_n")
+
+
+def _global_rank(df: DataFrame, order: list) -> DataFrame:
+    """Attach exact 1-based global rank ``_r`` (by ``order``) and total
+    count ``_n`` — no single-partition window (see :func:`_global_ntile`'s
+    docstring for the mechanism)."""
     ranked = (
         df.repartitionByRange(_NTILE_PARTS, *order)
         .sortWithinPartitions(*order)
@@ -497,23 +515,13 @@ def _global_ntile(df: DataFrame, order: list, out: str) -> DataFrame:
         .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
     )
     total = counts.agg(F.sum("_cnt").alias("_n"))
-    # SQL ntile(k): q = n div k rows per bucket, first n%k buckets get one
-    # extra. Closed form over global rank _r (1-based); the q=0 edge never
-    # reaches the ELSE branch because then every rank satisfies the WHEN.
-    bucket = F.expr(
-        "CAST(CASE WHEN _r <= (_n % 4) * (_n div 4 + 1) "
-        "THEN (_r + (_n div 4 + 1) - 1) div (_n div 4 + 1) "
-        "ELSE (_n % 4) + (_r - (_n % 4) * (_n div 4 + 1) + (_n div 4) - 1)"
-        " div (_n div 4) END AS INT)"
-    )
     return (
         ranked.join(F.broadcast(offs), "_pid")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "_r", F.col("_off") + (F.col("_mid") - F.col("_base")) + 1
         )
-        .withColumn(out, bucket)
-        .drop("_pid", "_mid", "_base", "_off", "_r", "_n")
+        .drop("_pid", "_mid", "_base", "_off")
     )
 
 
@@ -646,12 +654,16 @@ def events_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale="""
     The activity-cadence profile: per-user inter-event gaps from one lag
     window (single user_id shuffle + sort), per-user exact median
-    (bounded: one user's history), then the cross-user quartiles over
-    the |users| relation — the global exact percentile runs on already-
-    collapsed data, which is the rule: exact order statistics are fine
-    when the relation is entity-sized, and only the corpus-sized level
-    needs the GK/t-digest sketch (sketch_quantile). Integer-nanos gaps,
-    divided only at the final projection.
+    (bounded: one user's history — the only percentile buffer anywhere,
+    plan-asserted), then cross-user quartiles WITHOUT a global
+    percentile: exact interpolated quantiles are order statistics, so
+    the per-user medians get a distributed global rank (events_rfm's
+    range-partition + prefix-sum machinery, one shuffle), the <= 6 rows
+    at quantile floor/ceil ranks survive a codegen filter, and the
+    closed-form interpolation reproduces quantile_cont exactly. A
+    billion-user relation never funnels values through one task; the
+    approx alternative (sketch_quantile's GK/t-digest) trades that
+    exactness for one fewer shuffle.
     """,
 )
 def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,11 +678,44 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_ns, 0.5)").alias("med_gap_ns"),
         F.count(F.lit(1)).alias("n_gaps"),
     )
-    return per_user.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        pround(F.expr("percentile(med_gap_ns, 0.25)") / 1e9, 2).alias("p25_s"),
-        pround(F.expr("percentile(med_gap_ns, 0.5)") / 1e9, 2).alias("p50_s"),
-        pround(F.expr("percentile(med_gap_ns, 0.75)") / 1e9, 2).alias("p75_s"),
+    # cross-user quartiles WITHOUT a global percentile buffer: exact
+    # interpolated quantile = order statistics at positions
+    # 1 + (n-1)*q, so distributed-rank the per-user medians (the
+    # _global_rank machinery events_rfm uses — one range shuffle), keep
+    # the <= 6 rows whose rank is a floor/ceil of a quantile position,
+    # and interpolate in closed form: identical to quantile_cont /
+    # percentile by definition, but the only value buffer anywhere is
+    # per-user (bounded by one user's history)
+    ranked = _global_rank(per_user, [F.asc("med_gap_ns"), F.asc("user_id")])
+    qs = [0.25, 0.5, 0.75]
+    pos = {q: F.lit(1.0) + (F.col("_n") - 1) * F.lit(q) for q in qs}
+    cand = ranked.filter(
+        functools.reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("_r") == F.floor(pos[q]))
+                | (F.col("_r") == F.ceiling(pos[q]))
+                for q in qs
+            ],
+        )
+    )
+
+    def interp(q: float):
+        p = pos[q]
+        vlo = F.max(
+            F.when(F.col("_r") == F.floor(p), F.col("med_gap_ns"))
+        )
+        vhi = F.max(
+            F.when(F.col("_r") == F.ceiling(p), F.col("med_gap_ns"))
+        )
+        frac = F.max(p - F.floor(p))
+        return vlo + frac * (vhi - vlo)
+
+    return cand.agg(
+        F.max("_n").alias("n_users"),
+        pround(interp(0.25) / 1e9, 2).alias("p25_s"),
+        pround(interp(0.5) / 1e9, 2).alias("p50_s"),
+        pround(interp(0.75) / 1e9, 2).alias("p75_s"),
     )
 
 

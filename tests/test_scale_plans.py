@@ -366,3 +366,17 @@ def test_range_binned_is_equi_join(spark, sf_dir):
                                           "Join [bucket").replace(
         "SortMergeJoin [bucket", "Join [bucket").replace(
         "ShuffledHashJoin [bucket", "Join [bucket")
+
+
+def test_interarrival_percentile_only_per_user(spark, sf_dir):
+    """Exact quartiles must come from distributed-rank selection: the
+    only percentile aggregates in the plan are keyed by user_id (one
+    user's history), never a global value buffer."""
+    plan = _plan(spark, sf_dir, "events_interarrival")
+    for line in plan.splitlines():
+        if "percentile(" in line:
+            assert "user_id" in line, line
+    # the range-partitioned rank relation was materialized by
+    # _global_rank's eager localCheckpoint, so the final plan reads it
+    # back as an existing RDD (the exchange ran, just before this plan)
+    assert "existingrdd" in plan.lower()
