@@ -72,6 +72,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     funnel.append(("quality_gate", gated.count()))
 
+    # 1b. entropy gate: drop low-diversity / boilerplate docs (unigram
+    #     Shannon entropy via the algebraic decomposition — text_entropy)
+    tf = (
+        gated.select("doc_id", F.explode(words).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ent = tf.groupBy("doc_id").agg(
+        (
+            F.log2(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c").cast("double")
+        ).alias("h")
+    )
+    gated = gated.join(
+        ent.filter(F.col("h") >= 2.0).select("doc_id"), "doc_id", "semi"
+    )
+    funnel.append(("entropy_gate", gated.count()))
+
     # 2. perplexity gate: avg bigram nll under the corpus LM; keep the
     #    docs below the --ppl-cut quantile (worst tail dropped)
     bg = shingles(gated, k=2).select("doc_id", F.col("sh").alias("pair"))
@@ -112,6 +130,27 @@ def main(argv: list[str] | None = None) -> int:
     keep = fluent.groupBy(h.alias("h")).agg(F.min("doc_id").alias("doc_id"))
     exact = fluent.join(keep.select("doc_id"), "doc_id", "semi")
     funnel.append(("exact_dedup", exact.count()))
+
+    # 3b. exact-substring gate (dedup_substring): drop docs whose 8-gram
+    #     stream is mostly duplicated across OTHER surviving docs —
+    #     catches long copied spans exact/near dedup both miss
+    from pyspark.sql.window import Window as _W
+
+    g8 = shingles(exact, k=8).select("doc_id", F.md5("sh").alias("h8"))
+    per = g8.groupBy("doc_id", "h8").agg(F.count(F.lit(1)).alias("c"))
+    per = per.withColumn(
+        "nd", F.count(F.lit(1)).over(_W.partitionBy("h8"))
+    )
+    ratio = per.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
+            / F.sum("c")
+        ).alias("r")
+    )
+    exact = exact.join(
+        ratio.filter(F.col("r") >= 0.8).select("doc_id"), "doc_id", "anti"
+    )
+    funnel.append(("substring_dedup", exact.count()))
 
     # 4. near dedup: shingle-overlap candidate pairs -> alternating-star
     #    components -> keep each cluster's min doc_id
