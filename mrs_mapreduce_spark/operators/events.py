@@ -1092,3 +1092,66 @@ def events_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_mom_pct"
         ),
     )
+
+
+@register(
+    "events_fill_forward",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_ns(ts) // {3600 * 10**9} AS hr,
+               round(avg(value), 4) AS avg_val
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+    grid AS (SELECT t.event_type, g.hr
+             FROM (SELECT DISTINCT event_type FROM hourly) t
+             CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hr
+                         FROM bounds) g)
+    SELECT event_type, hr,
+           last_value(avg_val IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_val
+    FROM grid LEFT JOIN hourly USING (event_type, hr)
+    """,
+    survey="D6/B14 extension (forward fill / LOCF over a dense time grid — "
+    "the hypertable locf() twin of events_gapfill's zero fill)",
+    scale="""
+    Last-observation-carried-forward: the dense (type x hour) grid is
+    sequence()-exploded from one broadcast bounds row (never a driver
+    loop), left-joined to the hourly rollup, and the fill is ONE
+    last(ignorenulls) frame over the per-type sorted run — the same
+    single-exchange window shape as any B14 offset function, with grid
+    cardinality |types| x |hours| (bounded by calendar, not by events).
+    Leading NULLs before a type's first observation stay NULL on both
+    engines. This is the standard sensor/metrics densification at any
+    scale: raw events touched once, everything after is grid-sized.
+    """,
+)
+def events_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type averages on a dense grid, forward-filled."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr(f"ts_ns div {_NS_PER_HOUR}").alias("hr")
+    ).agg(pround(F.avg("value"), 4).alias("avg_val"))
+    hours = (
+        hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    )
+    grid = hourly.select("event_type").distinct().crossJoin(
+        F.broadcast(hours)
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.last("avg_val", ignorenulls=True).over(w).alias("locf_val"),
+        )
+    )
