@@ -312,3 +312,59 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("l_quantity"), 2).alias("qty"),
         )
     )
+
+
+@register(
+    "source_csv_permissive",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+    FROM customer WHERE c_custkey < 100
+    """,
+    survey="A3 extension (malformed-input handling: PERMISSIVE CSV parse "
+    "with corrupt-record capture — bad rows are quarantined, never "
+    "dropped silently and never fatal)",
+    scale="""
+    Real 100 TB ingest always contains garbage rows; the three parse
+    modes are the contract: FAILFAST (abort), DROPMALFORMED (silent
+    loss), PERMISSIVE + columnNameOfCorruptRecord (what this query
+    exercises — typed columns go NULL and the raw line lands in the
+    corrupt column, so bad input is routed to a quarantine sink and
+    audited, exactly like fileformats' error-channel discipline). The
+    parse is per-line and pipelined with the scan; the corrupt-row
+    split costs nothing extra. The declared result is the clean
+    relation, hash-equal to the source rows that made the round trip;
+    the 3 injected corrupt lines are asserted quarantined in
+    test_smoke.
+    """,
+)
+def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with injected garbage: parse PERMISSIVE, return clean rows."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select("c_custkey", "c_name", pround("c_acctbal", 2).alias("bal"))
+    )
+    lines = cust.select(
+        F.concat_ws(
+            ",", "c_custkey", "c_name", F.col("bal").cast("string")
+        ).alias("value")
+    )
+    bad = spark.createDataFrame(
+        [("not_a_key,Garbage#1,not_a_number",),
+         ("99999,Too#Many,1.0,extra,columns",),
+         ("###",)],
+        "value string",
+    )
+    target = tempfile.mkdtemp(prefix="mrs_csv_perm_") + "/cust_dirty"
+    lines.unionByName(bad).write.mode("overwrite").text(target)
+    back = (
+        spark.read.schema(
+            "c_custkey bigint, c_name string, bal double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(target)
+    )
+    return back.filter(F.col("_corrupt").isNull()).select(
+        "c_custkey", "c_name", "bal"
+    )

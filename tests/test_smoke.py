@@ -269,3 +269,48 @@ def test_observation_metrics_piggyback_on_flagship(spark, sf_dir):
     rows = observed.collect()
     assert obs.get["n_groups"] == len(rows)
     assert obs.get["n_rows"] == sum(r.cnt for r in rows)
+
+
+def test_csv_permissive_quarantines_exactly_the_bad_rows(spark, sf_dir):
+    """All 3 injected garbage lines must land in the corrupt column;
+    no clean row may be lost to quarantine."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.catalog import table
+    from mrs_mapreduce_spark.exprs import pround
+
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select("c_custkey", "c_name", pround("c_acctbal", 2).alias("bal"))
+    )
+    lines = cust.select(
+        F.concat_ws(",", "c_custkey", "c_name",
+                    F.col("bal").cast("string")).alias("value")
+    )
+    bad = spark.createDataFrame(
+        [("not_a_key,Garbage#1,not_a_number",),
+         ("99999,Too#Many,1.0,extra,columns",),
+         ("###",)],
+        "value string",
+    )
+    target = tempfile.mkdtemp(prefix="mrs_csv_perm_t_") + "/dirty"
+    lines.unionByName(bad).write.mode("overwrite").text(target)
+    back = (
+        spark.read.schema(
+            "c_custkey bigint, c_name string, bal double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(target)
+    )
+    # Spark disallows queries touching ONLY the corrupt column on a raw
+    # CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); cache() is the
+    # documented workaround
+    back = back.cache()
+    n_good = cust.count()
+    assert back.filter(F.col("_corrupt").isNotNull()).count() == 3
+    assert back.filter(F.col("_corrupt").isNull()).count() == n_good
+    back.unpersist()
