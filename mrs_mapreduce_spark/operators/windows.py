@@ -336,3 +336,56 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("run_distinct"),
     )
+
+
+@register(
+    "window_count_distinct_scalable",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           count(DISTINCT o_orderpriority)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS run_distinct
+    FROM orders WHERE o_custkey < 200
+    """,
+    survey="B13/B15 extension (running COUNT DISTINCT with O(1) window "
+    "state — the high-cardinality rewrite window_count_distinct's "
+    "scale note prescribes)",
+    scale="""
+    Same semantics as window_count_distinct, different state bound: a
+    row is a FIRST OCCURRENCE of its value within the partition iff
+    row_number over (partition, value) ordered by the running order is
+    1; the running distinct count is then a plain running SUM of that
+    0/1 flag. Window state drops from the set-of-values (cardinality-
+    bounded) to one counter — safe when the windowed attribute has
+    millions of distinct values per partition. Cost: two WindowExecs
+    over two sorts of the same exchange (value-order then row-order)
+    instead of one; pick per attribute cardinality. Both engines pin
+    ROWS frames and the value definition, so results are hash-equal to
+    the DISTINCT form.
+    """,
+)
+def window_count_distinct_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Running distinct count via first-occurrence flags + running sum."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w_first = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderkey"
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = orders.withColumn(
+        "_first",
+        F.when(F.row_number().over(w_first) == 1, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    return flagged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum("_first").over(w_run).cast("long").alias("run_distinct"),
+    )
