@@ -219,6 +219,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_key")
     )
+    # both sides of the bucket self-join read bands: materialize the
+    # narrow (doc, band, 16-byte key) relation once instead of running
+    # the whole shingle->signature pipeline twice (2 fewer corpus scans)
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -234,18 +238,22 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ssets = shingles(d).distinct()
+    # shingle TEXT never enters the verify shuffles: hash to md5 at the
+    # scan (the dedup_substring discipline) so the three consumers below
+    # move 16-byte keys; counts are unchanged (same md5 on both engines,
+    # and the oracle's text-keyed join counts the identical pairs)
+    ssets = shingles(d).select("doc_id", F.md5("sh").alias("h")).distinct()
     sizes = ssets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(ssets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
         .join(
             ssets.alias("sb"),
             (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.sh") == F.col("sa.sh")),
+            & (F.col("sb.h") == F.col("sa.h")),
             "left",
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.col("sb.sh")).alias("inter_n"))
+        .agg(F.count(F.col("sb.h")).alias("inter_n"))
     )
     verified = (
         inter.join(
