@@ -893,18 +893,37 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1, b = 1.2, 0.75
     docs = table(spark, sf_dir, "documents")
     tok = tokens(docs)
-    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
-    )
-    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    q = (
-        tok.filter(F.col("doc_id") == 0)
+    # the query is 8 words — collect them (the kmeans-centroid pattern:
+    # k-sized driver round-trip, data never collected) so the term filter
+    # pushes BELOW the tf aggregation and everything term-keyed is
+    # query-sized: df for the query words falls out of the filtered tf
+    # (a doc containing a query word is exactly a tf row for it), so the
+    # full-vocabulary df aggregate disappears. Was 5 corpus scans / 12
+    # exchanges; now 2 / 8.
+    q_words = [
+        r.word
+        for r in tok.filter(F.col("doc_id") == 0)
         .select("word")
         .distinct()
         .orderBy("word")
         .limit(8)
+        .collect()
+    ]
+    tf = (
+        tok.filter(F.col("word").isin(q_words))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # doc lengths are entity-sized and read twice (stats + scoring join):
+    # materialize once
+    dl = (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .localCheckpoint(eager=True)
+    )
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
     )
     idf = F.log(
         ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0
@@ -918,8 +937,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     contrib = (
-        tf.join(F.broadcast(q), "word")
-        .join(F.broadcast(df), "word")
+        tf.join(F.broadcast(df), "word")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
