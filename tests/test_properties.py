@@ -610,3 +610,31 @@ def test_substring_dedup_flags_exact_copies(spark):
     }
     assert out[0][0] == out[0][1] and out[1][0] == out[1][1]  # full dup
     assert out[2][0] == 0  # disjoint doc untouched
+
+
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=40))
+@_SETTINGS
+def test_global_rank_matches_row_number(spark, vals):
+    """_global_rank's _r must be exactly row_number() over the same total
+    order, and _n the relation size — on any multiset, any partition
+    spread."""
+    from pyspark.sql.window import Window
+
+    from mrs_mapreduce_spark.operators.events import _global_rank
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(5)
+    order = [F.asc("v"), F.asc("id")]
+    got = {
+        r.id: (r._r, r._n)
+        for r in _global_rank(df, order).collect()
+    }
+    want = {
+        r.id: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    n = len(vals)
+    assert {k: v[0] for k, v in got.items()} == want
+    assert all(v[1] == n for v in got.values())
