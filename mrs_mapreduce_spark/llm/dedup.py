@@ -206,6 +206,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-banded candidate pairs verified by exact shingle Jaccard."""
+    return _minhash_pairs(spark, sf_dir, cap=None)
+
+
+def _minhash_pairs(
+    spark: SparkSession, sf_dir: str, cap: int | None
+) -> DataFrame:
+    """Shared LSH pipeline; ``cap`` drops buckets with more members
+    (boilerplate guard — see dedup_minhash_capped)."""
     d = table(spark, sf_dir, "documents")
     sig = dedup_minhash(spark, sf_dir)
     bands = sig.groupBy(
@@ -223,6 +231,19 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow (doc, band, 16-byte key) relation once instead of running
     # the whole shingle->signature pipeline twice (2 fewer corpus scans)
     bands = bands.localCheckpoint(eager=True)
+    if cap is not None:
+        from pyspark.sql.window import Window
+
+        bands = (
+            bands.withColumn(
+                "_bc",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("band", "band_key")
+                ),
+            )
+            .filter(F.col("_bc") <= cap)
+            .drop("_bc")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -972,3 +993,45 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dup).cast("long").alias("n_dup_grams"),
         pround(F.sum(dup) / F.sum("c").cast("double"), 6).alias("dup_ratio"),
     )
+
+
+@register(
+    "dedup_minhash_capped",
+    oracle=None,  # set below: derived from dedup_minhash_pairs' oracle
+    survey="D2 (LSH bucket-size cap — the boilerplate guard "
+    "dedup_minhash_pairs' scale note prescribes, implemented)",
+    scale="""
+    Identical LSH pipeline with the quadratic-stage bound made real:
+    buckets holding more than B=2 members are dropped BEFORE the
+    candidate self-join (one window count over the checkpointed bands
+    relation — no extra shuffle beyond the bucket key it already
+    needs). At 100 TB a boilerplate template (site chrome, license
+    headers) lands thousands of docs in one bucket; capping turns that
+    bucket's quadratic pair explosion into zero work, at the cost of
+    missing pairs whose ONLY collision is a mega-bucket — acceptable
+    because such docs are boilerplate by construction, and true
+    near-dups still meet in their other 3 bands. B=2 is fixture-
+    calibrated to be observable (3 buckets of size 3 exist at sf0.01;
+    smoke asserts capped ⊂ uncapped strictly).
+    """,
+)
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs with over-full buckets dropped (cap=2)."""
+    return _minhash_pairs(spark, sf_dir, cap=2)
+
+
+REGISTRY["dedup_minhash_capped"] = REGISTRY["dedup_minhash_capped"].__class__(
+    name="dedup_minhash_capped",
+    builder=REGISTRY["dedup_minhash_capped"].builder,
+    oracle=REGISTRY["dedup_minhash_pairs"].oracle.replace(
+        "cand AS (SELECT DISTINCT",
+        """bcnt AS (SELECT band, band_key, count(*) AS cnt
+             FROM bands GROUP BY band, band_key),
+    kept AS (SELECT b.doc_id, b.band, b.band_key
+             FROM bands b JOIN bcnt USING (band, band_key)
+             WHERE bcnt.cnt <= 2),
+    cand AS (SELECT DISTINCT""",
+    ).replace("FROM bands a JOIN bands b", "FROM kept a JOIN kept b"),
+    survey=REGISTRY["dedup_minhash_capped"].survey,
+    scale=REGISTRY["dedup_minhash_capped"].scale,
+)

@@ -314,3 +314,20 @@ def test_csv_permissive_quarantines_exactly_the_bad_rows(spark, sf_dir):
     assert back.filter(F.col("_corrupt").isNotNull()).count() == 3
     assert back.filter(F.col("_corrupt").isNull()).count() == n_good
     back.unpersist()
+
+
+def test_minhash_cap_is_observable_and_subset(spark, sf_dir):
+    """The B=2 bucket cap must actually drop pairs (fixture has size-3
+    buckets) and never invent ones the uncapped pipeline lacks."""
+    from mrs_mapreduce_spark.registry import load_all
+
+    reg = load_all()
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in reg["dedup_minhash_pairs"].builder(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in reg["dedup_minhash_capped"].builder(spark, sf_dir).collect()
+    }
+    assert capped < full  # strict subset: cap observable, nothing invented
