@@ -331,3 +331,14 @@ def test_minhash_cap_is_observable_and_subset(spark, sf_dir):
         for r in reg["dedup_minhash_capped"].builder(spark, sf_dir).collect()
     }
     assert capped < full  # strict subset: cap observable, nothing invented
+
+
+def test_simblocked_jaccard_nondegenerate(spark, sf_dir):
+    from mrs_mapreduce_spark.registry import load_all
+
+    n = (
+        load_all()["dedup_ngram_jaccard_simblocked"]
+        .builder(spark, sf_dir)
+        .count()
+    )
+    assert n > 0
