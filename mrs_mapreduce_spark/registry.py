@@ -68,8 +68,11 @@ REGISTRY: dict[str, Query] = {}
 #: join_null_safe, window_count_distinct, agg_bitmap_distinct, fn_url,
 #: text_entropy, text_zipf, dedup_semdedup, dedup_substring, join_dpp,
 #: similarity_range, sample_weighted, join_range_binned,
-#: dedup_components_star). Run scripts/fixture_check.py FIRST (fixtures
-#: regenerate between rounds).
+#: dedup_components_star, events_fill_forward, source_csv_permissive,
+#: window_count_distinct_scalable, arrow_grouped_map,
+#: dedup_minhash_capped, dedup_ngram_jaccard_simblocked).
+#: Run scripts/fixture_check.py FIRST (fixtures regenerate between
+#: rounds).
 SHOWCASE: tuple[str, ...] = (
     # scalar/array/map/JSON function surface (B20-B25)
     "fn_string", "fn_date", "fn_math", "fn_cond", "fn_null", "fn_hash",
