@@ -1,7 +1,19 @@
 """Simulate the external driver: vanilla session, import __spark_entry__ by
-path, run entry() + every queries()[name] vs oracle_sql()[name] via DuckDB."""
+path, run entry() + every queries()[name] vs oracle_sql()[name] via DuckDB.
+
+CANONICALIZATION FIDELITY (round-4 fix): the r3 driver red row proved the
+real driver canonicalizes results with pandas ``DataFrame.sort_values``
+over ALL columns — which raises ``TypeError: unhashable type: 'list'`` on
+any array-typed output column. The previous sim sorted python tuples with
+``key=repr`` (lists coerced to tuples first), so an array column passed
+locally and died in the driver. This sim now routes BOTH result sets
+through the exact driver operation — ``pandas.DataFrame(rows,
+columns=cols).sort_values(by=all_cols_sorted)`` — so a driver-incompatible
+schema fails HERE first.
+"""
 import importlib.util, sys, time
 import duckdb
+import pandas as pd
 from pyspark.sql import SparkSession
 
 # vanilla session — deliberately NONE of our engine confs
@@ -26,29 +38,55 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
 
 import datetime, math
-def canon(v):
+
+def cell(v):
+    """Post-sort per-cell canonicalization (floats/dates) for comparison."""
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else v + 0.0
-    if isinstance(v, datetime.datetime): return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, datetime.date): return v.isoformat()
-    if isinstance(v, (list, tuple)): return tuple(canon(x) for x in v)
+        if math.isnan(v):
+            return "NaN"
+        # driver hashes repr-level values; our queries pre-round, so a tiny
+        # epsilon guard covers binary-representation drift only
+        return round(v, 9) + 0.0
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if v is None:
+        return "\x00NULL"
     return v
 
+def canon(rows, cols):
+    """THE driver operation: pandas DataFrame -> sort_values(all cols).
+
+    Raises TypeError on list/array cells exactly like the driver's
+    canonicalizer — that crash IS the signal we need locally.
+    """
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf = pdf[sorted(cols)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return [tuple(cell(v) for v in row) for row in pdf.itertuples(index=False)]
+
+only = set(sys.argv[1:])  # optional: restrict to named queries
 fails = []
 t0 = time.time()
 for name, builder in qs.items():
+    if only and name not in only:
+        continue
     try:
         sdf = builder(spark, "/root/testdata/sf0.01")
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         if name not in os_:
-            print(f"[rows-only] {name}: {len(srows)} rows"); continue
+            # the real driver has NO rows-only mode (r1 lesson): a query
+            # without an oracle is a guaranteed red row, so flag it loudly
+            fails.append(name)
+            print(f"[NO-ORACLE => DRIVER RED] {name}: {len(srows)} rows")
+            continue
         rel = con.execute(os_[name])
         dcols = [d[0] for d in rel.description]; drows = rel.fetchall()
-        order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-        order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        cs = sorted([tuple(canon(r[i]) for i in order_s) for r in srows], key=repr)
-        cd = sorted([tuple(canon(r[i]) for i in order_d) for r in drows], key=repr)
+        cs = canon(srows, scols)
+        cd = canon(drows, dcols)
         ok = sorted(scols) == sorted(dcols) and cs == cd
         if not ok:
             fails.append(name)
@@ -57,4 +95,5 @@ for name, builder in qs.items():
             print(f"[OK] {name} ({len(cs)})")
     except Exception as e:
         fails.append(name); print(f"[ERR] {name}: {type(e).__name__}: {str(e)[:150]}")
-print(f"\nDONE {len(qs)-len(fails)}/{len(qs)} in {time.time()-t0:.0f}s; fails={fails}")
+n_run = len(only) if only else len(qs)
+print(f"\nDONE {n_run-len(fails)}/{n_run} in {time.time()-t0:.0f}s; fails={fails}")
