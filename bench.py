@@ -179,6 +179,32 @@ EXTRA = [
     "sample_weighted",
 ]
 
+#: per-query soft budgets at sf0.1 (seconds): BENCH_r03 medians x ~1.5
+#: headroom for the documented ±30% host noise. A query over budget is
+#: named in the JSON's "over_budget" list — the regression alarm for the
+#: expensive family (r3 verdict task: catch regressions by number, not
+#: anecdote). dedup_semdedup's budget reflects the round-4 corpus-scaled
+#: k fix (was 5.29 s with fixed k=16 — the one r3 scale-killer).
+BUDGETS = {
+    "q1_pricing_summary": 0.85,
+    "q3_join_agg_topk": 1.0,
+    "events_window": 0.5,
+    "wordcount": 0.65,
+    "dedup_minhash": 1.9,
+    "iterative_kmeans_emb": 2.2,
+    "iterative_pagerank": 1.8,
+    "join_bloom_pruned": 2.0,
+    "sink_bucketed_join": 1.7,
+    "text_bm25": 1.2,
+    "text_perplexity": 2.2,
+    "similarity_ivf_trained": 2.0,
+    "similarity_lsh_multiprobe": 1.5,
+    "events_rfm": 1.8,
+    "dedup_semdedup": 3.0,
+    "join_dpp": 1.4,
+    "join_range_binned": 1.7,
+}
+
 
 def main() -> None:
     spark = get_session("mrs-bench")
@@ -199,6 +225,10 @@ def main() -> None:
         except Exception:
             queries[name] = -1.0
 
+    over_budget = sorted(
+        k for k, v in queries.items()
+        if v >= 0 and k in BUDGETS and v > BUDGETS[k]
+    )
     print(
         json.dumps(
             {
@@ -206,6 +236,7 @@ def main() -> None:
                 "value": round(baseline_total, 4),
                 "unit": "sec",
                 "queries": {k: round(v, 4) for k, v in queries.items()},
+                "over_budget": over_budget,
                 "sf": sf,
             }
         )

@@ -514,7 +514,13 @@ def propagate_min_labels(
     """,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical duplicate clusters: (component=min doc_id, size, members)."""
+    """Canonical duplicate clusters: (component=min doc_id, size, members).
+
+    ``members`` is a ","-joined STRING, not array<long>: the external
+    driver canonicalizes results with pandas ``sort_values``, which
+    cannot hash list cells (the r3 red row) — same flattening
+    discipline as agg_collect (operators/aggregates.py).
+    """
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -524,7 +530,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy(F.col("lbl").alias("component"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            # numeric sort FIRST, then stringify — lexicographic sort of
+            # stringified ids would disagree with the oracle's ORDER BY
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda c: c.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
         )
     )
     sym.unpersist()
@@ -552,7 +566,8 @@ REGISTRY["dedup_components"] = REGISTRY["dedup_components"].__class__(
     )
     SELECT lbl AS component,
            count(*) AS n_docs,
-           list_sort(list(doc_id)) AS members
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS members
     FROM (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id)
     GROUP BY lbl
     """,
@@ -916,7 +931,11 @@ def star_components(
     """,
 )
 def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters via alternating-star connected components."""
+    """Duplicate clusters via alternating-star connected components.
+
+    ``members`` flattened to a ","-joined string for the driver's pandas
+    canonicalizer — see dedup_components.
+    """
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
@@ -925,7 +944,13 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = star_components(sym)
     out = labels.groupBy(F.col("lbl").alias("component")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda c: c.cast("string"),
+            ),
+            ",",
+        ).alias("members"),
     )
     sym.unpersist()
     return out
@@ -1020,10 +1045,15 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir, cap=2)
 
 
-REGISTRY["dedup_minhash_capped"] = REGISTRY["dedup_minhash_capped"].__class__(
-    name="dedup_minhash_capped",
-    builder=REGISTRY["dedup_minhash_capped"].builder,
-    oracle=REGISTRY["dedup_minhash_pairs"].oracle.replace(
+def _capped_oracle() -> str:
+    """Derive the capped oracle from dedup_minhash_pairs' SQL, loudly.
+
+    A silent .replace no-op (if the base oracle is ever reworded) would
+    leave a wrong — uncapped — oracle that only surfaces later as a
+    confusing hash mismatch (ADVICE r3); assert each patch landed.
+    """
+    base = REGISTRY["dedup_minhash_pairs"].oracle
+    step1 = base.replace(
         "cand AS (SELECT DISTINCT",
         """bcnt AS (SELECT band, band_key, count(*) AS cnt
              FROM bands GROUP BY band, band_key),
@@ -1031,7 +1061,17 @@ REGISTRY["dedup_minhash_capped"] = REGISTRY["dedup_minhash_capped"].__class__(
              FROM bands b JOIN bcnt USING (band, band_key)
              WHERE bcnt.cnt <= 2),
     cand AS (SELECT DISTINCT""",
-    ).replace("FROM bands a JOIN bands b", "FROM kept a JOIN kept b"),
+    )
+    assert step1 != base, "capped-oracle patch 1 no-oped: base SQL reworded?"
+    step2 = step1.replace("FROM bands a JOIN bands b", "FROM kept a JOIN kept b")
+    assert step2 != step1, "capped-oracle patch 2 no-oped: base SQL reworded?"
+    return step2
+
+
+REGISTRY["dedup_minhash_capped"] = REGISTRY["dedup_minhash_capped"].__class__(
+    name="dedup_minhash_capped",
+    builder=REGISTRY["dedup_minhash_capped"].builder,
+    oracle=_capped_oracle(),
     survey=REGISTRY["dedup_minhash_capped"].survey,
     scale=REGISTRY["dedup_minhash_capped"].scale,
 )
@@ -1081,10 +1121,11 @@ REGISTRY["dedup_minhash_capped"] = REGISTRY["dedup_minhash_capped"].__class__(
     key, so block membership tracks what documents SAY — templated
     near-dups sharing no metadata still meet, and a mega-source no
     longer forms one giant block (256-way content split). The
-    fingerprint relation is entity-sized and feeds both self-join
-    sides, so it is checkpointed once and broadcast onto the exploded
-    word sets (map-side; the only big shuffle is the (blk, w) pair
-    join). Recall knob: near-dups differing in a top-8 bit are missed —
+    fingerprint relation is one row per DOCUMENT — not broadcastable at
+    100 TB — so it is checkpointed once and joined without a strategy
+    hint: AQE broadcasts it while it fits and falls back to a shuffle
+    join beyond that (the only big shuffle either way is the (blk, w)
+    pair join). Recall knob: near-dups differing in a top-8 bit are missed —
     at scale, probe the 8 one-bit-flip neighbor blocks exactly as
     similarity_lsh_multiprobe does for SRP buckets.
     """,
@@ -1103,7 +1144,9 @@ def dedup_ngram_jaccard_simblocked(
     wsets = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
-    wb = wsets.join(F.broadcast(fp), "doc_id")
+    # no broadcast hint: fp is per-doc (unbounded at scale) — let AQE
+    # choose broadcast vs shuffle from the measured size (ADVICE r3)
+    wb = wsets.join(fp, "doc_id")
     sizes = wsets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = wb.alias("a")
     b = wb.alias("b")

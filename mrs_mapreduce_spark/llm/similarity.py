@@ -608,7 +608,10 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("a"),
         )
-        .cache()
+        # localCheckpoint, not cache: the Lloyd round + final assignment
+        # reuse pts, and checkpoint storage is released on DataFrame GC
+        # instead of lingering in the executor cache (ADVICE r3)
+        .localCheckpoint(eager=True)
     )
     cents = pts.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cid"), F.col("a").alias("cv")
@@ -845,7 +848,7 @@ def _pq_codes(sub: DataFrame, cb: DataFrame) -> DataFrame:
         FROM sub s JOIN cb c ON c.m = s.m)
       WHERE rk = 1)
     SELECT vec_id,
-           list(k ORDER BY m) AS codes,
+           string_agg(CAST(k AS VARCHAR), ',' ORDER BY m) AS codes,
            round(sum(dmicro) / 1000000.0, 4) AS recon_err
     FROM assigned GROUP BY vec_id
     """,
@@ -866,13 +869,22 @@ def _pq_codes(sub: DataFrame, cb: DataFrame) -> DataFrame:
     """,
 )
 def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantize embeddings: 8 subvector codes + reconstruction err."""
+    """Product-quantize embeddings: 8 subvector codes + reconstruction err.
+
+    ``codes`` is the m-ordered code sequence as a ","-joined string —
+    array outputs are incompatible with the driver's pandas
+    canonicalizer (r3 lesson).
+    """
     sub = _pq_subvectors(spark, sf_dir)
     assigned = _pq_codes(sub, _pq_codebook(sub))
     return assigned.groupBy("vec_id").agg(
-        F.sort_array(F.collect_list(F.struct("m", "k")))
-        .getField("k")
-        .alias("codes"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("m", "k"))),
+                lambda s: s.getField("k").cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
         pround(F.sum("dmicro") / 1_000_000.0, 4).alias("recon_err"),
     )
 
@@ -983,13 +995,24 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SemDeDup sizes its codebook from the corpus: k = ceil(n / CELL_TARGET)
+#: so cells stay bounded (~CELL_TARGET vectors) as the corpus grows —
+#: the fix for the fixed-k quadratic-cell artifact the r3 scale sweep
+#: measured (4.5x time for 100x rows). 32 reproduces k=16 at the 500-vec
+#: small fixtures, keeping their hashes identical to rounds 2-3.
+_SEMDEDUP_CELL_TARGET = 32
+
+
 @register(
     "dedup_semdedup",
     oracle=f"""
     WITH pts AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
                  FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, a AS cv FROM pts WHERE vec_id < {_IVF_K}),
+    c0 AS (SELECT vec_id AS cid, a AS cv FROM pts
+           WHERE vec_id < (SELECT greatest(1, CAST(ceil(
+                     count(*) / {_SEMDEDUP_CELL_TARGET}.0) AS BIGINT))
+                 FROM pts)),
     {_duck_assign('pts', 'c0', 'asg')},
     pairs AS (
       SELECT y.cid, x.vec_id AS va, y.vec_id AS vb,
@@ -1013,26 +1036,36 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cells come from a trained codebook (similarity_ivf_trained's
     Lloyd rounds) sized so cells fit an executor; the threshold filter
     runs on the unrounded cosine so both engines keep identical pairs.
-    k MUST grow with the corpus (cells of bounded size): the fixture
-    keeps k=16 fixed for oracle determinism, and the scale sweep shows
-    exactly the predicted fixed-k artifact — 4.5x time for 100x rows
-    (per-cell pairs quadratic in cell size) — which scaling k to
-    n/cell_target removes.
+    k GROWS with the corpus (round-4 fix for the fixed-k artifact the
+    r3 sweep measured, 4.5x time for 100x rows): k = ceil(n / 32), the
+    one O(1)-result count pulled driver-side, with the oracle computing
+    the identical k via a scalar subquery — cells stay ~32 vectors so
+    the per-cell pair join is bounded-quadratic at ANY corpus size.
     Threshold 0.4 is fixture-calibrated (max within-cell cosine 0.49;
     11 victims at sf0.01) and guarded non-degenerate in test_smoke.
     """,
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup: within-cell cosine >= 0.4 drops the higher id."""
+    import math
+
     pts = (
         fan_out(table(spark, sf_dir, "embeddings"))
         .select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("a"),
         )
-        .cache()
+        # localCheckpoint (not cache): materializes once for the count
+        # AND the two downstream consumers without retaining executor
+        # memory past DataFrame GC (ADVICE r3 — cache was never
+        # unpersisted)
+        .localCheckpoint(eager=True)
     )
-    cents = pts.filter(F.col("vec_id") < _IVF_K).select(
+    # k scales with the corpus so cells stay ~CELL_TARGET vectors; the
+    # count is the only driver-side pull (O(1) result, like the
+    # iterative loops' centroid fetches)
+    k = max(1, math.ceil(pts.count() / _SEMDEDUP_CELL_TARGET))
+    cents = pts.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("a").alias("cv")
     )
 

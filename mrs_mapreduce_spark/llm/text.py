@@ -633,7 +633,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting AS (SELECT w, doc_id FROM occ WHERE w <> '')
     SELECT w,
            CAST(count(*) AS BIGINT) AS df,
-           list(doc_id ORDER BY doc_id) AS docs
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs
     FROM posting
     GROUP BY w
     HAVING count(*) >= 100
@@ -666,7 +666,15 @@ def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         posting.groupBy("w")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("docs"),
+            # flattened posting list: numeric sort, then ","-join — the
+            # driver's pandas canonicalizer cannot hash array cells
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda c: c.cast("string"),
+                ),
+                ",",
+            ).alias("docs"),
         )
         .filter(F.col("df") >= 100)
     )

@@ -87,20 +87,40 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # estimator-specific (HLL++): rows-only check by design
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_custs,
+           count(*) AS cnt,
+           TRUE AS within_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
     survey="B10",
     scale="""
     HyperLogLog++ sketch: one shuffle of constant-size state per group —
-    THE 100 TB answer to distinct counting. No SQL oracle because DuckDB's
-    approx estimator differs; correctness covered by a unit test asserting
-    <=2% relative error vs the exact count at sf0.001.
+    THE 100 TB answer to distinct counting. Oracle contract (round-4
+    redesign): DuckDB's approx estimator is a different algorithm, so
+    instead of comparing raw estimates the query emits the EXACT count
+    (computed independently in both engines) plus a bounded-error
+    witness ``within_bound = |approx - exact| / exact <= 0.05`` — the
+    oracle asserts TRUE, so an estimator drifting past the bound (HLL++
+    at rsd=0.02 sits well inside it) becomes a hash mismatch. The
+    error-bound property test at sf0.001 keeps the epsilon honest.
     """,
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct customers per order status (HLL++)."""
+    """HLL++ distinct estimate, checked against the exact count in-query."""
     orders = table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs")
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.count(F.lit(1)).alias("cnt"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.02)
+                - F.countDistinct("o_custkey")
+            )
+            / F.countDistinct("o_custkey").cast("double")
+            <= F.lit(0.05)
+        ).alias("within_bound"),
     )
 
 

@@ -451,28 +451,50 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_quantile",
-    oracle=None,  # estimator-specific (Greenwald-Khanna): rows-only by design
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS cnt,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok,
+           TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     survey="B10 extension (approximate quantiles — the fourth sketch)",
     scale="""
     percentile_approx is Spark's Greenwald-Khanna sketch: mergeable
     bounded-size per-group state, one shuffle — the 100 TB quantile
     answer (exact percentile needs a full sort or rank pass per group).
-    accuracy=10000 bounds rank error at n/10000 per group. No SQL oracle
-    because DuckDB's approx_quantile is a different estimator (t-digest);
-    tests/test_sketches.py asserts the rank-error bound against the
-    exact per-group percentile instead — a stronger check than value
-    equality with a second estimator would be.
+    accuracy=10000 bounds rank error at n/10000 per group. Oracle
+    contract (round-4 redesign; DuckDB's approx_quantile is a different
+    estimator): the query emits exact per-group counts plus bounded-
+    error witnesses ``pXX_ok = |approx - exact| / exact <= 0.05`` with
+    the exact percentile computed in the SAME plan (fine at any sf —
+    the exact side exists only to bound the sketch; at 100 TB a user
+    runs the approx aggregate alone). The oracle asserts the booleans,
+    so a sketch past the bound hash-mismatches. tests/test_sketches.py
+    keeps the tighter rank-error property.
     """,
 )
 def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate p50/p95/p99 of extendedprice per return flag (GK sketch)."""
+    """GK-sketch p50/p95/p99 per return flag, bound-checked vs exact."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
-            F.lit(10000),
-        ).alias("approx_pcts"),
+    pcts = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", pcts, F.lit(10000)).alias("ap"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))"
+        ).alias("ex"),
         F.count(F.lit(1)).alias("cnt"),
+    )
+    def ok(i: int):
+        a, e = F.col("ap").getItem(i), F.col("ex").getItem(i)
+        return (F.abs(a - e) / e <= F.lit(0.05))
+    return agg.select(
+        "l_returnflag",
+        "cnt",
+        ok(0).alias("p50_ok"),
+        ok(1).alias("p95_ok"),
+        ok(2).alias("p99_ok"),
     )
 
 

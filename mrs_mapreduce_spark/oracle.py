@@ -59,6 +59,31 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def _driver_shape_issues(side: str, cols: list[str], rows: list[tuple]) -> list[str]:
+    """Run the driver's ACTUAL canonicalization op: pandas sort_values.
+
+    The r3 red row proved the external driver sorts results with
+    ``pandas.DataFrame.sort_values`` over all columns, which raises
+    ``TypeError: unhashable type`` on array/map cells — a failure mode the
+    tuple-sort in ``_canon_rows`` cannot see. Reproduce it here so any
+    driver-incompatible output schema fails locally, on both the Spark
+    result and the oracle result.
+    """
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(rows, columns=cols)
+        if len(pdf):
+            pdf.sort_values(by=sorted(cols), kind="mergesort")
+    except TypeError as exc:
+        return [
+            f"{side} result is driver-canonicalizer incompatible "
+            f"(pandas sort_values: {exc}) — flatten array/map columns "
+            "(array_join / string_agg discipline)"
+        ]
+    return []
+
+
 def _cells_close(ra: tuple, rb: tuple, tol: float) -> bool:
     if len(ra) != len(rb):
         return False
@@ -228,6 +253,8 @@ def compare(
         issues.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
     if len(s_rows) != len(d_rows):
         issues.append("row counts differ")
+    issues.extend(_driver_shape_issues("spark", s_cols, s_rows))
+    issues.extend(_driver_shape_issues("duck", d_cols, d_rows))
 
     if not issues:
         cs = _canon_rows(s_cols, s_rows)
