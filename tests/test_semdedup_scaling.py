@@ -1,0 +1,77 @@
+"""Behavioral check of the round-4 semdedup fix: k scales with the corpus.
+
+Round 3 shipped SemDeDup with a FIXED k=16 codebook, which the scale sweep
+caught as a 4.5x superlinear artifact (cells grow linearly with the corpus,
+per-cell pairs quadratically). The fix derives k = ceil(n / 32) from a
+count, mirrored in the oracle via a scalar subquery. These tests pin that
+behavior on synthetic corpora of two sizes — if someone reverts to a
+constant k, the large corpus's cell-id domain stops expanding and the
+assertions fail.
+
+Synthetic geometry: vector i points along axis (i mod 32) of the 64-dim
+space with a tiny deterministic wobble, so same-axis vectors have cosine
+~1 (>= the 0.4 victim threshold) and cross-axis ~0. Centroids are the
+first k vectors => axes 0..k-1; every victim row's cell id must stay
+inside that domain.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import types as T
+
+from mrs_mapreduce_spark.llm.similarity import (
+    _SEMDEDUP_CELL_TARGET,
+    dedup_semdedup,
+)
+
+_DIM = 64
+_AXES = 32
+
+
+def _write_embeddings(spark, path: str, n: int) -> None:
+    rows = []
+    for i in range(n):
+        axis = i % _AXES
+        vec = [0.0] * _DIM
+        vec[axis] = 1.0
+        # deterministic wobble keeps same-axis cosine ~0.999 (not exactly
+        # 1.0, so float order effects can't produce ties) and cross-axis
+        # cosine ~0.03
+        vec[(axis + 1) % _DIM] = 0.03 + (i % 7) * 0.001
+        rows.append((i, [float(x) for x in vec], axis % 10))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/embeddings.parquet")
+
+
+@pytest.mark.parametrize("n", [64, 320])
+def test_cell_domain_tracks_corpus_size(spark, tmp_path, n):
+    d = str(tmp_path / f"corpus{n}")
+    _write_embeddings(spark, d, n)
+    k = max(1, math.ceil(n / _SEMDEDUP_CELL_TARGET))
+    out = dedup_semdedup(spark, d)
+    rows = out.collect()
+    # same-axis near-dups exist in every cell whose axis has >= 2 vectors
+    assert rows, "synthetic near-dups must produce victims"
+    cids = {r.cid for r in rows}
+    assert max(cids) < k, f"cell id {max(cids)} outside k={k} codebook"
+    # the big corpus must actually USE the larger codebook: with k=10 the
+    # first 10 axes each own a centroid, and axes 0..9 all contain
+    # same-axis victim pairs — a reverted fixed k=16 would pass n=64 only
+    # by accident and fail the exact-domain check here
+    if n == 320:
+        assert k == 10
+        assert cids == set(range(10))
+    else:
+        assert k == 2
+        assert cids == {0, 1}
