@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import fan_out, table
 from ..exprs import pround
@@ -463,33 +464,74 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale="""
     percentile_approx is Spark's Greenwald-Khanna sketch: mergeable
     bounded-size per-group state, one shuffle — the 100 TB quantile
-    answer (exact percentile needs a full sort or rank pass per group).
-    accuracy=10000 bounds rank error at n/10000 per group. Oracle
-    contract (round-4 redesign; DuckDB's approx_quantile is a different
-    estimator): the query emits exact per-group counts plus bounded-
-    error witnesses ``pXX_ok = |approx - exact| / exact <= 0.05`` with
-    the exact percentile computed in the SAME plan (fine at any sf —
-    the exact side exists only to bound the sketch; at 100 TB a user
-    runs the approx aggregate alone). The oracle asserts the booleans,
-    so a sketch past the bound hash-mismatches. tests/test_sketches.py
-    keeps the tighter rank-error property.
+    answer. accuracy=10000 bounds rank error at n/10000 per group.
+    Oracle contract (round-4 redesign; DuckDB's approx_quantile is a
+    different estimator): the query emits exact per-group counts plus
+    bounded-error witnesses ``pXX_ok = |approx - exact|/exact <= 0.05``.
+    The exact side is NOT Spark's ``percentile()`` aggregate (whose
+    per-group value buffer is unbounded — the exact failure mode this
+    sketch exists to avoid): it is the rank-selection plan from
+    events_interarrival — per-group window row_number (spillable sort),
+    keep only the <=6 rows at floor/ceil of each quantile position,
+    closed-form interpolation — so even the VERIFICATION side of this
+    query survives 100 TB. The oracle asserts the booleans, so a sketch
+    past the bound hash-mismatches. tests/test_sketches.py keeps the
+    tighter rank-error property.
     """,
 )
 def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GK-sketch p50/p95/p99 per return flag, bound-checked vs exact."""
+    import functools
+
     li = table(spark, sf_dir, "lineitem")
-    pcts = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
-    agg = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", pcts, F.lit(10000)).alias("ap"),
-        F.expr(
-            "percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))"
-        ).alias("ex"),
+    qs = (0.5, 0.95, 0.99)
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(*[F.lit(q) for q in qs]),
+            F.lit(10000),
+        ).alias("ap"),
         F.count(F.lit(1)).alias("cnt"),
     )
+    # exact interpolated percentiles by ORDER STATISTICS, not a value
+    # buffer: rank within group (one spillable window sort), keep the
+    # boundary ranks, interpolate — identical by definition to
+    # percentile()/quantile_cont
+    wp = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(wp.orderBy("l_extendedprice")).alias("r"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    pos = {q: F.lit(1.0) + (F.col("n") - 1) * F.lit(q) for q in qs}
+    cand = ranked.filter(
+        functools.reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("r") == F.floor(pos[q]))
+                | (F.col("r") == F.ceiling(pos[q]))
+                for q in qs
+            ],
+        )
+    )
+
+    def interp(q: float):
+        p = pos[q]
+        vlo = F.max(F.when(F.col("r") == F.floor(p), F.col("v")))
+        vhi = F.max(F.when(F.col("r") == F.ceiling(p), F.col("v")))
+        frac = F.max(p - F.floor(p))
+        return vlo + frac * (vhi - vlo)
+
+    exact = cand.groupBy("l_returnflag").agg(
+        *[interp(q).alias(f"ex{i}") for i, q in enumerate(qs)]
+    )
+
     def ok(i: int):
-        a, e = F.col("ap").getItem(i), F.col("ex").getItem(i)
-        return (F.abs(a - e) / e <= F.lit(0.05))
-    return agg.select(
+        a, e = F.col("ap").getItem(i), F.col(f"ex{i}")
+        return F.abs(a - e) / e <= F.lit(0.05)
+
+    return approx.join(F.broadcast(exact), "l_returnflag").select(
         "l_returnflag",
         "cnt",
         ok(0).alias("p50_ok"),
