@@ -315,13 +315,16 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey="B9 (exact interpolated percentiles per group)",
     scale="""
-    EXACT percentile requires the full sorted value set per group — at
-    100 TB that is the one aggregate that genuinely cannot partial-agg.
-    Keep groups coarse (3 return flags) so per-group state fits one
-    executor, or switch callers to approx_percentile (t-digest-style
-    sketch, mergeable, declared separately as agg_approx_distinct's
-    cousin) when the group count explodes. Interpolation (linear) runs on
-    identical sorted doubles in both engines, so values are exact.
+    EXACT percentile via the percentile() aggregate holds the full value
+    set per group — kept here as the B9 parity specimen with coarse
+    groups (3 return flags). At 100 TB there are two implemented escape
+    hatches in this repo: the GK sketch (sketch_quantile's
+    percentile_approx, bounded state) and the rank-selection plan
+    (window row_number + boundary-rank interpolation — sketch_quantile's
+    exact side and events_interarrival's quartiles), which computes the
+    SAME exact interpolated value with only a spillable sort.
+    Interpolation (linear) runs on identical sorted doubles in both
+    engines, so values are exact.
     """,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,3 +63,41 @@ def test_compare_float_tol(spark, sf_dir):
         float_tol=0.01,
     )
     assert loose.ok, str(loose)
+
+
+def test_compare_flags_array_output_as_driver_incompatible(spark, sf_dir):
+    """The r3 failure mode must be caught locally: an array-typed result
+    column dies in the driver's pandas sort_values canonicalizer, so
+    compare() must flag it even when values would match."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.oracle import compare
+
+    con = duckdb.connect()
+    spark_df = spark.range(2).select(
+        F.col("id"), F.array(F.col("id"), F.col("id") + 1).alias("arr")
+    )
+    bad = compare(
+        "arrcol",
+        spark_df,
+        con,
+        "SELECT x AS id, [x, x + 1] AS arr FROM (VALUES (0), (1)) t(x)",
+    )
+    assert not bad.ok
+    assert any("driver-canonicalizer incompatible" in i for i in bad.issues)
+    # and the flattened form passes
+    good = compare(
+        "flat",
+        spark_df.select(
+            "id",
+            F.array_join(
+                F.transform("arr", lambda c: c.cast("string")), ","
+            ).alias("arr"),
+        ),
+        con,
+        "SELECT x AS id, CAST(x AS VARCHAR) || ',' || CAST(x + 1 AS VARCHAR)"
+        " AS arr FROM (VALUES (0), (1)) t(x)",
+    )
+    assert good.ok, str(good)

@@ -380,3 +380,46 @@ def test_interarrival_percentile_only_per_user(spark, sf_dir):
     # _global_rank's eager localCheckpoint, so the final plan reads it
     # back as an existing RDD (the exchange ran, just before this plan)
     assert "existingrdd" in plan.lower()
+
+
+def test_sketch_quantile_no_unbounded_percentile_buffer(spark, sf_dir):
+    """Round-4 rewrite: the exact side of the bounded-error witness must
+    be the rank-selection plan (window row_number + boundary-rank
+    interpolation), never the percentile() aggregate whose per-group
+    value buffer is unbounded. The GK sketch (percentile_approx,
+    bounded mergeable state) is the only percentile-family aggregate
+    allowed in this plan."""
+    plan = _plan(spark, sf_dir, "sketch_quantile")
+    assert "percentile_approx" in plan
+    # bare exact percentile( would appear as "percentile(" without the
+    # _approx suffix — strip the approx occurrences and look again
+    assert "percentile(" not in plan.replace("percentile_approx(", "")
+    assert "Window" in plan  # the rank-selection side
+
+
+def test_approx_distinct_no_expand(spark, sf_dir):
+    """agg_approx_distinct repeats countDistinct(o_custkey) three times
+    (value + both sides of the witness) over ONE distinct column —
+    Catalyst must collapse them into a single distinct rewrite with no
+    Expand node (multi-distinct Expand would triple the scan rows)."""
+    plan = _plan(spark, sf_dir, "agg_approx_distinct")
+    assert "Expand" not in plan
+    # partial + final of ONE collapsed distinct aggregate, nothing more
+    assert plan.count("count(distinct o_custkey") <= 2
+
+
+def test_semdedup_codebook_derived_from_count(spark, sf_dir):
+    """The round-4 fix: no literal 16-centroid filter — the centroid
+    gate uses the corpus-derived k (16 at the 500-vector fixture =
+    ceil(500/32)), so the plan's centroid filter must match the value
+    the count dictates, proving code and oracle share one k."""
+    import math
+
+    from mrs_mapreduce_spark.catalog import table
+    from mrs_mapreduce_spark.llm.similarity import _SEMDEDUP_CELL_TARGET
+
+    n = table(spark, sf_dir, "embeddings").count()
+    k = max(1, math.ceil(n / _SEMDEDUP_CELL_TARGET))
+    plan = _plan(spark, sf_dir, "dedup_semdedup")
+    assert f"vec_id#" in plan
+    assert f"(vec_id%s < {k})" % "#" in plan or f"< {k})" in plan
