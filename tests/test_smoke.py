@@ -342,3 +342,31 @@ def test_simblocked_jaccard_nondegenerate(spark, sf_dir):
         .count()
     )
     assert n > 0
+
+
+def test_ann_search_example(spark, sf_dir, capsys):
+    """The ANN-ladder example runs end to end and multi-probe LSH beats
+    single-bucket LSH (the measured r3 recall win, 0.03 -> 0.23)."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "examples/ann_search.py"
+    spec = importlib.util.spec_from_file_location("ann_search", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from mrs_mapreduce_spark.registry import load_all
+
+    registry = load_all()
+    truth = mod.top3_pairs(registry, "similarity_topk", spark, sf_dir)
+    assert truth
+    lsh = mod.top3_pairs(registry, "similarity_lsh", spark, sf_dir)
+    lsh_mp = mod.top3_pairs(
+        registry, "similarity_lsh_multiprobe", spark, sf_dir
+    )
+    assert len(lsh_mp & truth) >= len(lsh & truth)
+    # the trained-IVF ladder rung must produce non-degenerate recall
+    ivf_t = mod.top3_pairs(
+        registry, "similarity_ivf_trained", spark, sf_dir
+    )
+    assert len(ivf_t & truth) > 0
