@@ -200,7 +200,11 @@ BUDGETS = {
     "similarity_ivf_trained": 2.0,
     "similarity_lsh_multiprobe": 1.5,
     "events_rfm": 1.8,
-    "dedup_semdedup": 3.0,
+    # r4b: k tracks the corpus AND assignment is two-level (O(n*sqrt k))
+    # — at sf0.1 the extra model-build/checkpoint barriers cost ~1.5 s
+    # over the flat-argmin plan, bought back 13x at the 10x synthetic
+    # tier (78 s -> 5.9 s); the budget reflects the scaled design
+    "dedup_semdedup": 4.5,
     "join_dpp": 1.4,
     "join_range_binned": 1.7,
 }

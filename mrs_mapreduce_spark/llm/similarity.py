@@ -1009,11 +1009,33 @@ _SEMDEDUP_CELL_TARGET = 32
     WITH pts AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
                  FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, a AS cv FROM pts
-           WHERE vec_id < (SELECT greatest(1, CAST(ceil(
-                     count(*) / {_SEMDEDUP_CELL_TARGET}.0) AS BIGINT))
-                 FROM pts)),
-    {_duck_assign('pts', 'c0', 'asg')},
+    scal AS (SELECT greatest(1, CAST(ceil(
+                 count(*) / {_SEMDEDUP_CELL_TARGET}.0) AS BIGINT)) AS k,
+                    CAST(ceil(sqrt(greatest(1, ceil(
+                 count(*) / {_SEMDEDUP_CELL_TARGET}.0)))) AS BIGINT) AS kc
+             FROM pts),
+    cc AS (SELECT vec_id AS ccid, a AS ccv FROM pts
+           WHERE vec_id < (SELECT kc FROM scal)),
+    cf AS (SELECT vec_id AS fcid, a AS fcv FROM pts
+           WHERE vec_id < (SELECT k FROM scal)),
+    fasg AS (SELECT fcid, ccid, fcv FROM (
+        SELECT f.fcid, c.ccid, f.fcv,
+               row_number() OVER (PARTITION BY f.fcid
+                   ORDER BY {_SQDIST_DUCK.format(p='f.fcv', c='c.ccv')},
+                            c.ccid) AS rk
+        FROM cf f CROSS JOIN cc c) WHERE rk = 1),
+    pasg AS (SELECT vec_id, ccid, a FROM (
+        SELECT p.vec_id, c.ccid, p.a,
+               row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY {_SQDIST_DUCK.format(p='p.a', c='c.ccv')},
+                            c.ccid) AS rk
+        FROM pts p CROSS JOIN cc c) WHERE rk = 1),
+    asg AS (SELECT vec_id, cid FROM (
+        SELECT p.vec_id, f.fcid AS cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY {_SQDIST_DUCK.format(p='p.a', c='f.fcv')},
+                            f.fcid) AS rk
+        FROM pasg p JOIN fasg f USING (ccid)) WHERE rk = 1),
     pairs AS (
       SELECT y.cid, x.vec_id AS va, y.vec_id AS vb,
              {_duck_cos('pa.a', 'pb.a')} AS cos
@@ -1041,6 +1063,20 @@ _SEMDEDUP_CELL_TARGET = 32
     one O(1)-result count pulled driver-side, with the oracle computing
     the identical k via a scalar subquery — cells stay ~32 vectors so
     the per-cell pair join is bounded-quadratic at ANY corpus size.
+    Assignment is TWO-LEVEL (round-4b, after the 10x synthetic sweep
+    caught flat argmin going O(n*k) = O(n^2/32) once k tracks n — 78 s
+    at the synthetic sf1, 41x the sf0.1 time): coarse codebook of
+    ceil(sqrt(k)) cells, then argmin over only the fine centroids of
+    the point's coarse cell — O(n*sqrt(k)) work, the standard IVF
+    coarse-quantizer shape, mirrored exactly in the oracle. Both
+    argmins run as codegen PROJECTIONS over one broadcast model row
+    (coarse array + ccid->fine-list map, built from k model rows), so
+    assignment adds zero corpus-sized shuffles; the materialized
+    assignment (localCheckpoint) is the partition map a production IVF
+    stores. Measured: sf1-synthetic 78 s -> 5.9 s. The model row is
+    O(k) values — past broadcast limits (~10^8 vectors) the same
+    argmin becomes the cell equi-join implemented in
+    similarity_ivf/_trained; beyond that, recurse a third level.
     Threshold 0.4 is fixture-calibrated (max within-cell cosine 0.49;
     11 victims at sf0.01) and guarded non-degenerate in test_smoke.
     """,
@@ -1065,22 +1101,81 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count is the only driver-side pull (O(1) result, like the
     # iterative loops' centroid fetches)
     k = max(1, math.ceil(pts.count() / _SEMDEDUP_CELL_TARGET))
-    cents = pts.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("a").alias("cv")
-    )
+    # two-level assignment (round-4b): a flat argmin over k centroids is
+    # O(n*k) = O(n^2/32) once k tracks the corpus — the 10x synthetic
+    # sweep measured 78 s (40x the sf0.1 time). Route each point through
+    # a coarse codebook of ceil(sqrt(k)) cells first, then argmin only
+    # over the fine centroids of its coarse cell: O(n*sqrt(k)) work.
+    # Both argmins run as PROJECTIONS over one broadcast model row (the
+    # coarse array + the ccid -> fine-centroid-list map built from k
+    # model rows), so assignment adds ZERO data-sized shuffles — the
+    # only corpus exchange in the whole query is the pair join itself.
+    # The model row is O(k) = n/32 values; past broadcast limits
+    # (~10^8-vector corpora) the same argmin becomes the cell equi-join
+    # already implemented in similarity_ivf/_trained.
+    kc = max(1, math.ceil(math.sqrt(k)))
 
-    def sq_dist():
-        diffs = F.zip_with("a", "cv", lambda x, c: (x - c) * (x - c))
+    def sqd(pvec, cvec):
+        diffs = F.zip_with(pvec, cvec, lambda x, c: (x - c) * (x - c))
         return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
-    assigned = (
-        pts.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct(sq_dist().alias("dist"), "cid")).alias("m"),
-            F.first("a").alias("a"),
+    def arr_argmin(arr, pvec):
+        # arr: array<struct(cid, cv)> -> winning cid by (dist, cid):
+        # score each entry, then array_min's struct ordering is exactly
+        # the (dist asc, cid asc) tie-break — single codegen pass
+        scored = F.transform(
+            arr,
+            lambda c: F.struct(
+                sqd(pvec, c["cv"]).alias("d"), c["cid"].alias("cid")
+            ),
         )
-        .select("vec_id", F.col("m.cid").alias("cid"), "a")
+        return F.array_min(scored)["cid"]
+
+    coarse_row = (
+        pts.filter(F.col("vec_id") < kc)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cid"), F.col("a").alias("cv"))
+                )
+            ).alias("carr")
+        )
+    )
+    # fine centroids -> coarse cells (k model rows, projection argmin),
+    # grouped into a ccid-keyed map of fcid-sorted centroid lists
+    fine_map_row = (
+        pts.filter(F.col("vec_id") < k)
+        .crossJoin(F.broadcast(coarse_row))
+        .select(
+            arr_argmin(F.col("carr"), F.col("a")).alias("ccid"),
+            F.struct(F.col("vec_id").alias("cid"), F.col("a").alias("cv")).alias("fc"),
+        )
+        .groupBy("ccid")
+        .agg(F.sort_array(F.collect_list("fc")).alias("fl"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("ccid"), F.col("fl")))
+                )
+            ).alias("fmap")
+        )
+    )
+    assigned = (
+        pts.crossJoin(F.broadcast(coarse_row.crossJoin(fine_map_row)))
+        .withColumn("ccid", arr_argmin(F.col("carr"), F.col("a")))
+        .select(
+            "vec_id",
+            arr_argmin(F.element_at("fmap", F.col("ccid")), F.col("a")).alias(
+                "cid"
+            ),
+            "a",
+        )
+        # both sides of the pair self-join read the assignment; without
+        # this each side recomputes the n*sqrt(k) argmin projections
+        # (measured: marginally faster at sf0.1 where the barrier
+        # dominates, slower already at the 10x synthetic tier — the
+        # materialized partition map is what a production IVF stores)
+        .localCheckpoint(eager=True)
     )
     x = assigned.select(
         F.col("vec_id").alias("va"), F.col("cid").alias("ca"),

@@ -38,6 +38,13 @@ RUNTIME_CONFS: dict[str, str] = {
 #: Configs that only make sense at session-build time.
 BUILD_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
+    # local mode runs every executor thread inside the driver JVM, whose
+    # Spark default heap is 1g — badly undersized for local[32] on a
+    # 128 GiB host (measured: a 10x-sf0.1 synthetic sweep OOM'd the JVM
+    # in the first shuffle-heavy join). -Xmx is a cap, not a commit, so
+    # oversizing costs nothing on smaller runs. On a real cluster this
+    # is per-node spark.executor.memory instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.sql.parquet.compression.codec": "zstd",

@@ -408,18 +408,16 @@ def test_approx_distinct_no_expand(spark, sf_dir):
     assert plan.count("count(distinct o_custkey") <= 2
 
 
-def test_semdedup_codebook_derived_from_count(spark, sf_dir):
-    """The round-4 fix: no literal 16-centroid filter — the centroid
-    gate uses the corpus-derived k (16 at the 500-vector fixture =
-    ceil(500/32)), so the plan's centroid filter must match the value
-    the count dictates, proving code and oracle share one k."""
-    import math
-
-    from mrs_mapreduce_spark.catalog import table
-    from mrs_mapreduce_spark.llm.similarity import _SEMDEDUP_CELL_TARGET
-
-    n = table(spark, sf_dir, "embeddings").count()
-    k = max(1, math.ceil(n / _SEMDEDUP_CELL_TARGET))
+def test_semdedup_assignment_checkpointed_once(spark, sf_dir):
+    """The round-4b two-level assignment is materialized once (the plan
+    the pair self-join reads is a checkpoint scan, not two copies of the
+    argmin subtree), and the downstream pair join stays an equi-join on
+    the cell with no nested-loop remnants. k-tracks-corpus behavior
+    itself is pinned by tests/test_semdedup_scaling.py on synthetic
+    corpora of two sizes."""
     plan = _plan(spark, sf_dir, "dedup_semdedup")
-    assert f"vec_id#" in plan
-    assert f"(vec_id%s < {k})" % "#" in plan or f"< {k})" in plan
+    assert "CartesianProduct" not in plan
+    # checkpoint truncated: the assignment subtree (its broadcast
+    # nested-loop coarse joins) must NOT appear in the final plan at all
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan
