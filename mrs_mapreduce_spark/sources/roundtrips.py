@@ -364,6 +364,14 @@ def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .csv(target)
+        # Spark forbids queries whose only referenced CSV column is the
+        # corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — a
+        # downstream .count() prunes the data columns and hits exactly
+        # that (caught by the round-4 synthetic sweep; collect() happened
+        # to work). Materializing the parsed batch is Spark's documented
+        # contract for corrupt-record queries AND the real semantics of a
+        # quarantine pass: parse once, then route clean/corrupt rows.
+        .localCheckpoint(eager=True)
     )
     return back.filter(F.col("_corrupt").isNull()).select(
         "c_custkey", "c_name", "bal"

@@ -74,7 +74,19 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    # fail LOUDLY on timeout or an empty source — the round-4 synthetic
+    # sweep caught the silent version of this (source glob matched zero
+    # files -> foreachBatch never ran -> read of a nonexistent sink)
+    if not query.awaitTermination(300):
+        query.stop()
+        raise RuntimeError("stream_foreach_batch: stream did not finish in 300 s")
+    import os
+
+    if not os.path.exists(target):
+        raise RuntimeError(
+            "stream_foreach_batch: no batch was ever written — "
+            "the source matched zero input files"
+        )
 
     return (
         spark.read.parquet(target)

@@ -26,14 +26,26 @@ from ..session import apply_runtime_confs
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet with ``ts``/``ts_ns`` contract."""
+    import os
+
     apply_runtime_confs(spark)
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        # file source wants a directory; glob down to the events table
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(path).schema
+    # Two physical layouts exist: the driver fixtures ship events.parquet
+    # as a single FILE (the streaming file source rejects a direct file
+    # path, so glob down from the parent), while any Spark-written table
+    # — including every production table at scale — is a DIRECTORY of
+    # part files (where the old pathGlobFilter matched nothing and every
+    # streaming query silently read ZERO rows; caught by the round-4
+    # synthetic-tier sweep). Branch on the layout.
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(batch_schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if batch_schema["ts"].dataType.simpleString() == "bigint":
         return stream.withColumnRenamed("ts", "ts_ns").withColumn(
             "ts", F.expr("timestamp_micros(ts_ns div 1000)")

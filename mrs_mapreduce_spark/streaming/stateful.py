@@ -169,12 +169,13 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import apply_runtime_confs
 
     apply_runtime_confs(spark)
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # events_stream handles BOTH physical layouts (fixture single-file
+    # via parent-glob, Spark-written directory via direct path) — an
+    # inline glob here silently read zero rows on directory-shaped
+    # tables (round-4 synthetic-sweep find)
+    from .source import events_stream
+
+    stream = events_stream(spark, sf_dir)
     use_tws = transform_with_state_available()
     result = (
         _totals_transform_with_state(stream)

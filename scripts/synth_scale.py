@@ -128,6 +128,8 @@ def main(argv=None) -> int:
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--out", default="/tmp/sf1_synth")
     ap.add_argument("--queries", default=None)
+    ap.add_argument("--all", action="store_true",
+                    help="run EVERY declared query at the synthetic tier")
     ap.add_argument("--skip-build", action="store_true")
     args = ap.parse_args(argv)
 
@@ -136,7 +138,10 @@ def main(argv=None) -> int:
         build(spark, args.out, args.copies)
 
     registry = load_all()
-    wanted = args.queries.split(",") if args.queries else HEAVY
+    if args.all:
+        wanted = sorted(registry)
+    else:
+        wanted = args.queries.split(",") if args.queries else HEAVY
     times = {}
     for spec in wanted:
         label, _, name = spec.partition(":")
