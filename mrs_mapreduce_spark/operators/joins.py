@@ -207,15 +207,24 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
     """,
     survey="B6",
-    scale="Anti join = NOT EXISTS; same physical shape as semi.",
+    scale="""
+    Anti join = NOT EXISTS; same physical shape as semi, with the
+    build-side predicate pushed below the join. The high-value filter is
+    fixture-calibrated non-degeneracy (the original 'no orders at all'
+    matched ZERO customers at every tier — a vacuous hash-of-nothing
+    witness, caught by the round-4 zero-row audit; smoke-guarded now).
+    """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join (customers with no orders at all)."""
+    """Anti join (customers with no high-value order)."""
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

@@ -22,7 +22,7 @@ from ..registry import register
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS price
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
     """,
     survey="B1 (scalar-subquery predicate)",
     scale="""
@@ -30,15 +30,20 @@ from ..registry import register
     row, broadcast onto the filter scan — two scans of orders, zero
     shuffles of it. Never collect the scalar to the driver inside the
     plan: the broadcast keeps the whole query lazy and retry-safe.
+    Threshold 1.9 is fixture-calibrated (the price distribution tops out
+    at ~2.0x the mean, so the original 2x threshold returned ZERO rows
+    at every tier — a vacuous hash-of-nothing witness, caught by the
+    round-4 synthetic sweep's zero-row audit; non-degeneracy now smoke-
+    guarded).
     """,
 )
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orders above twice the global average price."""
+    """Orders above 1.9x the global average price."""
     orders = table(spark, sf_dir, "orders")
     avg_row = orders.agg(F.avg("o_totalprice").alias("avg_p"))
     return (
         orders.join(F.broadcast(avg_row))
-        .filter(F.col("o_totalprice") > 2 * F.col("avg_p"))
+        .filter(F.col("o_totalprice") > 1.9 * F.col("avg_p"))
         .select("o_orderkey", pround("o_totalprice", 2).alias("price"))
     )
 

@@ -370,3 +370,24 @@ def test_ann_search_example(spark, sf_dir, capsys):
         registry, "similarity_ivf_trained", spark, sf_dir
     )
     assert len(ivf_t & truth) > 0
+
+
+def test_no_query_returns_zero_rows(spark):
+    """Non-degeneracy, registry-wide, at the DRIVER'S tier (sf0.01): a
+    declared query that returns ZERO rows is a vacuous oracle witness —
+    both engines hash an empty set and any wrong plan that also returns
+    nothing goes green forever (join_anti shipped that way for three
+    rounds; scalar_subquery's 2x threshold sat just above the data's
+    max/avg — both caught by the round-4 zero-row audit). join_theta
+    and tpch_q7 are legitimately empty at sf0.001, hence the sf0.01
+    tier here."""
+    from mrs_mapreduce_spark.registry import load_all
+
+    empty = []
+    for name, q in sorted(load_all().items()):
+        try:
+            if q.builder(spark, "/root/testdata/sf0.01").limit(1).count() == 0:
+                empty.append(name)
+        except Exception as exc:  # noqa: BLE001 — surface builder breakage
+            empty.append(f"{name} (ERR {type(exc).__name__})")
+    assert not empty, f"zero-row / broken declared queries: {empty}"
