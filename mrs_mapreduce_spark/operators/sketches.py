@@ -494,15 +494,28 @@ def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
     )
     # exact interpolated percentiles by ORDER STATISTICS, not a value
-    # buffer: rank within group (one spillable window sort), keep the
-    # boundary ranks, interpolate — identical by definition to
-    # percentile()/quantile_cont
-    wp = Window.partitionBy("l_returnflag")
-    ranked = li.select(
+    # buffer — and not a per-group window either: partitionBy(flag) runs
+    # ONE task per group (3 here), the global-single-partition hazard
+    # SCALE.md rule 7 bans. Instead: distributed global rank over the
+    # composite (flag, value) order (range shuffle across all
+    # partitions), rebased per group by its minimum global rank.
+    from .events import _global_rank
+
+    vals = li.select("l_returnflag", F.col("l_extendedprice").alias("v"))
+    granked = _global_rank(
+        vals, [F.asc("l_returnflag"), F.asc("v")]
+    ).drop("_n")
+    grp = granked.groupBy(F.col("l_returnflag").alias("g_flag")).agg(
+        F.min("_r").alias("g_first"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = granked.join(
+        F.broadcast(grp), F.col("l_returnflag") == F.col("g_flag")
+    ).select(
         "l_returnflag",
-        F.col("l_extendedprice").alias("v"),
-        F.row_number().over(wp.orderBy("l_extendedprice")).alias("r"),
-        F.count(F.lit(1)).over(wp).alias("n"),
+        "v",
+        (F.col("_r") - F.col("g_first") + 1).alias("r"),
+        "n",
     )
     pos = {q: F.lit(1.0) + (F.col("n") - 1) * F.lit(q) for q in qs}
     cand = ranked.filter(

@@ -394,7 +394,10 @@ def test_sketch_quantile_no_unbounded_percentile_buffer(spark, sf_dir):
     # bare exact percentile( would appear as "percentile(" without the
     # _approx suffix — strip the approx occurrences and look again
     assert "percentile(" not in plan.replace("percentile_approx(", "")
-    assert "Window" in plan  # the rank-selection side
+    # the exact side is the checkpointed distributed global rank — no
+    # per-group WindowExec (one task per group, rule-7 hazard) at all
+    assert "Window" not in plan
+    assert "ExistingRDD" in plan
 
 
 def test_approx_distinct_no_expand(spark, sf_dir):
