@@ -468,14 +468,15 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     different estimator): the query emits exact per-group counts plus
     bounded-error witnesses ``pXX_ok = |approx - exact|/exact <= 0.05``.
     The exact side is NOT Spark's ``percentile()`` aggregate (whose
-    per-group value buffer is unbounded — the exact failure mode this
-    sketch exists to avoid): it is the rank-selection plan from
-    events_interarrival — per-group window row_number (spillable sort),
-    keep only the <=6 rows at floor/ceil of each quantile position,
-    closed-form interpolation — so even the VERIFICATION side of this
-    query survives 100 TB. The oracle asserts the booleans, so a sketch
-    past the bound hash-mismatches. tests/test_sketches.py keeps the
-    tighter rank-error property.
+    per-group value buffer is unbounded) and NOT a per-group window
+    (one task per group — SCALE.md rule 7): it is the DISTRIBUTED
+    global rank over the composite (group, value) order (events_rfm's
+    range-shuffle machinery), rebased per group by its minimum rank,
+    then only the <=6 boundary-rank rows interpolate in closed form —
+    measured flat (1.03x per 100x rows; a 60M-row rank at the sf10
+    synthetic tier ran full-width). The oracle asserts the booleans, so
+    a sketch past the bound hash-mismatches. tests/test_sketches.py
+    keeps the tighter rank-error property.
     """,
 )
 def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
