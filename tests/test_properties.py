@@ -638,3 +638,43 @@ def test_global_rank_matches_row_number(spark, vals):
     n = len(vals)
     assert {k: v[0] for k, v in got.items()} == want
     assert all(v[1] == n for v in got.values())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_global_rank_group_rebase_matches_per_group_row_number(spark, rows):
+    """sketch_quantile's per-group rank machinery: the composite global
+    rank over (group, value) rebased by each group's minimum rank must
+    equal row_number() within the group — on any multiset, any group
+    skew (including single-group and singleton-group inputs)."""
+    from pyspark.sql.window import Window
+
+    from mrs_mapreduce_spark.operators.events import _global_rank
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, g string, v long").repartition(5)
+    order = [F.asc("g"), F.asc("v"), F.asc("id")]
+    ranked = _global_rank(df, order).drop("_n")
+    grp = ranked.groupBy(F.col("g").alias("g2")).agg(
+        F.min("_r").alias("first_r")
+    )
+    got = {
+        r.id: r.r
+        for r in ranked.join(
+            F.broadcast(grp), F.col("g") == F.col("g2")
+        )
+        .select("id", (F.col("_r") - F.col("first_r") + 1).alias("r"))
+        .collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        r.id: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
