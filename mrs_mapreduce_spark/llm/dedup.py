@@ -1050,7 +1050,10 @@ def _capped_oracle() -> str:
 
     A silent .replace no-op (if the base oracle is ever reworded) would
     leave a wrong — uncapped — oracle that only surfaces later as a
-    confusing hash mismatch (ADVICE r3); assert each patch landed.
+    confusing hash mismatch (ADVICE r3); RAISE if a patch fails to land
+    (explicit raise, not assert: the guard must survive ``python -O``,
+    ADVICE r4 — a stripped assert would resurrect exactly the silent
+    wrong-oracle failure this function exists to prevent).
     """
     base = REGISTRY["dedup_minhash_pairs"].oracle
     step1 = base.replace(
@@ -1062,9 +1065,15 @@ def _capped_oracle() -> str:
              WHERE bcnt.cnt <= 2),
     cand AS (SELECT DISTINCT""",
     )
-    assert step1 != base, "capped-oracle patch 1 no-oped: base SQL reworded?"
+    if step1 == base:
+        raise RuntimeError(
+            "capped-oracle patch 1 no-oped: base SQL reworded?"
+        )
     step2 = step1.replace("FROM bands a JOIN bands b", "FROM kept a JOIN kept b")
-    assert step2 != step1, "capped-oracle patch 2 no-oped: base SQL reworded?"
+    if step2 == step1:
+        raise RuntimeError(
+            "capped-oracle patch 2 no-oped: base SQL reworded?"
+        )
     return step2
 
 

@@ -101,10 +101,15 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     redesign): DuckDB's approx estimator is a different algorithm, so
     instead of comparing raw estimates the query emits the EXACT count
     (computed independently in both engines) plus a bounded-error
-    witness ``within_bound = |approx - exact| / exact <= 0.05`` — the
-    oracle asserts TRUE, so an estimator drifting past the bound (HLL++
-    at rsd=0.02 sits well inside it) becomes a hash mismatch. The
-    error-bound property test at sf0.001 keeps the epsilon honest.
+    witness ``within_bound = |approx - exact| / exact <= 0.10`` — the
+    oracle asserts TRUE, so an estimator drifting past the bound
+    becomes a hash mismatch. The epsilon is 5x the configured rsd=0.02
+    (ADVICE r4: 2.5 sigma was a coin-flip away from a red row on a
+    regenerated fixture — the estimator is deterministic per dataset,
+    so a single unlucky group would fail every run); the tight 5%
+    whole-table assertion lives in tests/test_properties.py
+    (test_approx_distinct_error_bound) where a miss is debuggable
+    rather than a driver hash mismatch.
     """,
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,7 +124,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.countDistinct("o_custkey")
             )
             / F.countDistinct("o_custkey").cast("double")
-            <= F.lit(0.05)
+            <= F.lit(0.10)
         ).alias("within_bound"),
     )
 

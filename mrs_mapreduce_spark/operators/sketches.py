@@ -463,93 +463,78 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale="""
     percentile_approx is Spark's Greenwald-Khanna sketch: mergeable
     bounded-size per-group state, one shuffle — the 100 TB quantile
-    answer. accuracy=10000 bounds rank error at n/10000 per group.
-    Oracle contract (round-4 redesign; DuckDB's approx_quantile is a
-    different estimator): the query emits exact per-group counts plus
-    bounded-error witnesses ``pXX_ok = |approx - exact|/exact <= 0.05``.
-    The exact side is NOT Spark's ``percentile()`` aggregate (whose
-    per-group value buffer is unbounded) and NOT a per-group window
-    (one task per group — SCALE.md rule 7): it is the DISTRIBUTED
-    global rank over the composite (group, value) order (events_rfm's
-    range-shuffle machinery), rebased per group by its minimum rank,
-    then only the <=6 boundary-rank rows interpolate in closed form —
-    measured flat (1.03x per 100x rows; a 60M-row rank at the sf10
-    synthetic tier ran full-width). The oracle asserts the booleans, so
-    a sketch past the bound hash-mismatches. tests/test_sketches.py
-    keeps the tighter rank-error property.
+    answer. accuracy=10000 bounds RANK error at n/10000 per group; the
+    witness checks exactly that contract (round-5 redesign, ADVICE r4:
+    the previous 5%-of-VALUE epsilon was a different, distribution-
+    dependent claim a conforming sketch could legally exceed on a
+    heavy-tailed column). ``pXX_ok`` verifies the approx value's exact
+    rank interval [count(v < approx)+1, count(v <= approx)] intersects
+    [target - eps, target + eps] with target = 1 + (n-1)*q and
+    eps = n/accuracy + 1 (one rank of slack for the boundary
+    convention). GK always returns a data element, so rank-of-value is
+    the dual of value-at-rank and needs NO global sort: the exact side
+    is one broadcast of the 3-row sketch output back onto the scan and
+    one conditional-count aggregate (map-side combine) — the prior
+    distributed global rank (range shuffle + full-width row ordering,
+    49.5 s at the sf10 synthetic tier) is gone. The oracle asserts the
+    booleans, so a sketch past its rank bound hash-mismatches.
+    tests/test_sketches.py keeps the raw rank-error property.
     """,
 )
 def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GK-sketch p50/p95/p99 per return flag, bound-checked vs exact."""
-    import functools
-
+    """GK-sketch p50/p95/p99 per return flag, rank-contract-checked."""
     li = table(spark, sf_dir, "lineitem")
     qs = (0.5, 0.95, 0.99)
+    accuracy = 10000
     approx = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
             "l_extendedprice",
             F.array(*[F.lit(q) for q in qs]),
-            F.lit(10000),
+            F.lit(accuracy),
         ).alias("ap"),
         F.count(F.lit(1)).alias("cnt"),
     )
-    # exact interpolated percentiles by ORDER STATISTICS, not a value
-    # buffer — and not a per-group window either: partitionBy(flag) runs
-    # ONE task per group (3 here), the global-single-partition hazard
-    # SCALE.md rule 7 bans. Instead: distributed global rank over the
-    # composite (flag, value) order (range shuffle across all
-    # partitions), rebased per group by its minimum global rank.
-    from .events import _global_rank
-
+    # rank-of-value witness: join the (3-row, broadcast) sketch output
+    # back onto the scan and count, per group, how many values fall
+    # strictly below / at-or-below each approx value. One scan, one
+    # partial-aggregated shuffle of 3 rows x 6 longs — no sort, no
+    # window, no global rank.
     vals = li.select("l_returnflag", F.col("l_extendedprice").alias("v"))
-    granked = _global_rank(
-        vals, [F.asc("l_returnflag"), F.asc("v")]
-    ).drop("_n")
-    grp = granked.groupBy(F.col("l_returnflag").alias("g_flag")).agg(
-        F.min("_r").alias("g_first"),
-        F.count(F.lit(1)).alias("n"),
+    counted = vals.join(F.broadcast(approx), "l_returnflag").groupBy(
+        "l_returnflag"
+    ).agg(
+        F.first("cnt").alias("n"),
+        F.first("ap").alias("ap"),
+        *[
+            agg
+            for i in range(len(qs))
+            for agg in (
+                F.sum(
+                    (F.col("v") < F.col("ap").getItem(i)).cast("long")
+                ).alias(f"lt{i}"),
+                F.sum(
+                    (F.col("v") <= F.col("ap").getItem(i)).cast("long")
+                ).alias(f"le{i}"),
+            )
+        ],
     )
-    ranked = granked.join(
-        F.broadcast(grp), F.col("l_returnflag") == F.col("g_flag")
-    ).select(
-        "l_returnflag",
-        "v",
-        (F.col("_r") - F.col("g_first") + 1).alias("r"),
-        "n",
-    )
-    pos = {q: F.lit(1.0) + (F.col("n") - 1) * F.lit(q) for q in qs}
-    cand = ranked.filter(
-        functools.reduce(
-            lambda a, b: a | b,
-            [
-                (F.col("r") == F.floor(pos[q]))
-                | (F.col("r") == F.ceiling(pos[q]))
-                for q in qs
-            ],
+
+    def ok(i: int, q: float):
+        # GK contract: the returned value's rank is within n/accuracy of
+        # the target position. The value occupies exact ranks
+        # [lt+1, le]; pass iff that interval intersects target +- eps.
+        target = F.lit(1.0) + (F.col("n") - 1) * F.lit(q)
+        eps = F.col("n") / F.lit(float(accuracy)) + F.lit(1.0)
+        return (F.col(f"le{i}") >= target - eps) & (
+            F.col(f"lt{i}") + 1 <= target + eps
         )
-    )
 
-    def interp(q: float):
-        p = pos[q]
-        vlo = F.max(F.when(F.col("r") == F.floor(p), F.col("v")))
-        vhi = F.max(F.when(F.col("r") == F.ceiling(p), F.col("v")))
-        frac = F.max(p - F.floor(p))
-        return vlo + frac * (vhi - vlo)
-
-    exact = cand.groupBy("l_returnflag").agg(
-        *[interp(q).alias(f"ex{i}") for i, q in enumerate(qs)]
-    )
-
-    def ok(i: int):
-        a, e = F.col("ap").getItem(i), F.col(f"ex{i}")
-        return F.abs(a - e) / e <= F.lit(0.05)
-
-    return approx.join(F.broadcast(exact), "l_returnflag").select(
+    return counted.select(
         "l_returnflag",
-        "cnt",
-        ok(0).alias("p50_ok"),
-        ok(1).alias("p95_ok"),
-        ok(2).alias("p99_ok"),
+        F.col("n").alias("cnt"),
+        ok(0, qs[0]).alias("p50_ok"),
+        ok(1, qs[1]).alias("p95_ok"),
+        ok(2, qs[2]).alias("p99_ok"),
     )
 
 

@@ -69,7 +69,26 @@ def _driver_shape_issues(side: str, cols: list[str], rows: list[tuple]) -> list[
     driver-incompatible output schema fails locally, on both the Spark
     result and the oracle result.
     """
+    import numpy as np
     import pandas as pd
+
+    # direct cell walk first (ADVICE r4): pandas' multi-column
+    # sort_values factorizes (hashes) cells and raises TypeError on
+    # lists — but a SINGLE column sorts via argsort, where Python list
+    # comparison succeeds, so a one-array-column result would slip
+    # through the sort probe below. Flag container cells explicitly
+    # instead of depending on pandas' sort implementation details
+    # (every row, not just the first: a nullable array column can hold
+    # None in row 0 and a list further down).
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+                return [
+                    f"{side} result column {cols[i]!r} holds "
+                    f"{type(v).__name__} cells — driver-canonicalizer "
+                    "incompatible; flatten array/map columns "
+                    "(array_join / string_agg discipline)"
+                ]
 
     try:
         pdf = pd.DataFrame(rows, columns=cols)

@@ -44,9 +44,12 @@ def cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver hashes repr-level values; our queries pre-round, so a tiny
-        # epsilon guard covers binary-representation drift only
-        return round(v, 9) + 0.0
+        # driver hashes repr-level values — compare EXACTLY (ADVICE r4:
+        # a round(v, 9) here would let binary-representation drift pass
+        # the sim and fail the driver; the queries' pround discipline is
+        # what must make the two engines bit-identical). +0.0 collapses
+        # -0.0 vs 0.0 only.
+        return v + 0.0
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):

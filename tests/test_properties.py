@@ -649,10 +649,11 @@ def test_global_rank_matches_row_number(spark, vals):
 )
 @_SETTINGS
 def test_global_rank_group_rebase_matches_per_group_row_number(spark, rows):
-    """sketch_quantile's per-group rank machinery: the composite global
-    rank over (group, value) rebased by each group's minimum rank must
-    equal row_number() within the group — on any multiset, any group
-    skew (including single-group and singleton-group inputs)."""
+    """Per-group rebasing of _global_rank (the scalable substitute for a
+    per-group window, SCALE.md rule 7): the composite global rank over
+    (group, value) rebased by each group's minimum rank must equal
+    row_number() within the group — on any multiset, any group skew
+    (including single-group and singleton-group inputs)."""
     from pyspark.sql.window import Window
 
     from mrs_mapreduce_spark.operators.events import _global_rank

@@ -383,21 +383,26 @@ def test_interarrival_percentile_only_per_user(spark, sf_dir):
 
 
 def test_sketch_quantile_no_unbounded_percentile_buffer(spark, sf_dir):
-    """Round-4 rewrite: the exact side of the bounded-error witness must
-    be the rank-selection plan (window row_number + boundary-rank
-    interpolation), never the percentile() aggregate whose per-group
-    value buffer is unbounded. The GK sketch (percentile_approx,
-    bounded mergeable state) is the only percentile-family aggregate
-    allowed in this plan."""
+    """Round-5 rewrite: the witness side must be the rank-of-value plan
+    (broadcast the 3-row sketch output back onto the scan, conditional
+    counts) — never the percentile() aggregate whose per-group value
+    buffer is unbounded, never a per-group window (one task per group,
+    rule-7 hazard), and no longer the full-width distributed global
+    rank (round-4's shape — 49.5 s at the sf10 synthetic tier). The GK
+    sketch (percentile_approx, bounded mergeable state) is the only
+    percentile-family aggregate allowed in this plan."""
     plan = _plan(spark, sf_dir, "sketch_quantile")
     assert "percentile_approx" in plan
     # bare exact percentile( would appear as "percentile(" without the
     # _approx suffix — strip the approx occurrences and look again
     assert "percentile(" not in plan.replace("percentile_approx(", "")
-    # the exact side is the checkpointed distributed global rank — no
-    # per-group WindowExec (one task per group, rule-7 hazard) at all
     assert "Window" not in plan
-    assert "ExistingRDD" in plan
+    # the sketch output rides back onto the scan as a broadcast, and the
+    # old global-rank machinery (range shuffle + checkpointed rank
+    # relation) must be gone
+    assert "BroadcastExchange" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "ExistingRDD" not in plan
 
 
 def test_approx_distinct_no_expand(spark, sf_dir):
