@@ -73,7 +73,9 @@ HEAVY = [
     "dedup_minhash_pairs",
     "dedup_substring",
     "dedup_semdedup",
+    "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_simblocked",
+    "dedup_embedding",
     "text_perplexity",
     "text_bm25",
     "text_tfidf",
@@ -83,9 +85,47 @@ HEAVY = [
     "events_session_ids",
     "window_frame",
     "sketch_countmin",
+    "sketch_quantile",
     "corpus_decontaminate",
     "corpus_pack_contexts",
 ]
+
+#: ``--check`` regression gate (round-5, r4 verdict #6): pinned ceilings
+#: on the per-query time ratio t(synthetic tier) / t(sf0.1). With the
+#: default 10 copies, at-worst-linear work is ratio <= ~10; budgets are
+#: ~2x the ratio measured in the SCALE.md sweeps (host noise is
+#: documented at +-30%, and sub-second sf0.1 denominators are floored at
+#: 0.3 s), so a pass means "no NEW superlinear term", not "fast today".
+#: Output-bound replica artifacts (the pair lists whose TRUE result
+#: grows ~100x when every doc gains 9 identical twins) carry explicitly
+#: larger budgets with the reason inline.
+RATIO_BUDGETS = {
+    "q1": 8,
+    "q3": 9,
+    "dedup_minhash": 7,
+    "dedup_minhash_pairs": 18,  # output-bound: true pairs ~100x on replicas
+    "dedup_substring": 6,
+    "dedup_semdedup": 6,
+    "dedup_ngram_jaccard": 8,  # output-bound tail; r5 re-block measured 3.3x
+    "dedup_ngram_jaccard_simblocked": 80,  # output-bound: 102x pair growth
+    "dedup_embedding": 7,  # r5 re-block measured 2.8x
+    "text_perplexity": 11,
+    "text_bm25": 11,
+    "text_tfidf": 10,
+    "similarity_ivf_trained": 6,
+    "similarity_lsh_multiprobe": 6,
+    "events_rfm": 7,
+    "events_session_ids": 6,
+    "window_frame": 6,
+    "sketch_countmin": 6,
+    "sketch_quantile": 6,
+    "corpus_decontaminate": 6,
+    "corpus_pack_contexts": 7,
+}
+
+#: floor for the sf0.1 denominator: sub-0.3 s timings are scheduler
+#: noise at local[32] and would make healthy ratios look superlinear
+_MIN_BASE_SEC = 0.3
 
 
 def build(spark, out: str, copies: int) -> None:
@@ -131,6 +171,14 @@ def main(argv=None) -> int:
     ap.add_argument("--all", action="store_true",
                     help="run EVERY declared query at the synthetic tier")
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="regression gate: time each query at sf0.1 AND the synthetic"
+        " tier, fail (exit 1) if any ratio exceeds its RATIO_BUDGETS"
+        " ceiling — catches a newly-introduced superlinear term"
+        " automatically instead of by reading sweep tables",
+    )
     args = ap.parse_args(argv)
 
     spark = get_session("synth-scale")
@@ -143,20 +191,52 @@ def main(argv=None) -> int:
     else:
         wanted = args.queries.split(",") if args.queries else HEAVY
     times = {}
+    over: list[str] = []
+    if args.check:
+        # warm the session (JIT, codegen, parquet footer caches) before
+        # any timed run: the first query of a fresh session pays ~3-5 s
+        # of one-time cost, which lands in the sf0.1 DENOMINATOR and can
+        # halve a true quadratic's measured ratio below its budget
+        for spec in wanted[:1]:
+            _, _, wname = spec.partition(":")
+            registry[wname or spec].builder(spark, SRC).count()
     for spec in wanted:
         label, _, name = spec.partition(":")
         name = name or label
         try:
+            base = None
+            if args.check:
+                t0 = time.perf_counter()
+                registry[name].builder(spark, SRC).count()
+                base = time.perf_counter() - t0
             t0 = time.perf_counter()
             n = registry[name].builder(spark, args.out).count()
             dt = time.perf_counter() - t0
             times[label] = round(dt, 3)
-            print(f"[ran] {label}: {dt:.2f}s rows={n}", file=sys.stderr)
+            if args.check:
+                ratio = dt / max(base, _MIN_BASE_SEC)
+                budget = RATIO_BUDGETS.get(label)
+                verdict = ""
+                if budget is not None and ratio > budget:
+                    over.append(label)
+                    verdict = f"  ** OVER BUDGET ({budget}x) **"
+                print(
+                    f"[check] {label}: sf0.1={base:.2f}s tier={dt:.2f}s"
+                    f" ratio={ratio:.1f}x{verdict}",
+                    file=sys.stderr,
+                )
+            else:
+                print(f"[ran] {label}: {dt:.2f}s rows={n}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             times[label] = -1.0
+            if args.check:
+                over.append(label)
             print(f"[ERR] {label}: {type(exc).__name__}: {exc}", file=sys.stderr)
-    print(json.dumps({"tier": args.out, "copies": args.copies, "sec": times}))
-    return 0
+    out = {"tier": args.out, "copies": args.copies, "sec": times}
+    if args.check:
+        out["over_budget"] = over
+    print(json.dumps(out))
+    return 1 if over else 0
 
 
 if __name__ == "__main__":
