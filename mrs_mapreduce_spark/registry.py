@@ -51,47 +51,54 @@ REGISTRY: dict[str, Query] = {}
 #: Queries not listed here keep their registration order after the
 #: showcase.
 #:
-#: ROUND-4 PREFIX: rounds 1-3 drove 123 distinct queries (121 green).
-#: This round's 50 = the 2 still-red rows (dedup_components: array
-#: output fixed to ","-joined string; agg_approx_distinct: redesigned
-#: with a bounded-error exact oracle) + the 4 never-sampled queries
-#: carrying the same latent array/no-oracle hazards, now fixed
-#: (dedup_components_star, embedding_pq, text_postings,
-#: sketch_quantile) + 44 never-driver-tested queries from the r3
-#: verdict's priority families (text_*, sink_*/source_*, stream_*,
-#: events_* tail). Remaining never-tested after r4: ~52 — rotate them
-#: in round 5 (agg_* tail, window_* tail, join_* tail, sql_*,
-#: sketch_bloom/hll/hll_merge, multimodal_audio_energy,
-#: similarity/dedup tails, corpus_*, sample_*, mr_*, graph_triangles,
-#: map_explode_pos, fn_url, arrow/udtf specimens, events_attribution,
-#: text_repetition, join_interval_events).
+#: ROUND-5 PREFIX (the r4 rotation is recorded in CORRECTNESS_r04.json:
+#: 50/50 green — the first zero-red round; cumulative driver-green
+#: after r4: 171/223 distinct queries): this round's 50 = ALL the
+#: never-driver-tested queries except exactly 2 deliberate deferrals,
+#: chosen per the r4 verdict for minimal evidence value because a
+#: structurally-identical twin is already driver-green —
+#: ``mr_map_only`` (subset of r1-green map_project through the same
+#: parity layer) and ``map_explode_pos`` (r2-green map_explode plus an
+#: ordinal). A clean round makes the cumulative record 221/223; rotate
+#: the 2 deferrals FIRST in round 6 before anything else.
+#: Three of this round's 50 were redesigned this round and re-verified
+#: locally before declaration: dedup_ngram_jaccard (re-blocked on
+#: (lang, source, simhash/256) + 1-bit multiprobe), dedup_semdedup /
+#: dedup_minhash_capped (estimator/oracle hardening touched their
+#: shared helpers).
 #: Run scripts/fixture_check.py FIRST (fixtures regenerate between
 #: rounds).
 SHOWCASE: tuple[str, ...] = (
-    # still-red retests (r3 array-canonicalizer fix; r1 no-oracle redesign)
-    "dedup_components", "agg_approx_distinct",
-    # never-sampled queries that carried the same latent hazards, fixed
-    "dedup_components_star", "embedding_pq", "text_postings",
-    "sketch_quantile",
-    # text-analysis family (D4) — zero driver evidence until now
-    "text_lang_stats", "text_langid", "text_quality", "text_tokens",
-    "text_fingerprint", "text_winnow", "text_bigrams", "text_scrub",
-    "text_bigram_lm", "text_mask_spans", "text_bpe_pairs", "text_bm25",
-    "text_perplexity", "text_pmi", "text_fertility", "text_entropy",
-    "text_zipf",
-    # source/sink surface (A3/A4)
-    "sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc_roundtrip",
-    "source_text_lines", "sink_merge_upsert", "sink_schema_evolution",
-    "sink_compaction", "source_csv_permissive", "source_hex_pairs",
-    "sink_partitioned",
-    # streaming remainder (C1-C6, E11/E16/E49/E54)
-    "stream_foreach_batch", "stream_static_join", "stream_join_left_outer",
-    "stream_dedup", "stream_stateful", "stream_sliding", "stream_watermark",
-    "stream_session_dynamic",
-    # event-analytics tail (D6/E36/E39/E41/E46/E57/E61/E62/E69)
-    "events_funnel_ordered", "events_trigrams", "events_interarrival",
-    "events_ewma", "events_abtest", "events_funnel_bounded",
-    "events_mom_growth", "events_fill_forward", "scd2_build",
+    # aggregate tail (B9/B10 extensions)
+    "agg_conditional", "agg_weighted", "agg_regression",
+    "agg_bitmap_distinct",
+    # sketch family remainder (E1-E3, E66)
+    "sketch_bloom", "sketch_hll", "sketch_hll_merge",
+    # window tail (B13-B15 extensions)
+    "window_range_frame", "window_distribution", "window_regression",
+    "window_count_distinct", "window_count_distinct_scalable",
+    # join tail (B7/B8/E4-E6 extensions)
+    "join_asof_forward", "join_asof_nearest", "join_null_safe",
+    "join_range_binned", "join_dpp", "join_interval_events",
+    "join_lateral",
+    # SQL-API surface (A17/E7-E10)
+    "sql_api_q5", "sql_scripting", "sql_pipe_syntax", "scalar_subquery",
+    # Spark-4 UDF specimens (A18)
+    "python_udtf_table_arg", "python_udf_arrow", "arrow_grouped_map",
+    # set ops / functions tail
+    "set_intersect_all", "fn_url",
+    # dedup/similarity tails (D2/D3) — incl. the round-5 re-blocks
+    "dedup_minhash_pairs", "dedup_minhash_capped", "dedup_minhash_eval",
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_simblocked",
+    "dedup_against_corpus", "dedup_substring", "dedup_semdedup",
+    "similarity_pq_adc", "similarity_range",
+    # curation / sampling (E14/E28-E31/E54-E57)
+    "corpus_mix_weights", "corpus_shuffle", "corpus_temperature_mix",
+    "corpus_length_filter", "sample_hash", "sample_stratified",
+    "sample_weighted", "text_repetition",
+    # graph / events / multimodal / parity remainder
+    "graph_triangles", "events_attribution", "multimodal_audio_energy",
+    "mr_reducemap",
 )
 
 
