@@ -1018,7 +1018,10 @@ _SEMDEDUP_ASG_CTES = f"""pts AS (SELECT vec_id,
 
 
 def semdedup_cells(
-    spark: SparkSession, sf_dir: str, broadcast_max_k: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_max_k: int | None = None,
+    flat_max_k: int | None = None,
 ) -> DataFrame:
     """Corpus-scaled two-level semantic cell assignment: (vec_id, cid, a).
 
@@ -1030,24 +1033,29 @@ def semdedup_cells(
     - k <= _SEMDEDUP_FLAT_MAX_K: kc = 1 and assignment is a FLAT
       argmin over one broadcast model row of all k centroids — at
       small k the coarse level's extra model-build stages cost more
-      than the O(n*k) work they avoid (r4 verdict task 10). Semantic
-      gate, mirrored in the oracle's scal CTE.
+      than the O(n*k) work they avoid (r4 verdict task 10). This gate
+      is SEMANTIC (kc changes the partition), mirrored in the
+      oracle's scal CTE so both engines agree at every tier.
     - k <= ``broadcast_max_k``: both argmins run as codegen
       projections over ONE broadcast model row (zero corpus-sized
       shuffles).
     - above it: the fine argmin switches to a distributed cell
       EQUI-JOIN (fine-centroid relation joined on the point's coarse
-      cell id, struct-min groupBy) — same result, no O(k) broadcast.
+      cell id, struct-min groupBy) — same kc, output-identical to the
+      broadcast regime, no O(k) broadcast (a PHYSICAL-only switch).
 
-    The returned relation is localCheckpoint'd: it is the partition
-    map a production IVF stores, read by both sides of any downstream
-    pair join.
+    ``broadcast_max_k`` / ``flat_max_k`` override the gates for tests
+    (forcing a regime on a small corpus); production callers leave
+    them None. The returned relation is localCheckpoint'd: it is the
+    partition map a production IVF stores, read by both sides of any
+    downstream pair join.
     """
     import math
 
     limit = (
         _SEMDEDUP_BROADCAST_MAX_K if broadcast_max_k is None else broadcast_max_k
     )
+    flat_limit = _SEMDEDUP_FLAT_MAX_K if flat_max_k is None else flat_max_k
     pts = (
         fan_out(table(spark, sf_dir, "embeddings"))
         .select(
@@ -1065,7 +1073,7 @@ def semdedup_cells(
     # single coarse cell makes routed assignment exactly the flat
     # argmin (oracle mirrors via the CASE in the scal CTE).
     k = max(1, math.ceil(pts.count() / _SEMDEDUP_CELL_TARGET))
-    kc = 1 if k <= _SEMDEDUP_FLAT_MAX_K else max(1, math.ceil(math.sqrt(k)))
+    kc = 1 if k <= flat_limit else max(1, math.ceil(math.sqrt(k)))
 
     def sqd(pvec, cvec):
         diffs = F.zip_with(pvec, cvec, lambda x, c: (x - c) * (x - c))
