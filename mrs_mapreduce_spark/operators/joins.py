@@ -725,10 +725,26 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     outgrows broadcast. Grid width tunes fanout vs selectivity: width ~
     median interval length keeps explode factor ~2 while the residual
     discards ~half the bucket's candidates.
+
+    Round-5 sweep finding: since the requested aggregates are
+    per-interval SUMs, the point side is pre-reduced to one row per
+    (bucket, day) BEFORE the join — the day domain is fixed by the
+    dataset's time span, not its row count, so the joined relation is
+    O(intervals x interval_days) instead of O(intervals x matching
+    rows). Without this the matched-row set itself grows quadratically
+    with scale (both sides densify inside a fixed date range): measured
+    411 s at the sf10 synthetic tier, 9.2 s after. Exactness is
+    unchanged — count = sum of day counts, sum = sum of day sums.
     """,
 )
 def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval join via grid binning: equi-join on bucket + residual."""
+    """Interval join via grid binning: equi-join on bucket + residual.
+
+    The point side collapses to per-day partial aggregates first (the
+    matched-row set is quadratic in scale inside a fixed date domain;
+    the day relation is bounded by the calendar), then the binned
+    equi-join distributes those partials over intervals.
+    """
     orders = table(spark, sf_dir, "orders")
     iv = orders.filter((F.col("o_orderkey") % 97) == 0).select(
         F.col("o_orderkey").alias("iv_id"),
@@ -744,16 +760,23 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    pts = table(spark, sf_dir, "lineitem").select(
-        F.to_date("l_shipdate").alias("d"), "l_extendedprice"
-    ).withColumn("bucket", F.expr("unix_date(d) div 30"))
-    j = pts.join(
+    daily = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.to_date("l_shipdate").alias("d"), "l_extendedprice")
+        .withColumn("bucket", F.expr("unix_date(d) div 30"))
+        .groupBy("bucket", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_day"),
+            F.sum("l_extendedprice").alias("rev_day"),
+        )
+    )
+    j = daily.join(
         ivb,
-        (pts["bucket"] == ivb["bucket"])
+        (daily["bucket"] == ivb["bucket"])
         & (F.col("d") >= F.col("lo"))
         & (F.col("d") < F.col("hi")),
     )
     return j.groupBy("iv_id").agg(
-        F.count(F.lit(1)).alias("n_ship"),
-        pround(F.sum("l_extendedprice"), 2).alias("rev"),
+        F.sum("n_day").alias("n_ship"),
+        pround(F.sum("rev_day"), 2).alias("rev"),
     )

@@ -4,6 +4,8 @@ Catalyst actually produces (pushdown, broadcast, partial agg, top-k).
 
 from __future__ import annotations
 
+import re
+
 from mrs_mapreduce_spark.registry import load_all
 
 
@@ -358,7 +360,11 @@ def test_sample_weighted_is_topk_not_sort(spark, sf_dir):
 
 def test_range_binned_is_equi_join(spark, sf_dir):
     """Grid binning must turn the interval join into a hash-family
-    equi-join on bucket — never the nested-loop theta form."""
+    equi-join on bucket — never the nested-loop theta form. Round-5
+    sweep pin: the point side must be pre-reduced per (bucket, day)
+    BELOW the join — the matched-row set of the raw join grows
+    quadratically with scale inside a fixed date domain (411 s at the
+    sf10 synthetic tier; 9.2 s with the day partials)."""
     plan = _plan(spark, sf_dir, "join_range_binned")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -366,6 +372,9 @@ def test_range_binned_is_equi_join(spark, sf_dir):
                                           "Join [bucket").replace(
         "SortMergeJoin [bucket", "Join [bucket").replace(
         "ShuffledHashJoin [bucket", "Join [bucket")
+    # the day pre-aggregate: a hash aggregate keyed on (bucket, day),
+    # which can only sit below the join (the join output has no bucket)
+    assert re.search(r"HashAggregate.*keys=\[bucket#\d+L?, d#\d+", plan), plan
 
 
 def test_interarrival_percentile_only_per_user(spark, sf_dir):
