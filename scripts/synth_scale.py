@@ -148,17 +148,21 @@ def build(spark, out: str, copies: int) -> None:
         ).parquet(f"{out}/{t}.parquet")
     for t, cols in KEYED.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        parts = []
-        for i in range(copies):
-            d = df
-            for c in cols:
-                d = d.withColumn(
-                    c, (F.col(c) + F.lit(i * strides[STRIDE_OF[c]])).cast("long")
-                )
-            parts.append(d)
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.union(p)
+        # one scan x a broadcast copy-index dim, NOT a copies-way union:
+        # the union plan grows one scan node per copy (fine at 10,
+        # pathological at 1000 — the round-5 sf100 tier), while this
+        # shape is O(1) plan nodes at any copy count
+        rep = df.crossJoin(
+            F.broadcast(spark.range(copies).select(F.col("id").alias("__copy")))
+        )
+        for c in cols:
+            rep = rep.withColumn(
+                c,
+                (
+                    F.col(c) + F.col("__copy") * F.lit(strides[STRIDE_OF[c]])
+                ).cast("long"),
+            )
+        u = rep.drop("__copy").select(*df.columns)
         u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
         print(f"[built] {t}: {u.count()} rows", file=sys.stderr)
 
