@@ -129,7 +129,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation collapses them for free, so a pre-dedup would only add a
     full extra shuffle of the widest intermediate.
     """
-    d = table(spark, sf_dir, "documents")
+    return _minhash_sig(table(spark, sf_dir, "documents"))
+
+
+def _minhash_sig(d: DataFrame) -> DataFrame:
+    """dedup_minhash's signature pipeline over an arbitrary (doc_id, text)
+    frame — shared with the collapsed-edge components path, which runs it
+    over one representative per distinct content instead of the corpus."""
     sh_sets = shingles(d)
     n = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long") % _P
     hs = F.array(
@@ -210,12 +216,17 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs(
-    spark: SparkSession, sf_dir: str, cap: int | None
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int | None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared LSH pipeline; ``cap`` drops buckets with more members
-    (boilerplate guard — see dedup_minhash_capped)."""
-    d = table(spark, sf_dir, "documents")
-    sig = dedup_minhash(spark, sf_dir)
+    (boilerplate guard — see dedup_minhash_capped). ``docs`` overrides the
+    corpus (the collapsed-edge components path passes distinct-content
+    representatives)."""
+    d = table(spark, sf_dir, "documents") if docs is None else docs
+    sig = _minhash_sig(d)
     bands = sig.groupBy(
         "doc_id", (F.col("seed") / _ROWS_PER_BAND).cast("int").alias("band")
     ).agg(
@@ -485,6 +496,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", pround("jac", 4).alias("jaccard")
     )
 
+def _collapsed_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connectivity-equivalent edge list with exact-duplicate mass collapsed.
+
+    Exact copies (identical RAW text — no normalization, matching the
+    shingle pipeline's input) are guaranteed pairwise-connected by the
+    uncapped LSH pipeline: identical text => identical shingle set =>
+    identical band keys (co-bucketed in every band) and exact Jaccard
+    1.0 >= the 0.5 verify threshold. For COMPONENT purposes the C(c,2)
+    intra-copy pairs per content and the c_a*c_b cross-copy pairs per
+    near-dup content pair are therefore redundant: run the pair pipeline
+    over ONE representative per distinct content (min doc_id) and
+    reconnect copies with rep->copy star edges. Components are identical
+    (pinned by unit test against the uncapped graph), and edge count
+    drops from quadratic in the duplicate mass to linear + one pair per
+    near-dup CONTENT pair — at the sf10 synthetic tier (100 exact
+    replicas of every doc) this is the difference between a 602 s
+    quadratic edge materialization and ~sf1 cost.
+
+    Edge case: docs with < 3 words produce NO shingles, hence no
+    signature, no bucket, and no pairs — they are isolated in the true
+    graph even when exact copies exist, so star edges exclude them.
+
+    Cost: one corpus shuffle keyed by the 16-byte content hash (the
+    dedup_exact shape) before the pair pipeline sees only distinct
+    contents.
+    """
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", "text", F.md5("text").alias("h"))
+    groups = keyed.groupBy("h").agg(F.min("doc_id").alias("rep"))
+    joined = keyed.join(groups, "h")
+    star = joined.filter(
+        (F.col("doc_id") != F.col("rep"))
+        & (F.size(F.split("text", " ")) >= 3)
+    ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    rep_docs = joined.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "text"
+    )
+    rep_pairs = _minhash_pairs(spark, sf_dir, cap=None, docs=rep_docs).select(
+        "doc_a", "doc_b"
+    )
+    return rep_pairs.union(star)
+
+
 def _pairs_cte() -> str:
     """The dedup_minhash_pairs oracle, re-usable as a CTE body."""
     sql = REGISTRY["dedup_minhash_pairs"].oracle
@@ -563,7 +617,12 @@ def propagate_min_labels(
     scale="""
     Turns pairwise near-dups into canonical clusters: iterative min-label
     propagation (the large-star/small-star family) over the LSH-verified
-    edge list. Each round is one shuffle of (node, label) co-partitioned
+    edge list with exact-duplicate mass COLLAPSED first (one
+    representative per distinct content runs the pair pipeline; copies
+    reconnect via rep->copy star edges — connectivity provably identical,
+    edge count linear in the duplicate mass instead of quadratic; 602 s
+    -> ~sf1 cost at the 100-replica sf10 synthetic tier).
+    Each round is one shuffle of (node, label) co-partitioned
     with the symmetric edge list; the loop caches the new frontier and
     unpersists the old (SURVEY §3.3 discipline) and stops at the exact
     fixpoint — for dedup graphs (tiny diameter: near-dup clusters are
@@ -580,8 +639,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver canonicalizes results with pandas ``sort_values``, which
     cannot hash list cells (the r3 red row) — same flattening
     discipline as agg_collect (operators/aggregates.py).
+
+    Edges come from ``_collapsed_pair_edges`` — the uncapped pair graph
+    with exact-duplicate mass collapsed to rep->copy stars; components
+    (and hence this output) are provably identical to running over
+    ``dedup_minhash_pairs`` directly, but the edge list stays linear in
+    the duplicate mass instead of quadratic.
     """
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _collapsed_pair_edges(spark, sf_dir)
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
@@ -983,7 +1048,8 @@ def star_components(
     converges in O(log^2 n) rounds on ANY graph — the public
     Kiveris-et-al MapReduce formulation, expressed as two partial-
     aggregated groupBys per round over a monotonically simplifying edge
-    list, localCheckpoint'd per round. Same LSH-verified input edges,
+    list, localCheckpoint'd per round. Same collapsed LSH-verified input
+    edges as dedup_components (exact-dup mass as rep->copy stars),
     same exact-fixpoint contract (loud failure at the round cap), same
     recursive-CTE oracle proving TRUE components. Property test pins
     the round advantage: a 64-node chain converges in <=8 star rounds
@@ -994,9 +1060,10 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters via alternating-star connected components.
 
     ``members`` flattened to a ","-joined string for the driver's pandas
-    canonicalizer — see dedup_components.
+    canonicalizer — see dedup_components. Same collapsed edge list as
+    dedup_components (exact-dup mass as stars, not quadratic pairs).
     """
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _collapsed_pair_edges(spark, sf_dir)
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))

@@ -76,6 +76,8 @@ HEAVY = [
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_simblocked",
     "dedup_embedding",
+    "dedup_components",
+    "dedup_components_star",
     "text_perplexity",
     "text_bm25",
     "text_tfidf",
@@ -109,6 +111,12 @@ RATIO_BUDGETS = {
     "dedup_ngram_jaccard": 8,  # output-bound tail; r5 re-block measured 3.3x
     "dedup_ngram_jaccard_simblocked": 80,  # output-bound: 102x pair growth
     "dedup_embedding": 7,  # r5 re-block measured 2.8x
+    # components run over collapsed edges (exact-dup mass as rep->copy
+    # stars): r5 measured 20.3 s at 10 copies / 27.0 s at 100 copies
+    # (was 602 s uncollapsed at 100) — linear star mass + constant
+    # distinct-content pair work
+    "dedup_components": 8,
+    "dedup_components_star": 8,
     "text_perplexity": 11,
     "text_bm25": 11,
     "text_tfidf": 10,
