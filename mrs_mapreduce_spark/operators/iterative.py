@@ -264,19 +264,20 @@ def iterative_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
 
-    # prune-then-probe edge build: customer broadcasts into orders and
-    # the (orderkey -> customer nation) map broadcasts into lineitem, so
-    # the only shuffle is the 625-row distinct's final exchange (the
-    # partial distinct collapses map-side). At 100 TB orders outgrows
-    # the broadcast and AQE flips this to the orderkey sort-merge join.
+    # prune-then-probe edge build with NO hard hints: customer, the
+    # (orderkey -> customer nation) map, and supplier all scale with the
+    # corpus, and a broadcast HINT is honored at any size — the planner
+    # broadcasts them from measured stats while they fit (it does at
+    # every fixture tier) and flips to the orderkey sort-merge join when
+    # they outgrow the threshold, which is the 100 TB plan.
     order_nation = orders.join(
-        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        cust.select("c_custkey", "c_nationkey"),
         orders.o_custkey == F.col("c_custkey"),
     ).select("o_orderkey", "c_nationkey")
     edges = (
         li.select("l_orderkey", "l_suppkey")
-        .join(F.broadcast(order_nation), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(order_nation, li.l_orderkey == F.col("o_orderkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .select(
             F.col("s_nationkey").alias("src"),
             F.col("c_nationkey").alias("dst"),
@@ -356,14 +357,20 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     supp = table(spark, sf_dir, "supplier")
 
+    # no broadcast hints on the scaling relations: customer/supplier/
+    # order_nation all grow with the corpus, and a HARD broadcast hint is
+    # honored at ANY size (AQE demotes estimate-based broadcasts, never
+    # hinted ones) — at fixture scale AQE still picks broadcast on its
+    # own; at 100 TB these degrade gracefully to shuffle joins. Only the
+    # nation-bounded edge lists below (<= C(25,2) rows) stay hinted.
     order_nation = orders.join(
-        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        cust.select("c_custkey", "c_nationkey"),
         orders.o_custkey == F.col("c_custkey"),
     ).select("o_orderkey", "c_nationkey")
     raw = (
         li.select("l_orderkey", "l_suppkey")
-        .join(F.broadcast(order_nation), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(order_nation, li.l_orderkey == F.col("o_orderkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .select(
             F.col("s_nationkey").alias("src"),

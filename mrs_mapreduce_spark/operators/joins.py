@@ -535,9 +535,11 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage in one join). Versions are synthesized deterministically
     here (2 per customer, valid_from dates INSIDE the fixture's
     1995-2001 o_orderdate range so both the v1-only and v1->v2
-    version-selection paths are exercised); the plan is the real one — broadcast the
-    versioned dim, range-predicate on valid_from, collapse to the
-    LATEST qualifying version per fact with a composite-struct max
+    version-selection paths are exercised); the plan is the real one —
+    equi-join on the key (the planner broadcasts the versioned dim
+    while it fits, shuffle join beyond — no hard hint), range-predicate
+    on valid_from, collapse to the LATEST qualifying version per fact
+    with a composite-struct max
     (monoid partial agg, no per-fact sort). At 100 TB with many
     versions per key, pre-compute valid_to with one lag window over
     the dim and the probe becomes a tight [from, to) interval join —
@@ -565,8 +567,14 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.col("o_orderdate").cast("date").alias("od"),
         )
+        # no hard hint: the versioned dim scales with customer (2 rows
+        # per key here, many in production). The custkey equality gives
+        # the planner a hash/sort-merge key with valid_from as a post-
+        # join filter, so AQE broadcasts while the dim fits and flips to
+        # the custkey shuffle join beyond — a hint would pin broadcast
+        # at any size.
         .join(
-            F.broadcast(dim),
+            dim,
             (F.col("c_custkey") == F.col("o_custkey"))
             & (F.col("valid_from") <= F.col("od")),
         )

@@ -116,7 +116,11 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # no hard hint: part scales with the corpus, and a broadcast HINT
+        # is honored at any size (AQE demotes only estimate-based picks).
+        # At fixture SF the planner broadcasts it from parquet stats
+        # anyway; at 100 TB this degrades gracefully to a shuffle join.
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             pround(
                 100.0
@@ -172,10 +176,13 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") > 150)
     )
     return (
-        orders.join(
-            F.broadcast(big), orders.o_orderkey == big.l_orderkey
-        )
-        .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        # no hard hints: `big` and customer both scale with the corpus
+        # (a hint is honored at ANY size). AQE broadcasts the qualifying
+        # set from its measured runtime size — which is exactly the
+        # "flips to shuffle when it outgrows the threshold" contract the
+        # scale note declares.
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -227,7 +234,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp_ntz")
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales: no hard hint, AQE picks broadcast while the
+        # filtered segment fits and SMJ beyond (tpch_q14 discipline)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
@@ -297,9 +306,12 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # supplier/customer scale with the corpus: no hard hints (the
+        # 2-nation pre-filter keeps them broadcast-SIZED at fixture SF,
+        # which AQE sees at runtime; a hint would pin the choice forever)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -369,10 +381,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # part/supplier/customer all scale: no hard hints (nation/region
+        # arms above stay hinted — those are constant-size)
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             pround(
@@ -423,8 +437,9 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # part/supplier scale: no hard hints (q8 discipline)
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -479,7 +494,9 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        # customer scales: no hard hint; nation is constant-size and keeps
+        # its broadcast
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .select(
             "c_custkey",
@@ -613,8 +630,9 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_rev").alias("m"))
     supp = table(spark, sf_dir, "supplier")
     return (
+        # max_rev is ONE row (keeps its hint); supplier scales (loses it)
         revenue.join(F.broadcast(max_rev), F.col("total_rev") == F.col("m"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -647,7 +665,8 @@ def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part scales: no hard hint, AQE decides from the filtered size
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -681,8 +700,11 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17: revenue from below-fifth-of-average-quantity lineitems."""
     part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     li = table(spark, sf_dir, "lineitem")
+    # part and the per-part threshold frame both scale: no hard hints
+    # (the brand filter keeps them broadcast-sized at fixture SF, which
+    # AQE measures at runtime)
     li_b = li.join(
-        F.broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
@@ -691,7 +713,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
     )
     return (
-        li_b.join(F.broadcast(thresholds), on="l_partkey")
+        li_b.join(thresholds, on="l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -725,7 +747,8 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19: revenue matching brand/size/quantity disjunction."""
     part = table(spark, sf_dir, "part")
     li = table(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # part scales: no hard hint (q14 discipline)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     d1 = (
         (F.col("p_brand") == "Brand#12")
         & F.col("p_size").between(1, 5)
@@ -800,7 +823,7 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             on="l_orderkey",
             how="left_semi",
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -928,7 +951,9 @@ def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nat.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )
-    eu_ps = ps.join(F.broadcast(eu_supp), ps.ps_suppkey == F.col("s_suppkey"))
+    # eu_supp / min_cost / part scale with the corpus: no hard hints
+    # (nation/region above keep theirs — constant-size)
+    eu_ps = ps.join(eu_supp, ps.ps_suppkey == F.col("s_suppkey"))
     # alias the derived frame: min_cost shares eu_ps's lineage, and an
     # unaliased equality on ps_partkey resolves to a trivially-true
     # self-reference instead of a join condition
@@ -939,11 +964,11 @@ def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         eu_ps.join(
-            F.broadcast(min_cost),
+            min_cost,
             (F.col("ps_partkey") == F.col("mc_partkey"))
             & (F.col("ps_supplycost") == F.col("min_cost")),
         )
-        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .join(part, F.col("ps_partkey") == part.p_partkey)
         .select(
             "p_partkey",
             "s_name",
@@ -986,7 +1011,8 @@ def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation")
     by_part = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        # supplier scales: no hard hint; nation keeps its broadcast
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), "ps_partkey")
         .agg(
@@ -1051,8 +1077,9 @@ def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * F.sum("l_quantity")).alias("half_shipped")
     )
     surplus = (
-        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey, "left_semi")
-        .join(F.broadcast(shipped), F.col("ps_partkey") == F.col("sp_partkey"))
+        # part and the per-part shipped totals scale: no hard hints
+        ps.join(part, ps.ps_partkey == part.p_partkey, "left_semi")
+        .join(shipped, F.col("ps_partkey") == F.col("sp_partkey"))
         .filter(F.col("ps_availqty") > F.col("half_shipped"))
         .select("ps_suppkey")
     )
