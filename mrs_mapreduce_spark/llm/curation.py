@@ -283,13 +283,14 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Training-order shuffling that any worker can reproduce: the sort key
     is md5(salt || doc_id), so changing the salt re-shuffles and fixing
     it makes the epoch order a pure function of the corpus — no RNG
-    state, no seed file. At scale the global row_number is the thing to
-    avoid: repartitionByRange on the hash key + sortWithinPartitions
+    state, no seed file. The declared top-100 runs the house top-k plan
+    (orderBy+limit = TakeOrderedAndProject per-partition heaps; the rank
+    window sees only the 100 survivors — rule 7, same as text_bm25). At
+    scale the full-corpus artifact is the ordered WRITE, not a rank
+    column: repartitionByRange on the hash key + sortWithinPartitions
     gives the same global order physically laid out across files, and
-    readers consume partitions in key order without any rank column
-    (zipWithIndex only if explicit ranks are required). The top-100
-    projection here exists to keep the declared result small; the
-    scalable artifact is the ordered WRITE, not a collected rank.
+    readers consume partitions in key order (zipWithIndex only if
+    explicit ranks are required).
     """,
 )
 def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,10 +299,14 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(key, "doc_id")
-    return (
-        docs.select("doc_id", F.row_number().over(w).alias("shuffle_rank"))
-        .filter(F.col("shuffle_rank") <= 100)
+    # house top-k discipline (SCALE.md rule 7): global top-100 via
+    # orderBy+limit (TakeOrderedAndProject — per-partition heaps), THEN
+    # rank the 100 survivors; never a corpus-wide single-task window
+    # with a post-filter.
+    top = docs.select("doc_id", key.alias("_k")).orderBy("_k", "doc_id").limit(100)
+    w = Window.orderBy("_k", "doc_id")
+    return top.select(
+        "doc_id", F.row_number().over(w).alias("shuffle_rank")
     )
 
 

@@ -438,3 +438,12 @@ def test_semdedup_assignment_checkpointed_once(spark, sf_dir):
     # nested-loop coarse joins) must NOT appear in the final plan at all
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_corpus_shuffle_topk_not_global_window(spark, sf_dir):
+    """The deterministic-shuffle top-100 must be TakeOrderedAndProject
+    (per-partition heaps) with the rank window running over the 100
+    survivors only — never a corpus-wide single-task window + filter
+    (SCALE.md rule 7)."""
+    plan = _plan(spark, sf_dir, "corpus_shuffle")
+    assert "TakeOrderedAndProject" in plan, plan
