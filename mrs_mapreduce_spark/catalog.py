@@ -99,6 +99,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     spark._mrs_views_sf_dir = sf_dir
 
 
+def cached_count(df: DataFrame) -> int:
+    """``df.count()`` memoized on the DataFrame object.
+
+    Corpus-size gates (semdedup's codebook k, pack_contexts' two-level
+    prefix sum) need one scalar per table per session; with
+    :func:`table` memoized, caching the count on the returned object
+    means the probe job runs once per session instead of once per query
+    invocation (the ``fan_out`` ``_mrs_scan_parts`` discipline).
+    """
+    n = getattr(df, "_mrs_row_count", None)
+    if n is None:
+        n = df.count()
+        df._mrs_row_count = n
+    return n
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Spread a narrow scan across cores before compute-heavy stages.
 

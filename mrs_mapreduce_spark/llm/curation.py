@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import table
+from ..catalog import cached_count, table
 from ..exprs import pround
 from ..registry import register
 
@@ -24,6 +24,60 @@ from ..registry import register
 _CTX = 512
 #: documents per prefix-sum bucket (the distributed-scan unit)
 _BUCKET = 256
+
+#: bucket count above which the offset cumsum goes two-level: a 64k-row
+#: single-task window is trivial; past it (>16.7M docs at _BUCKET=256)
+#: the super-bucket level bounds every task (semdedup gate discipline)
+_PACK_TWO_LEVEL_GATE = 65536
+
+
+def _bucket_offsets(btok: DataFrame, span: int, two_level: bool) -> DataFrame:
+    """(bucket, offset): each bucket's cumulative token count BEFORE it.
+
+    ``btok`` is the per-bucket subtotal relation (bucket, btok). One
+    level = a single cumsum window over all buckets (single task of
+    N/_BUCKET rows — fine below the gate, the semdedup flat-argmin
+    precedent). Two levels = cumsum over N/span^2 super-buckets, then a
+    span-bounded within-super window: no single task ever sees more
+    than max(span, N/span^2) rows — the 100 TB shape. Both produce
+    identical offsets (pinned by unit test).
+    """
+    if not two_level:
+        w_bucket = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return btok.select(
+            "bucket",
+            F.coalesce(F.sum("btok").over(w_bucket), F.lit(0))
+            .cast("long")
+            .alias("offset"),
+        )
+    btok = btok.withColumn("super", F.expr(f"bucket div {span}"))
+    w_super = Window.orderBy("super").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    super_offsets = (
+        btok.groupBy("super")
+        .agg(F.sum("btok").alias("stok"))
+        .select(
+            "super",
+            F.coalesce(F.sum("stok").over(w_super), F.lit(0))
+            .cast("long")
+            .alias("super_offset"),
+        )
+    )
+    w_in_super = Window.partitionBy("super").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return btok.join(F.broadcast(super_offsets), "super").select(
+        "bucket",
+        (
+            F.col("super_offset")
+            + F.coalesce(F.sum("btok").over(w_in_super), F.lit(0))
+        )
+        .cast("long")
+        .alias("offset"),
+    )
 
 
 @register(
@@ -50,40 +104,47 @@ _BUCKET = 256
     belongs to the window where it STARTS (floor(prefix_tokens / {_CTX})).
     The oracle states it as one global-ORDER-BY window (fine for DuckDB);
     the Spark plan is the DISTRIBUTED prefix sum — a global window would
-    serialize 100 TB through one task. Two passes: (1) bucket = doc_id
-    div {_BUCKET}; per-bucket token subtotals are a partial-aggregated
-    groupBy whose output is ~N/{_BUCKET} rows; a window over THAT tiny
-    relation yields each bucket's starting offset, broadcast back.
-    (2) the in-bucket running sum is a window partitioned by bucket —
-    every partition bounded at {_BUCKET} rows regardless of corpus size.
-    cum_before = offset + in-bucket prefix; integer div (never float /)
-    keeps >2^53 token counts exact.
+    serialize 100 TB through one task. Per-bucket (doc_id div {_BUCKET})
+    subtotals are a partial-aggregated groupBy; their cumsum is gated
+    like semdedup's assignment: below 64k buckets one window over the
+    subtotal relation (a trivial single task), above it a TWO-LEVEL
+    scheme — per-super (bucket div {_BUCKET}) cumsum over N/{_BUCKET}^2
+    rows, then a {_BUCKET}-bounded within-super window — so no single
+    task ever sees more than max({_BUCKET}, N/{_BUCKET}^2) rows at any
+    corpus. Both regimes produce identical offsets (unit-pinned). The
+    offsets join back to docs is co-partitioned with the in-bucket
+    window's shuffle (no hard broadcast hint — the relation grows with
+    the corpus). cum_before arithmetic is integer div (never float /),
+    keeping >2^53 token counts exact.
     """,
 )
 def corpus_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into fixed-length context windows (greedy chunking)."""
-    d = table(spark, sf_dir, "documents").select(
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_tok"),
         F.expr(f"doc_id div {_BUCKET}").alias("bucket"),
     )
-    w_bucket = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    btok = d.groupBy("bucket").agg(
+        F.sum("n_tok").cast("long").alias("btok")
     )
-    offsets = (
-        d.groupBy("bucket")
-        .agg(F.sum("n_tok").alias("btok"))
-        .select(
-            "bucket",
-            F.coalesce(F.sum("btok").over(w_bucket), F.lit(0))
-            .cast("long")
-            .alias("offset"),
-        )
-    )
+    # the gate probe is one memoized metadata-count per table per
+    # session (the semdedup codebook-k discipline)
+    n_buckets = (cached_count(docs) + _BUCKET - 1) // _BUCKET
+    two_level = n_buckets > _PACK_TWO_LEVEL_GATE
+    offsets = _bucket_offsets(btok, _BUCKET, two_level=two_level)
     w_doc = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    packed = d.join(F.broadcast(offsets), "bucket").select(
+    # the hint is gated with the regime: below the gate the offsets
+    # relation is PROVABLY <= 64k rows (broadcast is justified, and the
+    # fixture plan keeps zero AQE barriers); above it the relation grows
+    # with the corpus, so no hint — the join co-partitions with the
+    # in-bucket window's bucket shuffle, costing nothing extra.
+    if not two_level:
+        offsets = F.broadcast(offsets)
+    packed = d.join(offsets, "bucket").select(
         "doc_id",
         "n_tok",
         (

@@ -103,10 +103,13 @@ def test_pack_contexts_distributed_prefix_sum(spark, sf_dir):
     SinglePartition exchange feeds the tiny per-bucket offset window."""
     plan = _plan(spark, sf_dir, "corpus_pack_contexts")
     assert "windowspecdefinition(bucket#" in plan.replace("\n", " "), plan
-    # offsets relation joins back as a broadcast, never a shuffle join
+    # at fixture scale the planner broadcasts the offsets relation from
+    # its measured stats (unhinted — at 100 TB it grows and flips to the
+    # co-partitioned shuffle join the in-bucket window pays for anyway)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
-    # exactly one SinglePartition exchange (the N/256-row offset window)
+    # exactly one SinglePartition exchange — the SUPER-bucket window over
+    # N/256^2 rows (the per-bucket windows are all partition-bounded)
     assert plan.count("Exchange SinglePartition") == 1, plan
 
 
