@@ -525,7 +525,12 @@ def _collapsed_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     keyed = d.select("doc_id", "text", F.md5("text").alias("h"))
     groups = keyed.groupBy("h").agg(F.min("doc_id").alias("rep"))
-    joined = keyed.join(groups, "h")
+    # materialize the (doc, content-rep) mapping ONCE: star edges, the
+    # representative corpus, and every pair-pipeline consumer below
+    # would otherwise each re-derive the h-join subtree — 10 full
+    # parquet scans of documents in the un-checkpointed plan vs 1 here
+    # (the bands-relation discipline in _minhash_pairs)
+    joined = keyed.join(groups, "h").localCheckpoint(eager=True)
     star = joined.filter(
         (F.col("doc_id") != F.col("rep"))
         & (F.size(F.split("text", " ")) >= 3)
