@@ -83,6 +83,8 @@ HEAVY = [
     "text_tfidf",
     "similarity_ivf_trained",
     "similarity_lsh_multiprobe",
+    "iterative_pagerank",
+    "graph_triangles",
     "events_rfm",
     "events_session_ids",
     "window_frame",
@@ -122,6 +124,11 @@ RATIO_BUDGETS = {
     "text_tfidf": 10,
     "similarity_ivf_trained": 6,
     "similarity_lsh_multiprobe": 6,
+    # r5: hard broadcast hints removed from their scaling edge builds
+    # (AQE now picks the strategy) — gate that the unhinted plans stay
+    # linear-ish at 10x
+    "iterative_pagerank": 6,
+    "graph_triangles": 6,
     "events_rfm": 7,
     "events_session_ids": 6,
     "window_frame": 6,
