@@ -42,3 +42,12 @@ def test_offsets_are_exclusive_prefix_sums(spark):
         [(0, 10), (1, 5), (2, 7)], ["bucket", "btok"]
     ).select("bucket", F.col("btok").cast("long").alias("btok"))
     assert _offsets(btok, span=2, two_level=True) == {0: 0, 1: 10, 2: 15}
+
+
+def test_cached_count_memoizes(spark):
+    from mrs_mapreduce_spark.catalog import cached_count
+
+    df = spark.range(137)
+    assert cached_count(df) == 137
+    df._mrs_row_count = 999  # a second call must NOT re-count
+    assert cached_count(df) == 999
