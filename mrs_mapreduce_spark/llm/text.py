@@ -93,8 +93,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     scored = (
+        # no hard hint: df is vocab-sized (unbounded on a web corpus); the
+        # 50-doc probe side is the bounded one, and AQE broadcasts
+        # whichever is measured smaller
         tf.filter(F.col("doc_id") < 50)
-        .join(F.broadcast(df), "word")
+        .join(df, "word")
         .select(
             "doc_id",
             "word",
@@ -613,8 +616,10 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return (
+        # no hard hint: the w1 marginals are vocab-sized — AQE broadcasts
+        # them while they fit and flips to a shuffle join beyond
         pairs.filter(F.col("c12") >= 40)
-        .join(F.broadcast(uni), "w1")
+        .join(uni, "w1")
         .select(
             "w1",
             "w2",
@@ -1045,8 +1050,9 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = (
         dbc.join(pairs, "pair")
         .withColumn("w1", F.split("pair", " ").getItem(0))
-        # w1 marginals are |vocab|-sized — broadcast at any realistic scale
-        .join(F.broadcast(uni), "w1")
+        # no hard hint: the w1 marginals are vocab-sized (unbounded on a
+        # web corpus) — AQE broadcasts while they fit, shuffle beyond
+        .join(uni, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
@@ -1126,9 +1132,11 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = F.col("c1") * 1.0 / F.col("n")
     p2 = F.col("c2") * 1.0 / F.col("n")
     return (
+        # no hard hints on m1/m2: both marginals are vocab-sized — AQE
+        # decides; tot is one row and keeps its broadcast
         pairs.filter(F.col("c12") >= 30)
-        .join(F.broadcast(m1), "w1")
-        .join(F.broadcast(m2), "w2")
+        .join(m1, "w1")
+        .join(m2, "w2")
         .crossJoin(F.broadcast(tot))
         .select(
             "w1", "w2", "c12",
