@@ -350,7 +350,14 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(b_i), F.col(f"p{i}") == F.col(f"bit{i}"), "semi"
         )
     return (
-        pruned.join(F.broadcast(big), pruned.l_orderkey == big.o_orderkey)
+        # no hard hint on the exact build side: `big` is a filtered fact
+        # aggregate that scales with orders. It is localCheckpoint'd, so
+        # the planner sees its MEASURED size and broadcasts it while it
+        # fits (it does at every fixture tier — the plan pin holds
+        # unhinted); past the threshold the bloom pre-filter still pays
+        # and the exact join degrades to a shuffle. The bit relation
+        # keeps its hints — bounded by the sketch parameter m.
+        pruned.join(big, pruned.l_orderkey == big.o_orderkey)
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
