@@ -167,7 +167,23 @@ def build(spark, out: str, copies: int) -> None:
         # the union plan grows one scan node per copy (fine at 10,
         # pathological at 1000 — the round-5 sf100 tier), while this
         # shape is O(1) plan nodes at any copy count
-        rep = df.crossJoin(
+        #
+        # LAYOUT MATTERS AS MUCH AS ROWS: the first sf100 tier inherited
+        # the source's 1-2 partitions through the crossJoin, so zstd
+        # packed 5M replicated docs into ONE parquet row group — and a
+        # row group is the scan split unit, so every downstream
+        # documents scan ran as 1 task no matter what the query's plan
+        # said (serialized scans masquerading as superlinear queries:
+        # pack_contexts 13.5x, bm25 17x for 10x rows; all reproduced
+        # linear after the re-layout). Repartition the SOURCE before
+        # the crossJoin — each task then generates and writes its own
+        # bounded file (~300k rows/row group), no post-replication
+        # shuffle, and scan parallelism matches what any real writer
+        # (this engine's own sinks included) would produce at that
+        # volume.
+        n_src = df.count()
+        nparts = max(32, min(1024, (n_src * copies) // 300_000))
+        rep = df.repartition(nparts).crossJoin(
             F.broadcast(spark.range(copies).select(F.col("id").alias("__copy")))
         )
         for c in cols:
