@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -216,7 +217,27 @@ def main(argv=None) -> int:
     )
     args = ap.parse_args(argv)
 
-    spark = get_session("synth-scale")
+    # Tier sessions model a PROVISIONED fleet, not the driver-gate box:
+    # the fixture config (32 shuffle partitions, 16g) is sized for
+    # sf<=0.1, where AQE coalescing keeps partitions sane. At 100-1000x
+    # the fixtures a 600M-row sort split 32 ways is 18M rows per task —
+    # the local JVM's execution pool can't hold 32 such sorters
+    # (measured: q3 UNABLE_TO_ACQUIRE_MEMORY at the 1000-copy tier).
+    # Apply SCALE.md's own cluster recipe: shuffle partitions ~3x cores
+    # (AQE still coalesces the small-scale denominator runs), heap
+    # sized like a real executor fleet's aggregate share.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_session(
+        "synth-scale",
+        extra={
+            "spark.sql.shuffle.partitions": str(3 * cpus),
+            # broadcast builds funnel through the driver (collect ->
+            # rebroadcast); the 1g default result cap aborts tier-sized
+            # builds a fleet driver would take in stride
+            "spark.driver.maxResultSize": "8g",
+        },
+    )
     if not args.skip_build:
         build(spark, args.out, args.copies)
 
