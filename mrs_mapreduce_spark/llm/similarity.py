@@ -1258,11 +1258,34 @@ def semdedup_cells(
     scal CTE so both engines partition identically at every tier.
     Threshold 0.4 is fixture-calibrated (max within-cell cosine 0.49;
     11 victims at sf0.01) and guarded non-degenerate in test_smoke.
+    The victim stage COLLAPSES exact-duplicate vectors before the pair
+    work (round-5c, the dedup_components discipline): cosines are
+    computed once per distinct-vector group pair and per-victim
+    (n_dups, max_cos) come back from running-count windows, so pair
+    cost is O(members x qualifying neighbor groups), linear in
+    exact-copy mass — the pairwise self-join is quadratic in it (a
+    1000-replica corpus puts every copy set in one cell: C(1000,2) x
+    contents pairs, the same explosion components hit). Identical
+    output pinned in tests/test_semdedup_collapse.py; with no
+    duplicates the group relation IS the member relation and the cost
+    matches the old plan.
     """,
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup: within-cell cosine >= 0.4 drops the higher id."""
-    assigned = semdedup_cells(spark, sf_dir)
+    return _semdedup_victims(semdedup_cells(spark, sf_dir))
+
+
+def _semdedup_victims_pairwise(assigned: DataFrame) -> DataFrame:
+    """Reference semantics: the direct within-cell pair self-join.
+
+    One row per victim vb: n_dups = #{va < vb, same cell, cos >= 0.4},
+    max_cos = max such cos. Quadratic in EXACT-duplicate mass (c copies
+    of one vector share a cell and contribute C(c,2) pairs), so the
+    declared query routes through :func:`_semdedup_victims`; this twin
+    exists only as the oracle-shaped baseline the equality tests pin
+    the collapsed plan against (tests/test_semdedup_collapse.py).
+    """
     x = assigned.select(
         F.col("vec_id").alias("va"), F.col("cid").alias("ca"),
         F.col("a").alias("aa"),
@@ -1280,6 +1303,91 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vb").alias("vec_id"), F.col("cb").alias("cid")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_dups"),
+        pround(F.max("cos"), 6).alias("max_cos"),
+    )
+
+
+def _semdedup_victims(assigned: DataFrame) -> DataFrame:
+    """Per-victim (n_dups, max_cos) with exact-duplicate collapse.
+
+    The SCALE.md production rule — ALWAYS collapse exact-duplicate mass
+    before any pairwise stage (the dedup_components round-5b fix) —
+    applied to semdedup: identical vectors in a cell form a GROUP
+    (gid = min vec_id); cosine is computed once per ordered group pair
+    (bit-identical arrays mean every copy pair's cos equals its rep
+    pair's cos — and a zero vector raises the same ANSI
+    DIVIDE_BY_ZERO either way), and per-victim
+    counts come back from group arithmetic, never a copy-level pair
+    join:
+
+      n_dups(vb)  = sum over qualifying incoming groups A (cos(A, B(vb))
+                    >= 0.4, A may equal B) of #{A-members < vb}
+      max_cos(vb) = max of those groups' cos where the count is >= 1
+
+    #{A-members < vb} is one running-count window over the cell's
+    members: base rows (tag 1) are A's members, probe rows (tag 0) are
+    (victim, qualifying group) pairs sorted just before any base row
+    with the same id — sum(tag) over the preceding frame counts
+    strictly-lower member ids, and excludes the probe's own base row
+    when A == B. Work is O(members x qualifying neighbor groups +
+    group-pairs) instead of O(cell^2): with no duplicates it degrades
+    to exactly the pairwise plan's cost (every group is a singleton);
+    with c copies per content it is linear in c where the pair join is
+    quadratic (the 1000-replica tier: C(1000,2) x contents pairs, the
+    dedup_components disease). Output is provably identical — pinned
+    against the pairwise twin on duplicate-stressed corpora in
+    tests/test_semdedup_collapse.py.
+    """
+    wg = Window.partitionBy("cid", "a")
+    m = assigned.select(
+        "vec_id", "cid", "a", F.min("vec_id").over(wg).alias("gid")
+    ).localCheckpoint(eager=True)  # probed 3x below (members x2, reps)
+    members = m.select("vec_id", "cid", "gid")
+    reps = m.filter(F.col("vec_id") == F.col("gid"))
+    xr = reps.select(
+        F.col("cid").alias("xcid"), F.col("gid").alias("ga"),
+        F.col("a").alias("aa"),
+    )
+    yr = reps.select(
+        F.col("cid").alias("ycid"), F.col("gid").alias("gb"),
+        F.col("a").alias("ab"),
+    )
+    # ordered group pairs (A -> victim group B), ga == gb included: the
+    # self pair carries the same-group cos (cosine(a, a), the same
+    # expression a copy pair evaluates) for victims with earlier copies
+    qp = (
+        xr.join(yr, F.col("xcid") == F.col("ycid"))
+        .withColumn("cos", cosine("aa", "ab"))
+        .filter(F.col("cos") >= 0.4)
+        .select(F.col("xcid").alias("qcid"), "ga", "gb", "cos")
+    )
+    probes = members.join(
+        qp,
+        (members.cid == qp.qcid) & (members.gid == qp.gb),
+    ).select(
+        F.col("qcid").alias("cid"), "ga",
+        F.col("vec_id").alias("pos_id"), F.lit(0).alias("tag"),
+        F.col("vec_id").alias("vb"), "cos",
+    )
+    base = members.select(
+        "cid", F.col("gid").alias("ga"), F.col("vec_id").alias("pos_id"),
+        F.lit(1).alias("tag"), F.lit(None).cast("long").alias("vb"),
+        F.lit(None).cast("double").alias("cos"),
+    )
+    wcnt = (
+        Window.partitionBy("cid", "ga")
+        .orderBy("pos_id", "tag")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = (
+        base.unionByName(probes)
+        .withColumn("cnt", F.sum("tag").over(wcnt))
+        .filter((F.col("tag") == 0) & (F.col("cnt") >= 1))
+    )
+    return contrib.groupBy(
+        F.col("vb").alias("vec_id"), F.col("cid")
+    ).agg(
+        F.sum("cnt").cast("long").alias("n_dups"),
         pround(F.max("cos"), 6).alias("max_cos"),
     )
 

@@ -325,16 +325,19 @@ def test_substring_dedup_shuffles_hashes_only(spark, sf_dir):
 
 
 def test_semdedup_pairs_join_on_cell(spark, sf_dir):
-    """The near-dup self-join must be keyed on the cell id (per-cell
-    quadratic), and centroid assignment must broadcast."""
+    """The collapsed victim stage must stay cell-keyed equi-joins: group
+    reps pair on the cell id and victim probes join on (cell, group) —
+    never a cartesian, never a copy-level pair join (round-5c collapse:
+    the pairwise self-join was quadratic in exact-duplicate mass)."""
     plan = _plan(spark, sf_dir, "dedup_semdedup")
     assert "CartesianProduct" not in plan
-    # the only nested-loop joins are the 16-row codebook broadcast,
-    # once per self-join branch (assignment recomputed, pts cached)
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
-    # the pair join itself must be an equi-join KEYED ON THE CELL
-    assert "SortMergeJoin [ca" in plan or "BroadcastHashJoin [ca" in plan \
-        or "ShuffledHashJoin [ca" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the rep-pair join is an equi-join KEYED ON THE CELL (xcid)
+    assert "SortMergeJoin [xcid" in plan or "BroadcastHashJoin [xcid" in plan \
+        or "ShuffledHashJoin [xcid" in plan
+    # the probe join is keyed on (cell, victim group)
+    assert "SortMergeJoin [cid" in plan or "BroadcastHashJoin [cid" in plan \
+        or "ShuffledHashJoin [cid" in plan
 
 
 def test_dpp_prunes_fact_partitions(spark, sf_dir):
