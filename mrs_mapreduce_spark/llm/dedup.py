@@ -273,13 +273,27 @@ def _minhash_pairs(
     # shingle TEXT never enters the verify shuffles: hash to md5 at the
     # scan (the dedup_substring discipline) so the three consumers below
     # move 16-byte keys; counts are unchanged (same md5 on both engines,
-    # and the oracle's text-keyed join counts the identical pairs)
+    # and the oracle's text-keyed join counts the identical pairs).
+    # The ssets/sizes join inputs carry MERGE hints — the dual of the
+    # bounded-only broadcast policy (SCALE.md): these relations scale
+    # with the corpus, and on a heavily-compressed corpus (boilerplate,
+    # replicas — zstd hits ~1000:1 on the 1000-copy synthetic tier) the
+    # STATIC size estimate, derived from parquet file bytes, is small
+    # enough that the planner picks a broadcast build of a corpus-
+    # scaled relation and funnels GBs through the driver (measured:
+    # heap OOM / maxResultSize aborts at that tier). A merge hint pins
+    # the strategy that is correct at every size; eagerly checkpointing
+    # ssets for honest stats was tried first and OOM'd outright — it
+    # materializes a corpus x shingles relation to fix a stats lie.
     ssets = shingles(d).select("doc_id", F.md5("sh").alias("h")).distinct()
     sizes = ssets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        cand.join(ssets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        cand.join(
+            ssets.alias("sa").hint("merge"),
+            F.col("sa.doc_id") == F.col("doc_a"),
+        )
         .join(
-            ssets.alias("sb"),
+            ssets.alias("sb").hint("merge"),
             (F.col("sb.doc_id") == F.col("doc_b"))
             & (F.col("sb.h") == F.col("sa.h")),
             "left",
@@ -289,11 +303,13 @@ def _minhash_pairs(
     )
     verified = (
         inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+            .hint("merge"),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+            .hint("merge"),
             "doc_b",
         )
         .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter_n"))
