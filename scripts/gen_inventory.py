@@ -9,8 +9,10 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from mrs_mapreduce_spark.registry import load_all  # noqa: E402
+from freshness import audit  # noqa: E402
 
 HEADER = """# INVENTORY — declared, oracle-checked operator coverage
 
@@ -19,25 +21,42 @@ Every row is one `queries()` entry in `__spark_entry__.py`; "oracle"
 means an exact DuckDB SQL twin is declared and value-hash-verified
 (rows-only = genuinely estimator-/streaming-specific, checked for row
 count only). The *survey* column maps each query to its SURVEY.md §2
-inventory row.
+inventory row. The *evidence* column is the automated freshness audit
+(`scripts/freshness.py`): **fresh rN** = the builder's closure hash at
+HEAD matches the hash at the commit the driver last tested green in
+round N; **STALE rN** = code changed since that evidence (rotate it);
+**NEVER** = no driver row yet.
 
-| query | SURVEY §2 | oracle | builder |
-|---|---|---|---|
+| query | SURVEY §2 | oracle | evidence | builder |
+|---|---|---|---|---|
 """
 
 
 def main() -> None:
     registry = load_all()
+    fresh = audit()
     lines = [HEADER]
     for name in sorted(registry):
         q = registry[name]
         mod = q.builder.__module__.replace("mrs_mapreduce_spark.", "")
         oracle = "exact SQL" if q.oracle else "rows-only"
-        lines.append(f"| `{name}` | {q.survey} | {oracle} | `{mod}` |\n")
+        row = fresh[name]
+        ev = {
+            "fresh": f"fresh r{row['round']}",
+            "stale": f"**STALE** r{row['round']}",
+            "never": "**NEVER**",
+        }[row["status"]]
+        lines.append(
+            f"| `{name}` | {q.survey} | {oracle} | {ev} | `{mod}` |\n"
+        )
     n_oracle = sum(1 for q in registry.values() if q.oracle)
+    n_fresh = sum(1 for r in fresh.values() if r["status"] == "fresh")
+    n_stale = sum(1 for r in fresh.values() if r["status"] == "stale")
     lines.append(
         f"\n**{len(registry)} declared queries — {n_oracle} with exact SQL"
-        f" oracles, {len(registry) - n_oracle} rows-only.**\n"
+        f" oracles, {len(registry) - n_oracle} rows-only; evidence:"
+        f" {n_fresh} fresh-green, {n_stale} stale,"
+        f" {len(registry) - n_fresh - n_stale} never driver-tested.**\n"
     )
 
     # reverse index: SURVEY §2 row -> queries covering it
