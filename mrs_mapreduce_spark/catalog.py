@@ -16,6 +16,8 @@ the scan, and does not block pushdown on the other columns.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,12 +64,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cache is None:
         cache = {}
         spark._mrs_table_cache = cache
-    key = (sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    # mtime in the key: a fixture rebuilt mid-session (synth_scale-style
+    # flows rewriting a tier in place) must yield a FRESH DataFrame, or
+    # every per-object memo downstream (``cached_count``, ``fan_out``)
+    # would silently gate plans on the old table. One os.stat per call.
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None  # let spark.read raise the real error below
+    key = (sf_dir, name, mtime)
     hit = cache.get(key)
     if hit is not None:
         return hit
     apply_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = df.schema["ts"].dataType.simpleString()
         if ts_type == "bigint":
@@ -106,7 +117,11 @@ def cached_count(df: DataFrame) -> int:
     prefix sum) need one scalar per table per session; with
     :func:`table` memoized, caching the count on the returned object
     means the probe job runs once per session instead of once per query
-    invocation (the ``fan_out`` ``_mrs_scan_parts`` discipline).
+    invocation (the ``fan_out`` ``_mrs_scan_parts`` discipline). Staleness
+    contract: :func:`table` keys its memo on the parquet path's mtime, so
+    a fixture rebuilt mid-session produces a NEW DataFrame object and a
+    fresh count; only counts cached on DataFrames the caller constructed
+    itself assume the underlying data is session-static.
     """
     n = getattr(df, "_mrs_row_count", None)
     if n is None:

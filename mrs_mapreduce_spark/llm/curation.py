@@ -69,7 +69,13 @@ def _bucket_offsets(btok: DataFrame, span: int, two_level: bool) -> DataFrame:
     w_in_super = Window.partitionBy("super").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    return btok.join(F.broadcast(super_offsets), "super").select(
+    # no hard broadcast hint: super_offsets grows ~N/span^2 with the
+    # corpus, and the bounded-only hint policy applies to it exactly as
+    # to the tpch/text/iterative relations it was stripped from — AQE
+    # broadcasts from measured stats while it is small, and a third
+    # level (not a silently-honored oversized broadcast) is the answer
+    # if it ever outgrows that.
+    return btok.join(super_offsets, "super").select(
         "bucket",
         (
             F.col("super_offset")
@@ -78,6 +84,27 @@ def _bucket_offsets(btok: DataFrame, span: int, two_level: bool) -> DataFrame:
         .cast("long")
         .alias("offset"),
     )
+
+
+def _pack_regime(rows: int, btok: DataFrame) -> tuple[bool, DataFrame]:
+    """Decide one- vs two-level prefix sum from the BUCKET-DOMAIN size.
+
+    ceil(rows/span) is the wrong gate input: with a sparse/gappy doc_id
+    domain (filtered or strided-key corpora) each bucket can hold far
+    fewer than span docs, so rows/span UNDER-counts buckets and would
+    keep the single-task cumsum window past the gate. Two provable
+    metadata-count bounds decide for free (bucket count is always
+    <= row count and >= ceil(rows/span)); only when they straddle the
+    gate is the exact bucket count measured on the (tiny,
+    <= n_buckets-row) subtotal relation — cached so the probe job and
+    the offsets plan share one aggregation pass.
+    """
+    if rows <= _PACK_TWO_LEVEL_GATE:
+        return False, btok  # bucket count <= rows <= gate, provably
+    if (rows + _BUCKET - 1) // _BUCKET > _PACK_TWO_LEVEL_GATE:
+        return True, btok  # even a fully dense doc_id domain overflows
+    btok = btok.cache()
+    return btok.count() > _PACK_TWO_LEVEL_GATE, btok
 
 
 @register(
@@ -129,10 +156,7 @@ def corpus_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     btok = d.groupBy("bucket").agg(
         F.sum("n_tok").cast("long").alias("btok")
     )
-    # the gate probe is one memoized metadata-count per table per
-    # session (the semdedup codebook-k discipline)
-    n_buckets = (cached_count(docs) + _BUCKET - 1) // _BUCKET
-    two_level = n_buckets > _PACK_TWO_LEVEL_GATE
+    two_level, btok = _pack_regime(cached_count(docs), btok)
     offsets = _bucket_offsets(btok, _BUCKET, two_level=two_level)
     w_doc = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1

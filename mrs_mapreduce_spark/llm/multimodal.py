@@ -60,10 +60,17 @@ def decode_frames(
     PIL decoder when importable and a stdlib PNG-header parser
     otherwise, running genuine image bytes through this exact stage.
     ``real_codec=True`` without a codec raises (the historical stub
-    guard). The default fake decode is deterministic arithmetic on the
-    payload's first bytes — enough to exercise schema, batch shape and
-    partitioning with a bit-exact SQL oracle.
+    guard); passing BOTH raises too — ``codec`` is the one authoritative
+    switch, and silently ignoring ``real_codec`` next to it would hide a
+    caller's wiring mistake. The default fake decode is deterministic
+    arithmetic on the payload's first bytes — enough to exercise schema,
+    batch shape and partitioning with a bit-exact SQL oracle.
     """
+    if real_codec and codec is not None:
+        raise ValueError(
+            "pass either codec=<callable> or real_codec=True, not both: "
+            "codec IS the real decode path"
+        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -80,7 +87,11 @@ def decode_frames(
                         "doc_id": pdf["doc_id"],
                         "width": width,
                         "height": height,
-                        "n_pixels": (width * height).astype("int64"),
+                        # int64 BEFORE the multiply: int32*int32 wraps in int32
+                        # first, an overflow trap for codecs returning
+                        # large frames (8k video: 33M px fits, but a
+                        # stitched panorama would not fit squared terms)
+                        "n_pixels": width.astype("int64") * height,
                         "kind": pdf["meta"].map(lambda m: m["mime"]),
                     }
                 )
@@ -97,7 +108,8 @@ def decode_frames(
                     "doc_id": pdf["doc_id"],
                     "width": width,
                     "height": height,
-                    "n_pixels": (width * height).astype("int64"),
+                    # int64 BEFORE the multiply, as in the codec branch
+                    "n_pixels": width.astype("int64") * height,
                     "kind": pdf["meta"].map(lambda m: m["mime"]),
                 }
             )

@@ -51,3 +51,59 @@ def test_cached_count_memoizes(spark):
     assert cached_count(df) == 137
     df._mrs_row_count = 999  # a second call must NOT re-count
     assert cached_count(df) == 999
+
+
+def test_table_memo_invalidates_on_rebuild(spark, tmp_path):
+    # a fixture rewritten in place mid-session (synth_scale flows) must
+    # yield a fresh DataFrame — and thus a fresh cached_count — because
+    # the memo key includes the parquet path's mtime
+    import os
+    import time
+
+    from mrs_mapreduce_spark.catalog import cached_count, table
+
+    sf_dir = str(tmp_path)
+    path = f"{sf_dir}/region.parquet"
+    spark.range(5).write.parquet(path)
+    first = table(spark, sf_dir, "region")
+    assert table(spark, sf_dir, "region") is first  # memo hit
+    assert cached_count(first) == 5
+    time.sleep(0.01)
+    spark.range(9).write.mode("overwrite").parquet(path)
+    os.utime(path)  # overwrite may reuse dir inode times at coarse res
+    rebuilt = table(spark, sf_dir, "region")
+    assert rebuilt is not first
+    assert cached_count(rebuilt) == 9
+
+
+def test_pack_gate_is_bucket_domain_aware(spark, monkeypatch):
+    # a sparse doc_id domain (1 doc per bucket) must flip the regime to
+    # two-level even when ceil(rows/span) is far below the gate: rows
+    # alone can't prove the bucket domain is small
+    from mrs_mapreduce_spark.llm import curation
+
+    monkeypatch.setattr(curation, "_PACK_TWO_LEVEL_GATE", 8)
+
+    def btok_for(stride):
+        docs = spark.range(12).select(
+            (F.col("id") * stride).alias("doc_id")
+        )
+        d = docs.select(
+            "doc_id",
+            F.expr(f"doc_id div {curation._BUCKET}").alias("bucket"),
+        )
+        return d.groupBy("bucket").agg(F.count(F.lit(1)).alias("btok"))
+
+    # strided ids: 12 rows -> 12 buckets > gate(8); ceil(12/256)=1 would
+    # have (wrongly) kept one-level under the old rows/span gate
+    sparse = btok_for(curation._BUCKET * 3)
+    two_level, _ = curation._pack_regime(12, sparse)
+    assert two_level is True
+    # dense ids: 12 rows -> 1 bucket, same row count -> one-level via
+    # the exact probe (rows=12 > gate makes the bounds inconclusive)
+    dense = btok_for(1)
+    two_level, _ = curation._pack_regime(12, dense)
+    assert two_level is False
+    # rows <= gate proves one-level with no probe job at all
+    two_level, _ = curation._pack_regime(8, sparse)
+    assert two_level is False
