@@ -149,14 +149,26 @@ def corpus_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into fixed-length context windows (greedy chunking)."""
     docs = table(spark, sf_dir, "documents")
     d = docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("n_tok"),
-        F.expr(f"doc_id div {_BUCKET}").alias("bucket"),
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
     )
+    return _pack_windows(d, cached_count(docs))
+
+
+def _pack_windows(d: DataFrame, rows_bound: int) -> DataFrame:
+    """(doc_id, n_tok) -> per-context packing aggregate.
+
+    The distributed prefix-sum pack shared by ``corpus_pack_contexts``
+    and the end-to-end ``corpus_curate_pipeline``. ``rows_bound`` is
+    any UPPER bound on the input's row count (the pre-filter table
+    count is fine): the regime gate only uses it as a provable bound
+    on the bucket-domain size and falls back to the exact subtotal
+    count when the bounds are inconclusive (:func:`_pack_regime`).
+    """
+    d = d.withColumn("bucket", F.expr(f"doc_id div {_BUCKET}"))
     btok = d.groupBy("bucket").agg(
         F.sum("n_tok").cast("long").alias("btok")
     )
-    two_level, btok = _pack_regime(cached_count(docs), btok)
+    two_level, btok = _pack_regime(rows_bound, btok)
     offsets = _bucket_offsets(btok, _BUCKET, two_level=two_level)
     w_doc = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
@@ -456,3 +468,77 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(p, 6).alias("p_sample"),
         pround(p / (F.col("toks") * 1.0 / F.col("total")), 4).alias("boost"),
     )
+
+
+@register(
+    "corpus_curate_pipeline",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.10) AS lo,
+             quantile_cont(n_chars, 0.90) AS hi
+      FROM documents GROUP BY lang),
+    q AS (SELECT d.doc_id, d.text
+          FROM documents d JOIN bounds b ON d.lang = b.lang
+          WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi),
+    keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    t AS (SELECT q.doc_id, len(string_split(q.text, ' ')) AS n_tok
+          FROM q JOIN keep USING (doc_id)),
+    c AS (SELECT doc_id, n_tok,
+                 COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_before
+          FROM t)
+    SELECT CAST(cum_before // {_CTX} AS BIGINT) AS ctx_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """,
+    survey="E14 (end-to-end curation: quality filter -> exact dedup -> "
+    "context packing as ONE declared, oracle-checked plan)",
+    scale=f"""
+    The production shape examples/curate_corpus.py narrates, declared as
+    one falsifiable query: per-language p10..p90 length band (the
+    corpus_length_filter stage — tiny percentile aggregate broadcast
+    onto the corpus), exact dedup keeping the lowest doc_id per content
+    hash (the dedup_exact discipline: groupBy a 128-bit hash, never the
+    text; the survivors join is id-keyed so document text crosses the
+    wire once), then the distributed prefix-sum pack over survivors
+    (shared _pack_windows). The stages COMPOSE as one Catalyst plan —
+    no materialization barriers between them, so column pruning pushes
+    the text column only where the hash needs it. The pack gate sees a
+    GAPPY doc_id domain here by construction (filter + dedup punch
+    holes) — exactly the case the round-6 bucket-domain-aware
+    _pack_regime handles: the pre-filter table count is still a sound
+    upper bound, and the exact subtotal count decides inside the
+    ambiguous band. At 100 TB each stage keeps its parent query's scale
+    story ({_CTX}-token windows, {_BUCKET}-doc buckets); the chain adds
+    one id-keyed semi-join shuffle over what the stages cost alone.
+    """,
+)
+def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter, exact-dedup, then pack — the E14 chain, declared."""
+    d = table(spark, sf_dir, "documents")
+    bounds = d.groupBy(F.col("lang").alias("b_lang")).agg(
+        F.expr("percentile(n_chars, 0.10)").alias("lo"),
+        F.expr("percentile(n_chars, 0.90)").alias("hi"),
+    )
+    q = (
+        d.join(F.broadcast(bounds), d.lang == bounds.b_lang)
+        .filter(
+            (F.col("n_chars") >= F.col("lo"))
+            & (F.col("n_chars") <= F.col("hi"))
+        )
+        .select("doc_id", "text")
+    )
+    keep = q.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    surv = q.join(keep, "doc_id").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    # rows_bound: the PRE-filter table count is a sound upper bound on
+    # the survivor bucket domain (filter/dedup only remove rows)
+    return _pack_windows(surv, cached_count(d))

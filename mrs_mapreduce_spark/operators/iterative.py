@@ -347,7 +347,13 @@ def iterative_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-threshold splitting (count hub triangles by intersection of
     sorted adjacency lists instead). The edge build reuses the
     pagerank prune-then-probe joins — broadcast until dims outgrow it,
-    then AQE flips to sort-merge.
+    then AQE flips to sort-merge — and pre-reduces between them:
+    distinct (l_suppkey, c_nationkey) runs BEFORE the supplier join
+    (legal because s_nationkey is functionally dependent on the join
+    key), so only the first join sorts lineitem-sized input; the
+    second sorts the ~25x-smaller supplier-nation support set
+    (round-6: the sf100 sweep's 96-way spilled sort was the second
+    join re-sorting 600M rows).
     """,
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,10 +373,26 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.select("c_custkey", "c_nationkey"),
         orders.o_custkey == F.col("c_custkey"),
     ).select("o_orderkey", "c_nationkey")
-    raw = (
+    # Pre-reduce BETWEEN the two corpus-sized joins (round-6, r5 verdict
+    # task 5 — the join_range_binned discipline): the nation-pair
+    # distinct pushes through the supplier join because s_nationkey is
+    # functionally dependent on the join key, so distinct
+    # (l_suppkey, c_nationkey) first — bounded by |supplier| x 25 and
+    # map-side-combined before its shuffle — and only THEN resolve
+    # suppkey -> nation. The second sort-merge input drops from
+    # |lineitem| rows (the 600M-row 96-way spilled sort the sf100 sweep
+    # flagged) to the ~25x-smaller supplier-nation support set.
+    supp_cnation = (
         li.select("l_orderkey", "l_suppkey")
         .join(order_nation, li.l_orderkey == F.col("o_orderkey"))
-        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select("l_suppkey", "c_nationkey")
+        .distinct()
+    )
+    raw = (
+        supp_cnation.join(
+            supp.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .select(
             F.col("s_nationkey").alias("src"),

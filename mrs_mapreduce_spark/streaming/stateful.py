@@ -182,11 +182,33 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         if use_tws
         else _totals_apply_in_pandas(stream)
     )
-    sink_name = "mrs_stream_stateful_sink"
+    snap = _run_update_stream(
+        spark, result, "mrs_stream_stateful_sink", use_tws
+    )
+    # one update row per user per micro-batch: keep the final state
+    from ..exprs import pround
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snap.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", pround("sum_val", 2).alias("sum_val"))
+    )
+
+
+def _run_update_stream(
+    spark: SparkSession, result: DataFrame, sink_name: str, use_tws: bool
+) -> DataFrame:
+    """Run an update-mode stateful stream to completion; return the sink.
+
+    Shared by every declared stateful streaming query: memory sink,
+    fresh checkpoint, Trigger.AvailableNow, loud timeout (a partial
+    memory sink can never pass a value oracle). transformWithState
+    requires the RocksDB state store (the provider it was designed
+    around); the conf is scoped to this query's start and restored so
+    co-resident HDFS-state queries keep their checkpoints.
+    """
     checkpoint = tempfile.mkdtemp(prefix="mrs_state_ckpt_")
-    # transformWithState requires the RocksDB state store (the provider it
-    # was designed around); scope the conf to this query's start and
-    # restore so co-resident HDFS-state queries keep their checkpoints.
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev_provider = spark.conf.get(provider_key, None)
     if use_tws:
@@ -208,7 +230,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not finished:
             query.stop()
             raise TimeoutError(
-                "stream_stateful: availableNow batch did not finish in "
+                f"{sink_name}: availableNow batch did not finish in "
                 "180s; memory sink would be partial — failing loudly instead"
             )
     finally:
@@ -217,15 +239,171 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(provider_key)
             else:
                 spark.conf.set(provider_key, prev_provider)
-    # one update row per user per micro-batch: keep the final state
-    snap = spark.table(sink_name)
-    from ..exprs import pround
+    return spark.table(sink_name)
 
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+
+_EWMA_OUT = "user_id bigint, n_purchases bigint, ewma double"
+
+
+def _make_ewma_fold():
+    """Build the per-key EWMA recurrence both stateful APIs share.
+
+    Returned as a NESTED function so the stateful processors capture it
+    by VALUE (cloudpickle closure) — a module-level helper would pickle
+    by reference and die on executors that can't import this package
+    (the driver imports ``__spark_entry__`` by file path from an
+    arbitrary cwd; the round-6 foreign-cwd sim caught exactly that).
+
+    The fold: concatenate the micro-batch's rows, sort by EVENT TIME
+    (ts_ns, event_id) — micro-batch delivery order is partition order,
+    not time order — and fold acc = acc·0.5 + x·0.5 left-to-right in
+    Python doubles. α = 0.5 is dyadic so every step is exact halving:
+    bit-identical to events_ewma's JVM aggregate and the oracle's
+    list_reduce, which is what lets a streaming query pass a VALUE
+    oracle.
+    """
+
+    def fold(pdfs, prior):
+        import pandas as pd
+
+        n, ewma = prior if prior is not None else (0, 0.0)
+        frames = [p for p in pdfs if len(p)]  # empties poison concat dtypes
+        batch = pd.concat(frames) if frames else None
+        if batch is not None and len(batch):
+            batch = batch.sort_values(["ts_ns", "event_id"])
+            for v in batch["value"].astype(float):
+                ewma = v if n == 0 else ewma * 0.5 + v * 0.5
+                n += 1
+        return n, ewma
+
+    return fold
+
+
+def _ewma_transform_with_state(stream: DataFrame) -> DataFrame:
+    """Spark 4 transformWithStateInPandas formulation (primary path)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    fold = _make_ewma_fold()
+
+    class Ewma(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._s = handle.getValueState("ewma", "n BIGINT, e DOUBLE")
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            prior = self._s.get() if self._s.exists() else None
+            n, ewma = fold(list(rows), prior)
+            self._s.update((n, ewma))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_purchases": [n], "ewma": [ewma]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Ewma(),
+        outputStructType=_EWMA_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _ewma_apply_in_pandas(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState fallback — identical per-key semantics."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    fold = _make_ewma_fold()
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prior = state.get if state.exists else None
+        n, ewma = fold(list(pdfs), prior)
+        state.update((n, ewma))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_purchases": [n], "ewma": [ewma]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=_EWMA_OUT,
+        stateStructType="n bigint, e double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_ewma_state",
+    oracle="""
+    WITH p AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+                      CAST(value AS DOUBLE) AS v
+               FROM events WHERE event_type = 'purchase'),
+    seq AS (SELECT user_id,
+                   list(v ORDER BY tsn, event_id) AS vs
+            FROM p GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_purchases,
+           round(CAST(list_reduce(vs,
+                 (acc, x) -> acc * 0.5 + x * 0.5) AS DOUBLE), 6) AS ewma
+    FROM seq
+    """,
+    survey="C6/B15 (events_ewma's documented unbounded-key twin: the "
+    "EWMA recurrence as per-key streaming state)",
+    scale="""
+    events_ewma's scale note names this query: the batch fold collects
+    a user's full history into one task — fine for per-user purchase
+    streams, wrong for unbounded keys — and promises "the same
+    recurrence runs as transformWithState with one double of state per
+    key". This declares that twin (round-6, r5 verdict task 7): per-key
+    state is (n, ewma) — two scalars, NOT the history — so state size
+    is O(live keys) regardless of stream length, retired by watermark
+    or TTL in production. Per micro-batch the key's rows are sorted by
+    event time and folded left-to-right in Python doubles (alpha = 0.5
+    is dyadic: exact halving, bit-identical to the batch fold and the
+    oracle's list_reduce). Ordering contract: exact WITHIN a
+    micro-batch (the sort) and across batches by arrival order — with
+    Trigger.AvailableNow over an in-order source (the fixture, a
+    compacted Kafka topic) the result equals the batch recurrence
+    EXACTLY, which is what the value oracle checks; for out-of-order
+    production streams the watermark-buffered variant (timer-based
+    reordering) is the documented extension, not silently different
+    output. Primary path is Spark 4 transformWithStateInPandas
+    (RocksDB state store), gated on google.protobuf with an
+    applyInPandasWithState fallback of identical semantics — the
+    stream_stateful discipline.
+    """,
+)
+def stream_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.5) as a real stateful streaming query."""
+    from ..exprs import pround
+    from ..session import apply_runtime_confs
+    from .source import events_stream
+
+    apply_runtime_confs(spark)
+    stream = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts_ns", "event_id", "value")
+    )
+    use_tws = transform_with_state_available()
+    result = (
+        _ewma_transform_with_state(stream)
+        if use_tws
+        else _ewma_apply_in_pandas(stream)
+    )
+    snap = _run_update_stream(spark, result, "mrs_stream_ewma_sink", use_tws)
+    # one update row per key per micro-batch: keep the final state
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_purchases"))
     return (
         snap.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("user_id", "n_events", pround("sum_val", 2).alias("sum_val"))
+        .select("user_id", "n_purchases", pround("ewma", 6).alias("ewma"))
     )
 
 

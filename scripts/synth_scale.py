@@ -93,6 +93,8 @@ HEAVY = [
     "sketch_quantile",
     "corpus_decontaminate",
     "corpus_pack_contexts",
+    "corpus_curate_pipeline",
+    "stream_ewma_state",
 ]
 
 #: ``--check`` regression gate (round-5, r4 verdict #6): pinned ceilings
@@ -137,6 +139,12 @@ RATIO_BUDGETS = {
     "sketch_quantile": 6,
     "corpus_decontaminate": 6,
     "corpus_pack_contexts": 7,
+    # filter + hash-dedup + pack: every stage linear, one extra id-keyed
+    # semi-join over pack alone
+    "corpus_curate_pipeline": 8,
+    # stateful stream: rows scale 10x, state O(live keys); availableNow
+    # micro-batch overhead dominates the small denominators
+    "stream_ewma_state": 8,
 }
 
 #: floor for the sf0.1 denominator: sub-0.3 s timings are scheduler
