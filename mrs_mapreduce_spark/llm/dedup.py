@@ -1343,3 +1343,331 @@ def dedup_ngram_jaccard_simblocked(
     return scored.filter(F.col("jac") >= 0.9).select(
         "doc_a", "doc_b", pround("jac", 4).alias("jaccard")
     )
+
+
+def _content_families(docs: DataFrame) -> DataFrame:
+    """(doc_id, rep, csize): exact-copy families on RAW text.
+
+    rep = min doc_id per identical text (the same no-normalization
+    contract as the shingle pipeline's input), csize = family size.
+    The prefix-filter joins run their pair pipeline on representatives
+    only and re-expand through this relation — the r5b collapse
+    discipline (_collapsed_pair_edges, semdedup victims) applied to
+    the exact-recall similarity joins, where it is provably lossless:
+    identical text => identical shingle set => identical sizes,
+    intersections and scores for every member of the family.
+    """
+    fam = docs.select("doc_id", F.md5("text").alias("content"))
+    reps = fam.groupBy("content").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("csize")
+    )
+    return fam.join(reps, "content").select("doc_id", "rep", "csize")
+
+
+def _prefix_filter_scored(
+    spark: SparkSession,
+    sh: DataFrame,
+    num: int,
+    den: int,
+    symmetric: bool,
+) -> DataFrame:
+    """Exact-recall scored pairs over a distinct (doc_id, h) relation.
+
+    symmetric=True: Jaccard >= num/den, doc_a < doc_b, both sides
+    prefix-filtered (AllPairs). symmetric=False: containment
+    |A&B|/|A| >= num/den, ordered pairs, one-sided prefix vs the full
+    container posting list. Returns (doc_a, doc_b, na, nb, inter_n).
+    """
+    from pyspark.sql.window import Window
+
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # no broadcast hint: both sides are corpus-scaled — AQE decides
+    tok = sh.join(dfreq, "h")
+    wnd = Window.partitionBy("doc_id").orderBy("df", "h")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    prefix_len = F.expr(f"n - (({num} * n + {num}) div {den}) + 1")
+    pre = (
+        tok.withColumn("rn", F.row_number().over(wnd))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= prefix_len)
+    )
+    if symmetric:
+        cand = (
+            pre.alias("a")
+            .join(
+                pre.alias("b"),
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (den * F.col("b.n") >= num * F.col("a.n"))
+                & (den * F.col("a.n") >= num * F.col("b.n")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n").alias("na"),
+                F.col("b.n").alias("nb"),
+            )
+            .distinct()
+        )
+    else:
+        cand = (
+            pre.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n").alias("na"),
+            )
+            .distinct()
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+                ),
+                "doc_b",
+            )
+            .filter(den * F.col("nb") >= num * F.col("na"))
+        )
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs")
+    )
+    return (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "inter_n", F.size(F.array_intersect("ha", "hb")).cast("long")
+        )
+        .drop("ha", "hb")
+    )
+
+
+@register(
+    "dedup_jaccard_exact",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 md5(unnest(list_transform(range(1, len(ws) - 2),
+                     i -> array_to_string(ws[i:i+3], ' ')))) AS h
+          FROM w WHERE len(ws) >= 4),
+    ws2 AS (SELECT DISTINCT doc_id, h FROM g),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ws2 GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter_n
+              FROM ws2 a JOIN ws2 b
+                ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(inter_n AS BIGINT) AS inter_n,
+           round(inter_n * 1.0 / (na.n + nb.n - inter_n), 4) AS jaccard
+    FROM inter JOIN sizes na ON na.doc_id = doc_a
+               JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE 5 * inter_n >= 4 * (na.n + nb.n - inter_n)
+    """,
+    survey="D2 extension (EXACT-recall set-similarity self-join via "
+    "df-ordered prefix filtering -- AllPairs/PPJoin, Bayardo et al. "
+    "2007 / Xiao et al. 2008 -- vs minhash's probabilistic recall and "
+    "ngram_jaccard's blocked recall)",
+    scale="""
+    The third recall regime for near-dup pairs: dedup_minhash is
+    probabilistic (banding misses), dedup_ngram_jaccard is blocked
+    (cross-block pairs invisible); THIS query guarantees every
+    Jaccard >= 0.8 pair on 4-word shingle sets, with the oracle being
+    the brute-force all-pairs join -- hash equality IS the proof the
+    prefix filter loses nothing. Exact-copy mass is collapsed FIRST
+    (one representative per distinct raw text, _content_families):
+    identical text means identical shingle sets, so every family
+    member inherits its representative's pairs verbatim — cross-
+    family results expand through the family relation in one codegen
+    join, within-family pairs are emitted directly as (n, 1.0). On a
+    100-replica tier this is the difference between a fixture-sized
+    candidate stage + output-bound expansion and a candidate exchange
+    quadratic in replica mass (measured r6: 279 s uncollapsed at 100
+    copies, where containment's uncollapsed twin filled 22 GB of
+    spill and died). The AllPairs prefix (|A| - ceil(0.8|A|) + 1
+    rarest shingles, df-ascending) needs NO global rank: the global
+    order is the (df, h) TUPLE order, so ranking is one per-doc
+    row_number window — nothing single-partitions. Candidates join
+    prefix-vs-prefix on the 16-byte shingle hash with the size filter
+    4|A| <= 5|B| <= 25/4|A| pruning inside the join; verification
+    joins two doc-length-bounded sorted hash arrays and intersects in
+    codegen. Residual quadratic: only NEAR-dup (not exact-dup) mass,
+    the irreducible _pairs contract. Integer thresholds throughout
+    (5i >= 4(na+nb-i)): float 0.8*n is binary-inexact and the two
+    engines' ceil() would disagree at exact multiples.
+    """,
+)
+def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 4-shingle-set pair with Jaccard >= 0.8 -- exact recall via
+    AllPairs prefix filtering over exact-copy representatives."""
+    d = table(spark, sf_dir, "documents")
+    fam = _content_families(d).localCheckpoint(eager=True)
+    rep_docs = d.join(
+        fam.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+    )
+    sh = (
+        shingles(rep_docs, k=4)
+        .select("doc_id", F.md5("sh").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rp = _prefix_filter_scored(spark, sh, num=4, den=5, symmetric=True)
+    rp = rp.filter(
+        5 * F.col("inter_n")
+        >= 4 * (F.col("na") + F.col("nb") - F.col("inter_n"))
+    ).withColumn(
+        "jaccard",
+        pround(
+            F.col("inter_n")
+            * 1.0
+            / (F.col("na") + F.col("nb") - F.col("inter_n")),
+            4,
+        ),
+    )
+    ma = fam.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("xa"))
+    mb = fam.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("xb"))
+    cross = (
+        rp.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("xa", "xb").alias("doc_a"),
+            F.greatest("xa", "xb").alias("doc_b"),
+            "inter_n",
+            "jaccard",
+        )
+    )
+    # within-family: exact copies with >= 1 shingle are Jaccard-1.0
+    # pairs by construction (identical sets); shingle-less (< 4 words)
+    # families drop out because their rep has no sizes row
+    sizes_rep = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    wf_members = fam.filter(F.col("csize") >= 2).join(
+        sizes_rep.select(F.col("doc_id").alias("rep"), "n"), "rep"
+    )
+    within = (
+        wf_members.alias("a")
+        .join(
+            wf_members.alias("b"),
+            (F.col("a.rep") == F.col("b.rep"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").cast("long").alias("inter_n"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 md5(unnest(list_transform(range(1, len(ws) - 2),
+                     i -> array_to_string(ws[i:i+3], ' ')))) AS h
+          FROM w WHERE len(ws) >= 4),
+    ws2 AS (SELECT DISTINCT doc_id, h FROM g),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ws2 GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter_n
+              FROM ws2 a JOIN ws2 b
+                ON a.h = b.h AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(inter_n AS BIGINT) AS inter_n,
+           round(inter_n * 1.0 / na.n, 4) AS containment
+    FROM inter JOIN sizes na ON na.doc_id = doc_a
+    WHERE 10 * inter_n >= 9 * na.n
+    """,
+    survey="D2 extension (ASYMMETRIC containment |A&B|/|A| >= 0.9 -- "
+    "Broder 1997's resemblance-vs-containment distinction: finds docs "
+    "that are near-SUBSETS of another, which symmetric Jaccard misses "
+    "whenever the container is much larger)",
+    scale="""
+    Containment is what catches a paragraph republished inside a
+    larger page: jaccard(A,B) ~ |A|/|B| is tiny, |A&B|/|A| is ~1.
+    Ordered pairs (doc_a contained-in doc_b), both directions scored.
+    Exact-copy mass collapses to representatives FIRST
+    (_content_families) and results expand back through the family
+    relation — for THIS query the collapse is load-bearing, not an
+    optimization: the container side joins its FULL posting list (only
+    the contained side can be prefix-pruned, since the overlap bound
+    ceil(0.9|A|) depends on |A| alone), so uncollapsed replica mass
+    multiplies BOTH posting sides — measured r6 at the 100-replica
+    tier, the uncollapsed candidate exchange spilled 22 GB and died
+    with disk exhaustion; collapsed, the candidate stage is
+    distinct-content-sized and the true ~replica^2 output (every copy
+    contained in every family twin) is generated by the expansion
+    join, output-bound. The necessary size filter 10|B| >= 9|A|
+    prunes inside the join; verification is the same codegen
+    array_intersect over doc-length-bounded sorted hash arrays as
+    dedup_jaccard_exact. Residual quadratic: near-dup (not exact-dup)
+    mass only. Integer thresholds (10i >= 9|A|, prefix len
+    n - (9n+9) div 10 + 1).
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered near-subset pairs: |A&B|/|A| >= 0.9 on 4-shingle sets
+    (A = doc_a contained in doc_b), exact recall, copy-collapsed."""
+    d = table(spark, sf_dir, "documents")
+    fam = _content_families(d).localCheckpoint(eager=True)
+    rep_docs = d.join(
+        fam.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+    )
+    sh = (
+        shingles(rep_docs, k=4)
+        .select("doc_id", F.md5("sh").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rp = _prefix_filter_scored(spark, sh, num=9, den=10, symmetric=False)
+    rp = rp.filter(10 * F.col("inter_n") >= 9 * F.col("na")).withColumn(
+        "containment", pround(F.col("inter_n") * 1.0 / F.col("na"), 4)
+    )
+    ma = fam.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("xa"))
+    mb = fam.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("xb"))
+    cross = (
+        rp.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.col("xa").alias("doc_a"),
+            F.col("xb").alias("doc_b"),
+            "inter_n",
+            "containment",
+        )
+    )
+    # within-family: every exact copy is fully contained in every other
+    # member (both directions), provided the content has >= 1 shingle
+    sizes_rep = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    wf_members = fam.filter(F.col("csize") >= 2).join(
+        sizes_rep.select(F.col("doc_id").alias("rep"), "n"), "rep"
+    )
+    within = (
+        wf_members.alias("a")
+        .join(
+            wf_members.alias("b"),
+            (F.col("a.rep") == F.col("b.rep"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").cast("long").alias("inter_n"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(within)

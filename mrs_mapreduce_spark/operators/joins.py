@@ -788,3 +788,78 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_day").alias("n_ship"),
         pround(F.sum("rev_day"), 2).alias("rev"),
     )
+
+
+@register(
+    "join_fuzzy_names",
+    oracle="""
+    WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS cnt
+                   FROM part GROUP BY p_name)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           a.cnt AS cnt_a, b.cnt AS cnt_b
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    survey="B7/E extension (approximate string join: edit-distance <= 2 "
+    "self-join over the distinct-name dictionary, length-banded to a "
+    "hash join -- the entity-resolution primitive)",
+    scale="""
+    An edit-distance join is quadratic if written as a theta join over
+    the corpus, so the plan collapses to the DISTINCT-NAME dictionary
+    first (64 names carry 2000 parts at sf0.01; a 100 TB catalog's
+    name dictionary is millions, not billions -- the aggregate does
+    the heavy lifting and the fuzzy stage is dictionary-sized). The
+    |len(a)-len(b)| <= 2 necessary condition for lev <= 2 becomes an
+    EQUI key by multiprobe (one side expands to length deltas -2..+2,
+    a bounded 5x constant, the similarity_lsh_multiprobe pattern), so
+    Catalyst plans a hash join on probe-length -- never a nested-loop
+    cross product -- and each qualifying pair is produced exactly once
+    (the delta is determined by the pair). levenshtein() carries the
+    threshold argument, so the JVM comparator early-exits a row's DP
+    band at distance 3 instead of filling the full matrix. At larger
+    dictionaries the length band is the first key of a (band, qgram)
+    blocking refinement; the threshold form and the one-probe-side
+    discipline stay the same.
+    """,
+)
+def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part names (edit distance <= 2) with part counts --
+    fuzzy entity resolution over the distinct-name dictionary."""
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("ln", F.length("p_name"))
+    )
+    deltas = F.broadcast(
+        spark.range(-2, 3).select(F.col("id").cast("int").alias("d"))
+    )
+    probes = names.join(deltas).select(
+        F.col("p_name"),
+        F.col("cnt"),
+        (F.col("ln") + F.col("d")).alias("probe_ln"),
+    )
+    cand = probes.alias("a").join(
+        names.alias("b"),
+        (F.col("a.probe_ln") == F.col("b.ln"))
+        & (F.col("a.p_name") < F.col("b.p_name")),
+    )
+    return (
+        cand.withColumn(
+            "dist",
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("dist") >= 0)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("dist"),
+            F.col("a.cnt").alias("cnt_a"),
+            F.col("b.cnt").alias("cnt_b"),
+        )
+    )

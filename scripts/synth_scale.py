@@ -76,6 +76,8 @@ HEAVY = [
     "dedup_semdedup",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_simblocked",
+    "dedup_jaccard_exact",
+    "dedup_containment",
     "dedup_embedding",
     "dedup_components",
     "dedup_components_star",
@@ -115,6 +117,13 @@ RATIO_BUDGETS = {
     "dedup_semdedup": 6,
     "dedup_ngram_jaccard": 8,  # output-bound tail; r5 re-block measured 3.3x
     "dedup_ngram_jaccard_simblocked": 80,  # output-bound: 102x pair growth
+    # prefix-filter joins, copy-collapsed (r6): 1.0x at 10 copies /
+    # 14.6 s + 9.2 s at 100 copies (27M / 55M true output rows) after
+    # the exact-copy collapse; uncollapsed they measured 2.3x / 3.5x at
+    # 10 copies and 279 s / disk-death at 100. Residual quadratic is
+    # NEAR-dup (not exact-dup) mass — the headroom over 1.0x covers it
+    "dedup_jaccard_exact": 6,
+    "dedup_containment": 6,
     "dedup_embedding": 7,  # r5 re-block measured 2.8x
     # components run over collapsed edges (exact-dup mass as rep->copy
     # stars): r5 measured 20.3 s at 10 copies / 27.0 s at 100 copies

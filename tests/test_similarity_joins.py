@@ -1,0 +1,216 @@
+"""Pin the exact-recall claims of the prefix-filtered similarity joins.
+
+dedup_jaccard_exact and dedup_containment promise EXACT recall: the
+AllPairs prefix filter (and the one-sided containment variant) may only
+prune pairs that provably cannot reach the threshold. The fixture-level
+oracle already compares against brute force; these tests stress the
+corners the fixtures may not cover:
+
+1. near-threshold sizes where ceil() off-by-ones would lose pairs
+   (integer prefix arithmetic: n - (4n+4) div 5 + 1);
+2. qualifying pairs whose ONLY shared shingles are globally common
+   (df-descending tail) -- the prefix must still collide;
+3. containment pairs with a much larger container (the case symmetric
+   Jaccard misses by construction).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mrs_mapreduce_spark.llm.dedup import (
+    dedup_containment,
+    dedup_jaccard_exact,
+)
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+    ]
+)
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, t, "en", "synthetic", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def _brute_jaccard(spark, sf_dir, t_num, t_den):
+    """Brute-force 4-shingle Jaccard pairs >= t_num/t_den (no prefix)."""
+    from mrs_mapreduce_spark.catalog import table
+    from mrs_mapreduce_spark.llm.dedup import shingles
+
+    sh = (
+        shingles(table(spark, sf_dir, "documents"), k=4)
+        .select("doc_id", F.md5("sh").alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            t_den * F.col("i") >= t_num * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+    )
+    return {(r.doc_a, r.doc_b) for r in j.collect()}
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # near-threshold pair: drop exactly one word -> jaccard 6/8 < 0.8,
+    # change nothing -> 1.0; append one word -> 7/8 >= 0.8
+    texts = [
+        base,                                   # 0
+        base + " lambda",                       # 1: jac(0,1) = 7/8
+        base.replace("kappa", "omega"),         # 2: jac(0,2) = 6/8 -> out
+        base,                                   # 3: exact copy of 0
+        # common-shingle-only overlap: two docs built from the SAME
+        # high-df boilerplate phrase repeated, so every shared shingle
+        # is common (high df) -- prefix must still catch the pair
+        "lorem ipsum dolor sit amet " * 4,      # 4
+        "lorem ipsum dolor sit amet " * 4,      # 5: exact copy of 4
+        # containment: doc 6 is a strict prefix of the larger doc 7
+        "red green blue cyan magenta yellow",   # 6
+        "red green blue cyan magenta yellow "   # 7: contains 6
+        "one two three four five six seven eight nine ten",
+        "solitary unrelated words entirely disjoint from everything",  # 8
+        # 3-copy family: within-family expansion must emit C(3,2)=3
+        # unordered jaccard pairs / 6 ordered containment pairs
+        "north south east west upward downward",   # 9
+        "north south east west upward downward",   # 10
+        "north south east west upward downward",   # 11
+        # shingle-less family (< 4 words): exact copies, but NO shingles
+        # -> must appear in NEITHER query despite csize >= 2
+        "tiny doc",                                # 12
+        "tiny doc",                                # 13
+    ]
+    path = _write_docs(spark, tmp_path_factory.mktemp("simjoin"), texts)
+    return path
+
+
+def test_jaccard_exact_equals_brute_force(spark, corpus_dir):
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_jaccard_exact(spark, corpus_dir).collect()
+    }
+    want = _brute_jaccard(spark, corpus_dir, 4, 5)
+    assert got == want
+    assert (0, 1) in got        # near-threshold 7/8 kept
+    assert (0, 2) not in got    # 6/8 correctly excluded
+    assert (0, 3) in got        # exact copy
+    assert (4, 5) in got        # common-shingles-only pair survives prefix
+    # 3-copy family: all three unordered pairs, via within-family
+    # expansion of the collapsed pipeline
+    assert {(9, 10), (9, 11), (10, 11)} <= got
+    # shingle-less copies never appear (no shingles -> not in the
+    # brute graph either; the collapse must not resurrect them)
+    assert not any(12 in p or 13 in p for p in got)
+
+
+def test_jaccard_exact_values(spark, corpus_dir):
+    rows = {
+        (r.doc_a, r.doc_b): (r.inter_n, float(r.jaccard))
+        for r in dedup_jaccard_exact(spark, corpus_dir).collect()
+    }
+    # base has 7 distinct shingles; base+" lambda" has 8; all 7 shared
+    assert rows[(0, 1)] == (7, round(7 / 8, 4))
+    assert rows[(0, 3)][1] == 1.0
+
+
+def test_containment_catches_what_jaccard_misses(spark, corpus_dir):
+    cont = {
+        (r.doc_a, r.doc_b): float(r.containment)
+        for r in dedup_containment(spark, corpus_dir).collect()
+    }
+    # doc 6 (3 shingles) wholly inside doc 7 (13 shingles): containment
+    # 1.0 but jaccard 3/13 -- invisible to the symmetric query
+    assert cont[(6, 7)] == 1.0
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_jaccard_exact(spark, corpus_dir).collect()
+    }
+    assert (6, 7) not in jac
+    # asymmetry: the container is NOT contained in the part
+    assert (7, 6) not in cont
+    # exact copies contain each other -- both ordered pairs present
+    assert cont[(0, 3)] == 1.0 and cont[(3, 0)] == 1.0
+    # 3-copy family: all 6 ordered pairs at containment 1.0
+    fam3 = {(a, b) for a in (9, 10, 11) for b in (9, 10, 11) if a != b}
+    assert all(cont[p] == 1.0 for p in fam3)
+    # shingle-less copies excluded despite being exact duplicates
+    assert not any(12 in p or 13 in p for p in cont)
+
+
+def test_containment_threshold_is_asymmetric(spark, corpus_dir):
+    """jac(0,1)=7/8 but containment(0 in 1) = 7/7 = 1.0 while
+    containment(1 in 0) = 7/8 < 0.9 -> only one direction emitted."""
+    cont = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_containment(spark, corpus_dir).collect()
+    }
+    assert (0, 1) in cont
+    assert (1, 0) not in cont
+
+
+def test_fuzzy_names_misses_nothing_and_dist_is_exact(spark, sf_dir):
+    from mrs_mapreduce_spark.catalog import table
+    from mrs_mapreduce_spark.operators.joins import join_fuzzy_names
+
+    got = {
+        (r.name_a, r.name_b): r.dist
+        for r in join_fuzzy_names(spark, sf_dir).collect()
+    }
+    # brute-force over the (tiny) dictionary, unbanded
+    names = [
+        r.p_name
+        for r in table(spark, sf_dir, "part").select("p_name").distinct().collect()
+    ]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b): lev(a, b)
+        for a in names
+        for b in names
+        if a < b and lev(a, b) <= 2
+    }
+    assert got == want and len(got) > 0
