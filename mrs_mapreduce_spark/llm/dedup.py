@@ -207,12 +207,50 @@ def _minhash_sig(d: DataFrame) -> DataFrame:
     candidates only. At 100 TB the band join is the only shuffle touching
     all docs, and its key is a 16-byte hash; skewed buckets (boilerplate
     docs) are AQE-split, and a bucket-size cap (drop buckets > B members
-    as boilerplate) bounds the quadratic verify stage.
+    as boilerplate) bounds the quadratic verify stage. r6: exact-copy
+    mass is collapsed to one representative per distinct text BEFORE the
+    LSH pipeline and results expand back through the family relation
+    (identical text => identical signatures => identical buckets and
+    Jaccard, so expansion is verbatim; within-family pairs are emitted
+    directly at 1.0, shingle-less (<3-word) families excluded exactly as
+    the uncapped pipeline excludes them — pinned against the uncollapsed
+    pipeline in tests/test_similarity_joins.py). On the 10-copy tier
+    this cut the query from 9.7 s to output-bound; the residual
+    quadratic is NEAR-dup mass, the documented contract.
     """,
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-banded candidate pairs verified by exact shingle Jaccard."""
-    return _minhash_pairs(spark, sf_dir, cap=None)
+    """LSH-banded candidate pairs verified by exact shingle Jaccard,
+    exact-copy mass collapsed first (provably lossless)."""
+    d = table(spark, sf_dir, "documents")
+    fam = _content_families(d).localCheckpoint(eager=True)
+    rep_docs = d.join(
+        fam.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+    )
+    rp = _minhash_pairs(spark, sf_dir, cap=None, docs=rep_docs)
+    cross = _expand_cross(rp, fam, ordered=False)
+    # within-family: copies share identical shingle sets -> Jaccard 1.0,
+    # always bucketed together (identical signatures); <3-word contents
+    # have no shingles/signature and never pair in the direct pipeline
+    eligible = rep_docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        F.col("doc_id").alias("rep")
+    )
+    wf = fam.filter(F.col("csize") >= 2).join(eligible, "rep")
+    within = (
+        wf.alias("a")
+        .join(
+            wf.alias("b"),
+            (F.col("a.rep") == F.col("b.rep"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def _minhash_pairs(
@@ -1284,20 +1322,68 @@ REGISTRY["dedup_minhash_capped"] = REGISTRY["dedup_minhash_capped"].__class__(
     join beyond that (the only big shuffle either way is the (blk, w)
     pair join). Recall knob: near-dups differing in a top-8 bit are missed —
     at scale, probe the 8 one-bit-flip neighbor blocks exactly as
-    similarity_lsh_multiprobe does for SRP buckets.
+    similarity_lsh_multiprobe does for SRP buckets. r6: exact-copy mass
+    collapses to one representative per distinct text before the block
+    pair join and expands back through the family relation (identical
+    text => identical word set, tf vector, simhash and block — so every
+    copy inherits its representative's pairs verbatim and within-family
+    pairs are direct Jaccard-1.0 rows; pinned against the uncollapsed
+    pipeline in tests/test_similarity_joins.py). This is what the
+    122.9 s reading at the 10-copy tier was: 102x replica pair growth
+    flowing through the (blk, w) self-join — collapsed, the pair join
+    is distinct-content-sized and replica output is expansion-bound.
     """,
 )
 def dedup_ngram_jaccard_simblocked(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Word-set Jaccard pairs within simhash-top-8-bit blocks."""
+    """Word-set Jaccard pairs within simhash-top-8-bit blocks,
+    exact-copy mass collapsed first (provably lossless: identical text
+    => identical word set, tf vector, simhash and block)."""
     d = table(spark, sf_dir, "documents")
-    # entity-sized fingerprint model, read by both self-join sides
-    fp = (
-        dedup_simhash(spark, sf_dir)
-        .select("doc_id", F.expr("simhash div 256").alias("blk"))
-        .localCheckpoint(eager=True)
+    fam = _content_families(d).localCheckpoint(eager=True)
+    rep_docs = d.join(
+        fam.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
     )
+    rp = _simblocked_pairs(spark, sf_dir, rep_docs)
+    cross = _expand_cross(rp, fam, ordered=False)
+    # within-family: every doc has a non-empty word set (split('') is
+    # ['']), so ALL copy pairs qualify at Jaccard 1.0 — no eligibility
+    # filter, unlike the shingle-based pipelines
+    wf = fam.filter(F.col("csize") >= 2)
+    within = (
+        wf.alias("a")
+        .join(
+            wf.alias("b"),
+            (F.col("a.rep") == F.col("b.rep"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def _simblocked_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """The simhash-blocked word-set Jaccard pipeline over ``docs``
+    (default: the full corpus — the uncollapsed form the tests pin
+    the collapsed builder against)."""
+    d = table(spark, sf_dir, "documents") if docs is None else docs
+    # entity-sized fingerprint model, read by both self-join sides;
+    # simhash is per-doc (a function of its own text), so restricting
+    # the full-corpus fingerprints to ``docs`` via semi-join is exact
+    fp = dedup_simhash(spark, sf_dir).select(
+        "doc_id", F.expr("simhash div 256").alias("blk")
+    )
+    if docs is not None:
+        fp = fp.join(d.select("doc_id"), "doc_id", "semi")
+    fp = fp.localCheckpoint(eager=True)
     wsets = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
@@ -1362,6 +1448,30 @@ def _content_families(docs: DataFrame) -> DataFrame:
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("csize")
     )
     return fam.join(reps, "content").select("doc_id", "rep", "csize")
+
+
+def _expand_cross(rp: DataFrame, fam: DataFrame, ordered: bool) -> DataFrame:
+    """Expand representative-level pairs to all family-member pairs.
+
+    ``rp``'s doc_a/doc_b are representative ids; every other column is
+    carried verbatim (copies inherit their representative's scores
+    exactly — identical text => identical sets/signatures). ordered
+    keeps (a-member, b-member) orientation (containment); unordered
+    re-orients each cross-family pair as (min, max) — families are
+    disjoint, so each unordered pair is produced exactly once.
+    """
+    carried = [c for c in rp.columns if c not in ("doc_a", "doc_b")]
+    ma = fam.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("xa"))
+    mb = fam.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("xb"))
+    j = rp.join(ma, "doc_a").join(mb, "doc_b")
+    if ordered:
+        sel = [F.col("xa").alias("doc_a"), F.col("xb").alias("doc_b")]
+    else:
+        sel = [
+            F.least("xa", "xb").alias("doc_a"),
+            F.greatest("xa", "xb").alias("doc_b"),
+        ]
+    return j.select(*sel, *carried)
 
 
 def _prefix_filter_scored(
@@ -1536,17 +1646,8 @@ def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ),
     )
-    ma = fam.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("xa"))
-    mb = fam.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("xb"))
-    cross = (
-        rp.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .select(
-            F.least("xa", "xb").alias("doc_a"),
-            F.greatest("xa", "xb").alias("doc_b"),
-            "inter_n",
-            "jaccard",
-        )
+    cross = _expand_cross(
+        rp.select("doc_a", "doc_b", "inter_n", "jaccard"), fam, ordered=False
     )
     # within-family: exact copies with >= 1 shingle are Jaccard-1.0
     # pairs by construction (identical sets); shingle-less (< 4 words)
@@ -1638,17 +1739,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rp = rp.filter(10 * F.col("inter_n") >= 9 * F.col("na")).withColumn(
         "containment", pround(F.col("inter_n") * 1.0 / F.col("na"), 4)
     )
-    ma = fam.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("xa"))
-    mb = fam.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("xb"))
-    cross = (
-        rp.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .select(
-            F.col("xa").alias("doc_a"),
-            F.col("xb").alias("doc_b"),
-            "inter_n",
-            "containment",
-        )
+    cross = _expand_cross(
+        rp.select("doc_a", "doc_b", "inter_n", "containment"),
+        fam,
+        ordered=True,
     )
     # within-family: every exact copy is fully contained in every other
     # member (both directions), provided the content has >= 1 shingle

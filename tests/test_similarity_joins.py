@@ -182,6 +182,49 @@ def test_containment_threshold_is_asymmetric(spark, corpus_dir):
     assert (1, 0) not in cont
 
 
+def test_minhash_pairs_collapse_equals_uncollapsed(spark, corpus_dir):
+    """The collapsed dedup_minhash_pairs must equal the direct
+    (uncollapsed) LSH pipeline row-for-row on a corpus with exact-copy
+    families, including the shingle-less (<3-word) family staying out."""
+    from mrs_mapreduce_spark.llm.dedup import (
+        _minhash_pairs,
+        dedup_minhash_pairs,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, float(r.jaccard))
+        for r in dedup_minhash_pairs(spark, corpus_dir).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, float(r.jaccard))
+        for r in _minhash_pairs(spark, corpus_dir, cap=None).collect()
+    }
+    assert got == want
+    assert any(p[:2] == (9, 10) for p in got)      # 3-copy family present
+    assert not any(12 in p[:2] or 13 in p[:2] for p in got)
+
+
+def test_simblocked_collapse_equals_uncollapsed(spark, corpus_dir):
+    """Collapsed simhash-blocked Jaccard == the direct pipeline,
+    including the 2-word family (word sets are never empty, so copy
+    pairs of ANY length qualify at 1.0 — unlike the shingle queries)."""
+    from mrs_mapreduce_spark.llm.dedup import (
+        _simblocked_pairs,
+        dedup_ngram_jaccard_simblocked,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, float(r.jaccard))
+        for r in dedup_ngram_jaccard_simblocked(spark, corpus_dir).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, float(r.jaccard))
+        for r in _simblocked_pairs(spark, corpus_dir).collect()
+    }
+    assert got == want
+    assert (12, 13, 1.0) in got    # word-set pipeline keeps tiny copies
+
+
 def test_fuzzy_names_misses_nothing_and_dist_is_exact(spark, sf_dir):
     from mrs_mapreduce_spark.catalog import table
     from mrs_mapreduce_spark.operators.joins import join_fuzzy_names
