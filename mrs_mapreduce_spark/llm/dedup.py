@@ -484,19 +484,68 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed once and joined without a broadcast hint (AQE decides;
     it is corpus-sized at 100 TB). Distinct from the _simblocked twin,
     which drops the metadata key entirely: this query keeps the
-    (lang, source) dedup POLICY boundary and sub-splits it.
+    (lang, source) dedup POLICY boundary and sub-splits it. r6:
+    exact-copy mass collapses BEFORE the block pair join — on the
+    (text, lang, source) family key, NOT text alone, because metadata
+    participates in the block key and two identical texts with
+    different metadata are deliberately NOT interchangeable here
+    (pinned in tests). This removes the r5-documented replica-tier
+    wall (the sf10 full-registry sweep recorded candidate-verify spill
+    filling the disk after 408 s at 100 copies; collapsed, the pair
+    join is distinct-(text,metadata)-sized and replica output is
+    expansion-bound).
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-set Jaccard pairs within (lang, source, simhash/256) blocks,
-    with 1-bit multiprobe on the 8-bit content prefix."""
+    with 1-bit multiprobe — exact-copy mass collapsed first on the
+    (text, lang, source) family key (metadata participates in the block
+    key, so only full-key-identical docs are interchangeable)."""
     d = table(spark, sf_dir, "documents")
-    # entity-sized fingerprint model, read by both self-join sides
-    fp = (
-        dedup_simhash(spark, sf_dir)
-        .select("doc_id", F.expr("simhash div 256").alias("blk"))
-        .localCheckpoint(eager=True)
+    fam = _content_families(
+        d, metadata_cols=("lang", "source")
+    ).localCheckpoint(eager=True)
+    rep_docs = d.join(
+        fam.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
     )
+    rp = _ngram_jaccard_pairs(spark, sf_dir, rep_docs)
+    cross = _expand_cross(rp, fam, ordered=False)
+    # within-family: identical text AND metadata — same block, word-set
+    # Jaccard 1.0 (word sets are never empty), always qualifies
+    wf = fam.filter(F.col("csize") >= 2)
+    within = (
+        wf.alias("a")
+        .join(
+            wf.alias("b"),
+            (F.col("a.rep") == F.col("b.rep"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def _ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """The (lang, source, simhash/256)-blocked multiprobe pipeline over
+    ``docs`` (default: full corpus — the uncollapsed form the tests pin
+    the collapsed builder against)."""
+    d = table(spark, sf_dir, "documents") if docs is None else docs
+    # entity-sized fingerprint model, read by both self-join sides;
+    # simhash is a function of each doc's own text, so restricting the
+    # full-corpus fingerprints to ``docs`` via semi-join is exact
+    fp = dedup_simhash(spark, sf_dir).select(
+        "doc_id", F.expr("simhash div 256").alias("blk")
+    )
+    if docs is not None:
+        fp = fp.join(d.select("doc_id"), "doc_id", "semi")
+    fp = fp.localCheckpoint(eager=True)
     # no broadcast hint: fp is per-doc (unbounded at scale) — let AQE
     # choose broadcast vs shuffle from the measured size
     meta = d.select("doc_id", "lang", "source").join(fp, "doc_id")
@@ -1431,7 +1480,9 @@ def _simblocked_pairs(
     )
 
 
-def _content_families(docs: DataFrame) -> DataFrame:
+def _content_families(
+    docs: DataFrame, metadata_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, rep, csize): exact-copy families on RAW text.
 
     rep = min doc_id per identical text (the same no-normalization
@@ -1442,8 +1493,25 @@ def _content_families(docs: DataFrame) -> DataFrame:
     the exact-recall similarity joins, where it is provably lossless:
     identical text => identical shingle set => identical sizes,
     intersections and scores for every member of the family.
+
+    metadata_cols extends the family key: a METADATA-BLOCKED pipeline
+    (dedup_ngram_jaccard's (lang, source, ...) key) may only treat two
+    docs as interchangeable when text AND block metadata agree — a
+    text-only family would merge copies that the blocked pipeline
+    keeps apart. Nulls coalesce to a sentinel so null and '' cannot
+    collide into one family.
     """
-    fam = docs.select("doc_id", F.md5("text").alias("content"))
+    if metadata_cols:
+        key = F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.col("text"),
+                *[F.coalesce(F.col(c), F.lit("\x00")) for c in metadata_cols],
+            )
+        )
+    else:
+        key = F.md5("text")
+    fam = docs.select("doc_id", key.alias("content"))
     reps = fam.groupBy("content").agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("csize")
     )

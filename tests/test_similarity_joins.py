@@ -225,6 +225,47 @@ def test_simblocked_collapse_equals_uncollapsed(spark, corpus_dir):
     assert (12, 13, 1.0) in got    # word-set pipeline keeps tiny copies
 
 
+def test_ngram_jaccard_collapse_respects_metadata_blocks(
+    spark, tmp_path_factory
+):
+    """The metadata-blocked query collapses on (text, lang, source), not
+    text alone: identical texts with different metadata must stay in
+    separate families (they never pair — different blocks), while
+    full-key-identical copies pair at 1.0. Pinned against the direct
+    (uncollapsed) pipeline."""
+    from mrs_mapreduce_spark.llm.dedup import (
+        _ngram_jaccard_pairs,
+        dedup_ngram_jaccard,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, text, "en", "srcA", len(text)),
+        (1, text, "en", "srcA", len(text)),   # same text+meta as 0
+        (2, text, "en", "srcB", len(text)),   # same text, OTHER source
+        (3, text + " lambda", "en", "srcA", len(text) + 7),  # near-dup
+        (4, "totally different words here now", "en", "srcA", 33),
+    ]
+    path = str(tmp_path_factory.mktemp("metafam"))
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    got = {
+        (r.doc_a, r.doc_b, float(r.jaccard))
+        for r in dedup_ngram_jaccard(spark, path).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, float(r.jaccard))
+        for r in _ngram_jaccard_pairs(spark, path).collect()
+    }
+    assert got == want
+    assert (0, 1, 1.0) in got          # full-key-identical copies pair
+    assert not any(
+        {p[0], p[1]} == {0, 2} or {p[0], p[1]} == {1, 2} for p in got
+    )                                   # cross-source identical: blocked
+
+
 def test_fuzzy_names_misses_nothing_and_dist_is_exact(spark, sf_dir):
     from mrs_mapreduce_spark.catalog import table
     from mrs_mapreduce_spark.operators.joins import join_fuzzy_names
