@@ -112,7 +112,7 @@ def timed(fn, *args, runs: int = 3, warmups: int = 1):
     return sorted(times)[len(times) // 2]
 
 
-def timed_wordcount_rdd(spark, sf_dir, runs: int = 3):
+def timed_wordcount_rdd(spark, sf_dir, runs: int = 3, warmups: int = 2):
     """RDD wordcount with in-mapper combining (the Mrs combiner done as a
     per-partition Counter): shuffles |vocab| pairs per partition instead
     of one pair per word occurrence — ~25% faster than the naive
@@ -134,7 +134,12 @@ def timed_wordcount_rdd(spark, sf_dir, runs: int = 3):
         )
         return rdd.takeOrdered(10, key=lambda kv: (-kv[1], kv[0]))
 
-    run()
+    # wordcount is a gated shape too: warm twice like timed(warmups=2)
+    # so driver-side JIT/settle lands in untimed passes (BASELINE.md
+    # round-6 drift note — its post-sweep settle was the largest of
+    # the four)
+    for _ in range(warmups):
+        run()
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()

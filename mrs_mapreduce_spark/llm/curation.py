@@ -102,7 +102,13 @@ def _pack_regime(rows: int, btok: DataFrame) -> tuple[bool, DataFrame]:
     if rows <= _PACK_TWO_LEVEL_GATE:
         return False, btok  # bucket count <= rows <= gate, provably
     if (rows + _BUCKET - 1) // _BUCKET > _PACK_TWO_LEVEL_GATE:
-        return True, btok  # even a fully dense doc_id domain overflows
+        # dense-domain overflow — PROVABLE only when ``rows`` is the
+        # exact row count; callers may pass an upper bound (the
+        # curate pipeline passes the pre-filter table count), where
+        # this picks two-level conservatively without a probe job.
+        # Output is regime-independent (pinned), so a heavily-filtered
+        # corpus pays only the two-level plan shape, never correctness.
+        return True, btok
     btok = btok.cache()
     return btok.count() > _PACK_TWO_LEVEL_GATE, btok
 

@@ -236,19 +236,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = rep_docs.filter(F.size(F.split("text", " ")) >= 3).select(
         F.col("doc_id").alias("rep")
     )
-    wf = fam.filter(F.col("csize") >= 2).join(eligible, "rep")
-    within = (
-        wf.alias("a")
-        .join(
-            wf.alias("b"),
-            (F.col("a.rep") == F.col("b.rep"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
+    within = _within_family(
+        fam, [F.lit(1.0).alias("jaccard")], ordered=False, eligible=eligible
     )
     return cross.unionByName(within)
 
@@ -512,21 +501,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rp = _ngram_jaccard_pairs(spark, sf_dir, rep_docs)
     cross = _expand_cross(rp, fam, ordered=False)
     # within-family: identical text AND metadata — same block, word-set
-    # Jaccard 1.0 (word sets are never empty), always qualifies
-    wf = fam.filter(F.col("csize") >= 2)
-    within = (
-        wf.alias("a")
-        .join(
-            wf.alias("b"),
-            (F.col("a.rep") == F.col("b.rep"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
+    # Jaccard 1.0; NULL text/metadata docs hold singleton families
+    within = _within_family(fam, [F.lit(1.0).alias("jaccard")], ordered=False)
     return cross.unionByName(within)
 
 
@@ -1397,23 +1373,10 @@ def dedup_ngram_jaccard_simblocked(
     )
     rp = _simblocked_pairs(spark, sf_dir, rep_docs)
     cross = _expand_cross(rp, fam, ordered=False)
-    # within-family: every doc has a non-empty word set (split('') is
-    # ['']), so ALL copy pairs qualify at Jaccard 1.0 — no eligibility
-    # filter, unlike the shingle-based pipelines
-    wf = fam.filter(F.col("csize") >= 2)
-    within = (
-        wf.alias("a")
-        .join(
-            wf.alias("b"),
-            (F.col("a.rep") == F.col("b.rep"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
+    # within-family: non-NULL texts always have a word set (split('')
+    # is ['']), so all copy pairs qualify at Jaccard 1.0; NULL-text
+    # docs hold singleton families and never expand
+    within = _within_family(fam, [F.lit(1.0).alias("jaccard")], ordered=False)
     return cross.unionByName(within)
 
 
@@ -1498,19 +1461,23 @@ def _content_families(
     (dedup_ngram_jaccard's (lang, source, ...) key) may only treat two
     docs as interchangeable when text AND block metadata agree — a
     text-only family would merge copies that the blocked pipeline
-    keeps apart. Nulls coalesce to a sentinel so null and '' cannot
-    collide into one family.
+    keeps apart.
+
+    NULL discipline: the direct pipelines can never pair a NULL-text
+    doc (split(NULL) explodes to zero word/shingle rows) nor, in the
+    metadata-blocked case, a NULL-metadata doc (the block join is
+    null-UNsafe `=`), so such docs must NOT share a family — each gets
+    a per-doc singleton key (F.concat propagates NULL through the
+    field-wise md5s, and the coalesce falls back to doc_id). Fields
+    are md5'd individually before concatenation so no separator value
+    inside text can forge a (text, metadata) boundary.
     """
-    if metadata_cols:
-        key = F.md5(
-            F.concat_ws(
-                "\x1f",
-                F.col("text"),
-                *[F.coalesce(F.col(c), F.lit("\x00")) for c in metadata_cols],
-            )
-        )
-    else:
-        key = F.md5("text")
+    parts = [F.md5("text")]
+    parts += [F.md5(F.col(c)) for c in metadata_cols]
+    key = F.coalesce(
+        F.md5(F.concat(*parts)) if len(parts) > 1 else parts[0],
+        F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+    )
     fam = docs.select("doc_id", key.alias("content"))
     reps = fam.groupBy("content").agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("csize")
@@ -1540,6 +1507,45 @@ def _expand_cross(rp: DataFrame, fam: DataFrame, ordered: bool) -> DataFrame:
             F.greatest("xa", "xb").alias("doc_b"),
         ]
     return j.select(*sel, *carried)
+
+
+def _within_family(
+    fam: DataFrame,
+    values: list,
+    ordered: bool,
+    eligible: DataFrame | None = None,
+) -> DataFrame:
+    """Same-family member pairs — the copies' pairs the collapsed rep
+    pipeline cannot see (score 1.0 by construction: identical inputs).
+
+    ``values``: aliased Columns appended after (doc_a, doc_b); they may
+    reference ``eligible``'s columns through the 'a' alias (e.g. the
+    rep's shingle count as the pair's inter_n). ``ordered`` False emits
+    each unordered pair once (doc_a < doc_b), True emits both
+    directions. ``eligible`` ((rep, ...)-keyed) restricts which
+    families expand — shingle-based pipelines pass the reps that HAVE
+    shingles, because shingle-less contents are pairless in the direct
+    pipeline; word-set pipelines pass None (their only pairless case,
+    NULL text, already has a singleton family — _content_families'
+    NULL discipline).
+    """
+    wf = fam.filter(F.col("csize") >= 2)
+    if eligible is not None:
+        wf = wf.join(eligible, "rep")
+    cmp = (
+        (F.col("a.doc_id") != F.col("b.doc_id"))
+        if ordered
+        else (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return (
+        wf.alias("a")
+        .join(wf.alias("b"), (F.col("a.rep") == F.col("b.rep")) & cmp)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *values,
+        )
+    )
 
 
 def _prefix_filter_scored(
@@ -1721,22 +1727,14 @@ def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs by construction (identical sets); shingle-less (< 4 words)
     # families drop out because their rep has no sizes row
     sizes_rep = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    wf_members = fam.filter(F.col("csize") >= 2).join(
-        sizes_rep.select(F.col("doc_id").alias("rep"), "n"), "rep"
-    )
-    within = (
-        wf_members.alias("a")
-        .join(
-            wf_members.alias("b"),
-            (F.col("a.rep") == F.col("b.rep"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+    within = _within_family(
+        fam,
+        [
             F.col("a.n").cast("long").alias("inter_n"),
             F.lit(1.0).alias("jaccard"),
-        )
+        ],
+        ordered=False,
+        eligible=sizes_rep.select(F.col("doc_id").alias("rep"), "n"),
     )
     return cross.unionByName(within)
 
@@ -1815,21 +1813,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-family: every exact copy is fully contained in every other
     # member (both directions), provided the content has >= 1 shingle
     sizes_rep = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    wf_members = fam.filter(F.col("csize") >= 2).join(
-        sizes_rep.select(F.col("doc_id").alias("rep"), "n"), "rep"
-    )
-    within = (
-        wf_members.alias("a")
-        .join(
-            wf_members.alias("b"),
-            (F.col("a.rep") == F.col("b.rep"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+    within = _within_family(
+        fam,
+        [
             F.col("a.n").cast("long").alias("inter_n"),
             F.lit(1.0).alias("containment"),
-        )
+        ],
+        ordered=True,
+        eligible=sizes_rep.select(F.col("doc_id").alias("rep"), "n"),
     )
     return cross.unionByName(within)

@@ -8,18 +8,32 @@ machine-checkable:
 
 - For every declared query, find its LAST driver-green round by scanning the
   committed ``CORRECTNESS_r*.json`` files.
-- Reconstruct the module source at the commit the driver actually tested
+- Reconstruct the package source at the commit the driver actually tested
   (the parent of that round's ``round N: verdict`` marker commit) via
-  ``git show``, and hash the builder's *closure*: the decorated function
-  (decorator included, so the oracle SQL counts) plus every module-level
-  def / class / constant it references, transitively.
-- A query is **fresh-green** iff the closure hash at its last green round
-  equals the closure hash at HEAD. Otherwise it is **stale** (code changed
-  since the evidence) or **never** (no driver row yet).
+  ``git show``, and hash the builder's *closure* at TWO depths:
 
-Output: one line per non-fresh query, plus a summary. ``--rotation`` emits a
-generated 50-name SHOWCASE tuple: never-tested first, then stale, then
-re-slots filled oldest-evidence-first — paste into registry.py.
+  * **module closure** — the decorated function (decorator included, so the
+    oracle SQL counts) plus every module-level def / class / constant it
+    references, transitively, within its own module. This drives the
+    fresh/stale status and the rotation: it changes exactly when the
+    query's own logic is edited.
+  * **deep closure** — additionally follows intra-package ``from .x import
+    y`` imports into sibling modules (catalog.table, exprs.pround, shared
+    pipeline helpers, ...), transitively. A deep-stale-but-module-fresh
+    query means a SHARED helper changed under it. Shared helpers are
+    exercised by every query in the per-round tri-tier local sweeps
+    (228/228 at sf0.001/0.01/0.1), so deep staleness is reported as a
+    secondary signal and used as a tiebreak for re-slot priority rather
+    than flooding the 50-slot rotation whenever one shared helper moves.
+
+- A query is **fresh-green** iff its module-closure hash at its last green
+  round equals the hash at HEAD; **stale** otherwise; **never** when no
+  driver row exists yet.
+
+Output: one line per non-fresh query (deep-stale flagged on fresh ones),
+plus a summary. ``--rotation`` emits a generated 50-name SHOWCASE tuple:
+never-tested first, then stale, then re-slots — deep-stale first, then
+oldest-evidence — paste into registry.py.
 
 Usage:
     python scripts/freshness.py            # audit + stale list
@@ -35,6 +49,7 @@ import re
 import subprocess
 import sys
 from pathlib import Path
+from typing import Callable
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
@@ -42,6 +57,7 @@ sys.path.insert(0, str(REPO))
 from mrs_mapreduce_spark.registry import load_all  # noqa: E402
 
 ROTATION_SIZE = 50
+PACKAGE = "mrs_mapreduce_spark"
 
 
 def _round_markers() -> dict[int, str]:
@@ -77,14 +93,35 @@ def _green_rounds() -> dict[str, int]:
     return latest
 
 
+class _ClosureSet:
+    """Lazily-parsed package modules for ONE source revision."""
+
+    def __init__(self, loader: Callable[[str], str | None]):
+        self.loader = loader
+        self.modules: dict[str, _Closure | None] = {}
+
+    def module(self, relpath: str) -> "_Closure | None":
+        if relpath not in self.modules:
+            text = self.loader(relpath)
+            self.modules[relpath] = (
+                _Closure(text, relpath, self) if text is not None else None
+            )
+        return self.modules[relpath]
+
+
 class _Closure:
     """Builder-closure extraction over one module's source text."""
 
-    def __init__(self, source: str):
+    def __init__(self, source: str, relpath: str, closures: _ClosureSet):
         self.source = source
+        self.relpath = relpath
+        self.closures = closures
         self.tree = ast.parse(source)
         self.toplevel: dict[str, ast.stmt] = {}
         self.by_query: dict[str, ast.stmt] = {}
+        #: imported name -> (module relpath, original symbol name)
+        self.imports: dict[str, tuple[str, str]] = {}
+        pkg_parts = relpath[:-3].split("/")[:-1]  # containing package
         for node in self.tree.body:
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
                                  ast.ClassDef)):
@@ -103,6 +140,21 @@ class _Closure:
             elif isinstance(node, ast.AnnAssign):
                 if isinstance(node.target, ast.Name):
                     self.toplevel[node.target.id] = node
+            elif isinstance(node, ast.ImportFrom):
+                if node.level > 0:
+                    base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+                elif node.module and node.module.split(".")[0] == PACKAGE:
+                    base = []
+                else:
+                    continue  # stdlib / third-party: not package source
+                mod = node.module.split(".") if node.module else []
+                target = "/".join(base + mod) + ".py"
+                for alias in node.names:
+                    if alias.name == "*":
+                        continue
+                    self.imports[alias.asname or alias.name] = (
+                        target, alias.name,
+                    )
 
     def _segment(self, node: ast.stmt) -> str:
         parts = []
@@ -111,26 +163,47 @@ class _Closure:
         parts.append(ast.get_source_segment(self.source, node) or "")
         return "\n".join(parts)
 
-    def hash_for(self, query: str) -> str | None:
+    def _walk(
+        self,
+        node: ast.stmt,
+        out: dict[tuple[str, str], str],
+        seen: set[tuple[str, str]],
+        deep: bool,
+    ) -> None:
+        for sub in ast.walk(node):
+            if not isinstance(sub, ast.Name):
+                continue
+            nm = sub.id
+            if nm in self.toplevel:
+                key = (self.relpath, nm)
+                if key in seen:
+                    continue
+                seen.add(key)
+                tgt = self.toplevel[nm]
+                out[key] = self._segment(tgt)
+                self._walk(tgt, out, seen, deep)
+            elif deep and nm in self.imports:
+                rel, orig = self.imports[nm]
+                key = (rel, orig)
+                if key in seen:
+                    continue
+                seen.add(key)
+                cs = self.closures.module(rel)
+                tgt = cs.toplevel.get(orig) if cs is not None else None
+                if tgt is None:
+                    continue  # a module import or missing symbol
+                out[key] = cs._segment(tgt)
+                cs._walk(tgt, out, seen, deep)
+
+    def hash_for(self, query: str, deep: bool = False) -> str | None:
         root = self.by_query.get(query)
         if root is None:
             return None
-        # transitive closure of module-level names referenced from root
-        want: dict[str, ast.stmt] = {}
-        frontier = [root]
-        seen_names: set[str] = set()
-        while frontier:
-            node = frontier.pop()
-            for sub in ast.walk(node):
-                if isinstance(sub, ast.Name) and sub.id not in seen_names:
-                    seen_names.add(sub.id)
-                    tgt = self.toplevel.get(sub.id)
-                    if tgt is not None and tgt is not root:
-                        if id(tgt) not in {id(v) for v in want.values()}:
-                            want[sub.id] = tgt
-                            frontier.append(tgt)
+        out: dict[tuple[str, str], str] = {}
+        seen = {(self.relpath, root.name)}
+        self._walk(root, out, seen, deep)
         blob = self._segment(root) + "".join(
-            self._segment(want[k]) for k in sorted(want)
+            out[k] for k in sorted(out)
         )
         return hashlib.sha256(blob.encode()).hexdigest()
 
@@ -147,34 +220,43 @@ def audit() -> dict[str, dict]:
     registry = load_all()
     greens = _green_rounds()
     markers = _round_markers()
-    cur_closures: dict[str, _Closure] = {}
-    old_cache: dict[tuple[str, str], _Closure | None] = {}
+    cur_set = _ClosureSet(
+        lambda rel: (REPO / rel).read_text()
+        if (REPO / rel).is_file() else None
+    )
+    old_sets: dict[str, _ClosureSet] = {}
     report: dict[str, dict] = {}
     for name, q in registry.items():
         relpath = q.builder.__module__.replace(".", "/") + ".py"
-        if relpath not in cur_closures:
-            cur_closures[relpath] = _Closure(
-                (REPO / relpath).read_text()
-            )
-        cur_hash = cur_closures[relpath].hash_for(name)
+        cur = cur_set.module(relpath)
+        cur_hash = cur.hash_for(name) if cur else None
+        cur_deep = cur.hash_for(name, deep=True) if cur else None
         rnd = greens.get(name)
         if rnd is None:
-            report[name] = {"status": "never", "round": None}
+            report[name] = {"status": "never", "round": None, "deep": None}
             continue
         rev = markers.get(rnd)
-        key = (rev, relpath)
-        if key not in old_cache:
-            text = _git_show(rev, relpath)
-            old_cache[key] = _Closure(text) if text is not None else None
-        old = old_cache[key]
+        if rev not in old_sets:
+            old_sets[rev] = _ClosureSet(
+                lambda rel, _rev=rev: _git_show(_rev, rel)
+            )
+        old = old_sets[rev].module(relpath)
         old_hash = old.hash_for(name) if old is not None else None
+        old_deep = old.hash_for(name, deep=True) if old is not None else None
         if old_hash is None:
             status = "stale"  # file/function absent at green commit
         elif old_hash == cur_hash:
             status = "fresh"
         else:
             status = "stale"
-        report[name] = {"status": status, "round": rnd}
+        report[name] = {
+            "status": status,
+            "round": rnd,
+            # deep=True: the cross-module closure ALSO matches; False: a
+            # shared helper changed since the evidence (covered by the
+            # per-round tri-tier sweeps, surfaced for re-slot priority)
+            "deep": (old_deep == cur_deep) if status == "fresh" else False,
+        }
     return report
 
 
@@ -185,8 +267,12 @@ def rotation(report: dict[str, dict]) -> list[str]:
     stale = [n for n in order if report[n]["status"] == "stale"]
     fresh = sorted(
         (n for n in order if report[n]["status"] == "fresh"),
-        key=lambda n: (report[n]["round"], order.index(n)),
-    )  # oldest evidence first
+        key=lambda n: (
+            report[n]["deep"],          # deep-stale (False) first
+            report[n]["round"],         # then oldest evidence
+            order.index(n),
+        ),
+    )
     picked = never + stale
     picked += [n for n in fresh if n not in picked][: ROTATION_SIZE - len(picked)]
     return picked[:ROTATION_SIZE]
@@ -195,8 +281,11 @@ def rotation(report: dict[str, dict]) -> list[str]:
 def main() -> None:
     report = audit()
     counts = {"fresh": 0, "stale": 0, "never": 0}
+    deep_stale = 0
     for name, row in report.items():
         counts[row["status"]] += 1
+        if row["status"] == "fresh" and not row["deep"]:
+            deep_stale += 1
     if "--rotation" in sys.argv:
         names = rotation(report)
         print("SHOWCASE: tuple[str, ...] = (")
@@ -207,8 +296,14 @@ def main() -> None:
     for name, row in sorted(report.items()):
         if row["status"] != "fresh":
             print(f"[{row['status']}] {name} (last green: r{row['round']})")
+        elif not row["deep"]:
+            print(
+                f"[deep-stale] {name} (module-fresh r{row['round']}; a"
+                " shared cross-module helper changed since)"
+            )
     print(
-        f"\n{counts['fresh']} fresh-green, {counts['stale']} stale, "
+        f"\n{counts['fresh']} fresh-green ({deep_stale} of them deep-stale"
+        f" via shared helpers), {counts['stale']} stale, "
         f"{counts['never']} never driver-tested "
         f"(of {len(report)} declared)"
     )

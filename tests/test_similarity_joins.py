@@ -266,6 +266,67 @@ def test_ngram_jaccard_collapse_respects_metadata_blocks(
     )                                   # cross-source identical: blocked
 
 
+def test_null_text_and_metadata_form_singleton_families(
+    spark, tmp_path_factory
+):
+    """NULL discipline (r6 review finding): the direct pipelines can
+    never pair NULL-text docs (split(NULL) -> no token rows) nor, in
+    metadata-blocked queries, NULL-metadata docs (null-unsafe block
+    join) — so the collapse must NOT family them together, or the
+    within-family expansion would fabricate 1.0 pairs the oracle never
+    emits. Each such doc gets a singleton family."""
+    from mrs_mapreduce_spark.llm.dedup import (
+        _minhash_pairs,
+        _ngram_jaccard_pairs,
+        _simblocked_pairs,
+        dedup_minhash_pairs,
+        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_simblocked,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, None, "en", "srcA", 0),     # NULL text, twice
+        (1, None, "en", "srcA", 0),
+        (2, text, None, "srcA", len(text)),   # NULL lang, twice
+        (3, text, None, "srcA", len(text)),
+        (4, text, "en", "srcA", len(text)),   # normal copies
+        (5, text, "en", "srcA", len(text)),
+    ]
+    path = str(tmp_path_factory.mktemp("nullfam"))
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    for collapsed, direct in [
+        (dedup_minhash_pairs, lambda s, p: _minhash_pairs(s, p, cap=None)),
+        (dedup_ngram_jaccard, _ngram_jaccard_pairs),
+        (dedup_ngram_jaccard_simblocked, _simblocked_pairs),
+    ]:
+        got = {
+            (r.doc_a, r.doc_b) for r in collapsed(spark, path).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b) for r in direct(spark, path).collect()
+        }
+        assert got == want, collapsed.__name__
+        # NULL-text copies never pair anywhere
+        assert not any(0 in p or 1 in p for p in got), collapsed.__name__
+        assert (4, 5) in got, collapsed.__name__
+    # NULL-lang copies: pairable by the content-keyed pipelines, but the
+    # metadata-blocked query must NOT pair them (null-unsafe block join)
+    meta_got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, path).collect()
+    }
+    assert (2, 3) not in meta_got
+    content_got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard_simblocked(spark, path).collect()
+    }
+    assert (2, 3) in content_got
+
+
 def test_fuzzy_names_misses_nothing_and_dist_is_exact(spark, sf_dir):
     from mrs_mapreduce_spark.catalog import table
     from mrs_mapreduce_spark.operators.joins import join_fuzzy_names
