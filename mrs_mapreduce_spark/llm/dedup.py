@@ -378,7 +378,19 @@ def _minhash_pairs(
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit tf-weighted SimHash fingerprint per document."""
-    d = table(spark, sf_dir, "documents")
+    return _simhash_fps(spark, table(spark, sf_dir, "documents"))
+
+
+def _simhash_fps(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """The SimHash pipeline over an arbitrary docs relation.
+
+    SimHash is a function of each doc's own text alone, so the
+    collapsed blocked pipelines call this over REPRESENTATIVES only —
+    fingerprinting the full corpus and semi-joining down afterwards is
+    exact but wastes the dominant cost at replica-heavy tiers (the
+    tf x 16-bit vote expansion is ~#tokens x 16 rows; measured r6: the
+    1000-copy tier stalled >30 min in full-corpus fingerprinting while
+    the rep-only minhash twin finished in 39 s)."""
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     bits_dim = F.broadcast(
@@ -514,14 +526,14 @@ def _ngram_jaccard_pairs(
     the collapsed builder against)."""
     d = table(spark, sf_dir, "documents") if docs is None else docs
     # entity-sized fingerprint model, read by both self-join sides;
-    # simhash is a function of each doc's own text, so restricting the
-    # full-corpus fingerprints to ``docs`` via semi-join is exact
-    fp = dedup_simhash(spark, sf_dir).select(
-        "doc_id", F.expr("simhash div 256").alias("blk")
+    # simhash is a function of each doc's own text, so fingerprinting
+    # the ``docs`` relation directly (representatives, when collapsed)
+    # is exact and skips the replica-scaled tf x 16-bit vote expansion
+    fp = (
+        _simhash_fps(spark, d)
+        .select("doc_id", F.expr("simhash div 256").alias("blk"))
+        .localCheckpoint(eager=True)
     )
-    if docs is not None:
-        fp = fp.join(d.select("doc_id"), "doc_id", "semi")
-    fp = fp.localCheckpoint(eager=True)
     # no broadcast hint: fp is per-doc (unbounded at scale) — let AQE
     # choose broadcast vs shuffle from the measured size
     meta = d.select("doc_id", "lang", "source").join(fp, "doc_id")
@@ -1388,14 +1400,14 @@ def _simblocked_pairs(
     the collapsed builder against)."""
     d = table(spark, sf_dir, "documents") if docs is None else docs
     # entity-sized fingerprint model, read by both self-join sides;
-    # simhash is per-doc (a function of its own text), so restricting
-    # the full-corpus fingerprints to ``docs`` via semi-join is exact
-    fp = dedup_simhash(spark, sf_dir).select(
-        "doc_id", F.expr("simhash div 256").alias("blk")
+    # simhash is a function of each doc's own text, so fingerprinting
+    # the ``docs`` relation directly (representatives, when collapsed)
+    # is exact and skips the replica-scaled tf x 16-bit vote expansion
+    fp = (
+        _simhash_fps(spark, d)
+        .select("doc_id", F.expr("simhash div 256").alias("blk"))
+        .localCheckpoint(eager=True)
     )
-    if docs is not None:
-        fp = fp.join(d.select("doc_id"), "doc_id", "semi")
-    fp = fp.localCheckpoint(eager=True)
     wsets = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
@@ -1485,6 +1497,25 @@ def _content_families(
     return fam.join(reps, "content").select("doc_id", "rep", "csize")
 
 
+def _expansion_partitions(fam: DataFrame) -> int:
+    """Explicit partition count for the family-expansion joins.
+
+    The expansion stages are GENERATE-heavy: input is the compact
+    family relation, output is all replica pairs — up to 10^4x larger.
+    AQE's partition coalescing decides from shuffle BYTES of the tiny
+    (often 1000:1-compressed) input and is blind to generated output,
+    so at the 1000-replica tier it collapsed the 90-billion-row
+    expansion to 7 tasks (measured r6 — the stats-lie lesson of
+    SCALE.md applied to output instead of broadcast). A USER-SPECIFIED
+    repartition count is exempt from AQE coalescing, pinning the
+    expansion's parallelism to the session's shuffle width; the extra
+    exchange moves only the compact family relation.
+    """
+    return int(
+        fam.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+
+
 def _expand_cross(rp: DataFrame, fam: DataFrame, ordered: bool) -> DataFrame:
     """Expand representative-level pairs to all family-member pairs.
 
@@ -1496,9 +1527,35 @@ def _expand_cross(rp: DataFrame, fam: DataFrame, ordered: bool) -> DataFrame:
     disjoint, so each unordered pair is produced exactly once.
     """
     carried = [c for c in rp.columns if c not in ("doc_a", "doc_b")]
-    ma = fam.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("xa"))
-    mb = fam.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("xb"))
-    j = rp.join(ma, "doc_a").join(mb, "doc_b")
+    npart = _expansion_partitions(fam)
+    # Array-explode expansion, NOT a member×member join: a join must
+    # co-partition the generate-heavy stage on doc_a/doc_b, so one
+    # representative appearing in many rep pairs concentrates its
+    # (pairs x csize^2) output in one hash partition — AQE's skew
+    # splitter is byte-blind to generated rows and never splits it
+    # (measured r6: 6 straggler tasks carrying most of a 90B-row
+    # expansion). Instead the compact rp relation joins two
+    # family-ARRAY relations (one row per family), explodes side A,
+    # repartitions on the uniform (pair, member-a) combination, and
+    # explodes side B in codegen — the hot key never reaches an
+    # exchange. Family arrays are bounded by per-content exact-copy
+    # counts; a corpus holding ~10^7 copies of ONE text should run
+    # dedup_exact upstream first (the same contract as the components
+    # star edges).
+    arrs = fam.groupBy("rep").agg(F.collect_list("doc_id").alias("mm"))
+    j = (
+        rp.join(
+            arrs.select(F.col("rep").alias("doc_a"), F.col("mm").alias("as_")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("rep").alias("doc_b"), F.col("mm").alias("bs")),
+            "doc_b",
+        )
+        .select(*carried, F.explode("as_").alias("xa"), "bs")
+        .repartition(npart, "xa")
+        .select(*carried, "xa", F.explode("bs").alias("xb"))
+    )
     if ordered:
         sel = [F.col("xa").alias("doc_a"), F.col("xb").alias("doc_b")]
     else:
@@ -1529,7 +1586,9 @@ def _within_family(
     NULL text, already has a singleton family — _content_families'
     NULL discipline).
     """
-    wf = fam.filter(F.col("csize") >= 2)
+    wf = fam.filter(F.col("csize") >= 2).repartition(
+        _expansion_partitions(fam), "rep"
+    )
     if eligible is not None:
         wf = wf.join(eligible, "rep")
     cmp = (
