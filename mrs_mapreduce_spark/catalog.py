@@ -58,14 +58,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     events schema probe cost ~95 ms of driver time per call (measured at
     sf0.1), dominating plan-build for every declared query. Fixtures are
     immutable within a session and DataFrames are reusable, so the same
-    object is returned on every call.
+    object is returned on every call. The memo holds ONE entry per
+    (sf_dir, name) — a rebuilt fixture (new mtime) evicts the superseded
+    DataFrame instead of pinning it forever. Limitation: mtime staleness
+    detection is posix-only; a non-local path (``s3://...``) always
+    stat-fails to ``mtime=None``, so such tables are memoized for the
+    session with no rebuild detection.
     """
     cache: dict = getattr(spark, "_mrs_table_cache", None)
     if cache is None:
         cache = {}
         spark._mrs_table_cache = cache
     path = f"{sf_dir}/{name}.parquet"
-    # mtime in the key: a fixture rebuilt mid-session (synth_scale-style
+    # mtime in the entry: a fixture rebuilt mid-session (synth_scale-style
     # flows rewriting a tier in place) must yield a FRESH DataFrame, or
     # every per-object memo downstream (``cached_count``, ``fan_out``)
     # would silently gate plans on the old table. One os.stat per call.
@@ -73,10 +78,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         mtime = os.stat(path).st_mtime_ns
     except OSError:
         mtime = None  # let spark.read raise the real error below
-    key = (sf_dir, name, mtime)
+    key = (sf_dir, name)
     hit = cache.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
     apply_runtime_confs(spark)
     df = spark.read.parquet(path)
     if name == "events":
@@ -92,7 +97,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ).withColumn(
                 "ts_ns", F.expr("unix_micros(cast(ts as timestamp)) * 1000")
             )
-    cache[key] = df
+    cache[key] = (mtime, df)
     return df
 
 

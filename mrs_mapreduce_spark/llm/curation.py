@@ -109,7 +109,12 @@ def _pack_regime(rows: int, btok: DataFrame) -> tuple[bool, DataFrame]:
         # Output is regime-independent (pinned), so a heavily-filtered
         # corpus pays only the two-level plan shape, never correctness.
         return True, btok
-    btok = btok.cache()
+    # eager localCheckpoint, not cache(): the probe count and the offsets
+    # plan still share one aggregation pass, but checkpoint blocks are
+    # GC-cleaned by the ContextCleaner when this DataFrame dies, whereas
+    # CacheManager entries would accumulate per invocation for the life
+    # of the session (nothing here ever unpersists).
+    btok = btok.localCheckpoint(eager=True)
     return btok.count() > _PACK_TWO_LEVEL_GATE, btok
 
 

@@ -1511,9 +1511,13 @@ def _expansion_partitions(fam: DataFrame) -> int:
     expansion's parallelism to the session's shuffle width; the extra
     exchange moves only the compact family relation.
     """
-    return int(
-        fam.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    try:
+        return int(
+            fam.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    except ValueError:
+        # e.g. "auto" on managed platforms — fall back to cluster width
+        return fam.sparkSession.sparkContext.defaultParallelism
 
 
 def _expand_cross(rp: DataFrame, fam: DataFrame, ordered: bool) -> DataFrame:
@@ -1628,7 +1632,9 @@ def _prefix_filter_scored(
     tok = sh.join(dfreq, "h")
     wnd = Window.partitionBy("doc_id").orderBy("df", "h")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    prefix_len = F.expr(f"n - (({num} * n + {num}) div {den}) + 1")
+    # prefix = n - ceil(num*n/den) + 1; integer ceil via (num*n + den-1)
+    # div den, valid for ANY num/den threshold (not just num == den-1)
+    prefix_len = F.expr(f"n - (({num} * n + {den} - 1) div {den}) + 1")
     pre = (
         tok.withColumn("rn", F.row_number().over(wnd))
         .join(sizes, "doc_id")

@@ -21,6 +21,8 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from ..registry import register
+
 
 class PairFileDataSource(DataSource):
     """``spark.read.format("mrs_pairs").load(dir)`` over HexWriter output."""
@@ -59,7 +61,7 @@ class PairFileReader(DataSourceReader):
                     yield (key_hex, value_hex)
 
 
-def register(spark: SparkSession) -> None:
+def register_source(spark: SparkSession) -> None:
     """Register the source with the session (idempotent)."""
     if not getattr(spark, "_mrs_pairsource", False):
         spark.dataSource.register(PairFileDataSource)
@@ -78,6 +80,27 @@ def decode_pairs(df: DataFrame):
     )
 
 
+@register(
+    "source_hex_pairs",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    wc AS (SELECT w, count(*) AS c FROM w WHERE w <> '' GROUP BY w)
+    SELECT substr(w, 1, 1) AS letter,
+           CAST(sum(c) AS BIGINT) AS total
+    FROM wc GROUP BY 1
+    """,
+    survey="A3 (hex pair format as a first-class Spark data source)",
+    scale="""
+    The reference's persisted intermediate format promoted to a real
+    source: the Python DataSource API plans one input partition per
+    part-file (the reference's one-bucket-per-file layout), so a
+    migrated Mrs dataset parallelizes exactly as it did — and from
+    there the rows are ordinary DataFrame data. Hex/pickle decode is
+    per-row Python (the format is inherently pickled); at scale
+    convert once to parquet and keep this source for ingest only.
+    """,
+)
 def _hex_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a hex pair dataset and read it back via the custom source."""
     import tempfile
@@ -89,7 +112,7 @@ def _hex_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..mapreduce import _ensure_code_shipped
 
     _ensure_code_shipped(spark.sparkContext)
-    register(spark)
+    register_source(spark)
     words = (
         table(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("w"))
@@ -112,30 +135,3 @@ def _hex_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _register_query() -> None:
-    from ..registry import register as register_query
-
-    register_query(
-        "source_hex_pairs",
-        oracle="""
-        WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
-                   FROM documents),
-        wc AS (SELECT w, count(*) AS c FROM w WHERE w <> '' GROUP BY w)
-        SELECT substr(w, 1, 1) AS letter,
-               CAST(sum(c) AS BIGINT) AS total
-        FROM wc GROUP BY 1
-        """,
-        survey="A3 (hex pair format as a first-class Spark data source)",
-        scale="""
-        The reference's persisted intermediate format promoted to a real
-        source: the Python DataSource API plans one input partition per
-        part-file (the reference's one-bucket-per-file layout), so a
-        migrated Mrs dataset parallelizes exactly as it did — and from
-        there the rows are ordinary DataFrame data. Hex/pickle decode is
-        per-row Python (the format is inherently pickled); at scale
-        convert once to parquet and keep this source for ingest only.
-        """,
-    )(_hex_source_query)
-
-
-_register_query()

@@ -197,7 +197,11 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_update_stream(
-    spark: SparkSession, result: DataFrame, sink_name: str, use_tws: bool
+    spark: SparkSession,
+    result: DataFrame,
+    sink_name: str,
+    use_tws: bool,
+    require_single_batch: bool = False,
 ) -> DataFrame:
     """Run an update-mode stateful stream to completion; return the sink.
 
@@ -207,6 +211,15 @@ def _run_update_stream(
     requires the RocksDB state store (the provider it was designed
     around); the conf is scoped to this query's start and restored so
     co-resident HDFS-state queries keep their checkpoints.
+
+    ``require_single_batch``: an ORDER-SENSITIVE fold (stream_ewma_state)
+    sorts by event time only WITHIN a micro-batch; cross-batch order is
+    arrival order, so a fixture split across multiple AvailableNow
+    batches could silently diverge from the value oracle. Such queries
+    pass True and this fails loudly if more than one micro-batch carried
+    input rows, rather than returning a nondeterministically-ordered
+    answer. Order-insensitive folds (the totals query: sum/count) leave
+    it False — any batch split commutes.
     """
     checkpoint = tempfile.mkdtemp(prefix="mrs_state_ckpt_")
     provider_key = "spark.sql.streaming.stateStore.providerClass"
@@ -233,6 +246,20 @@ def _run_update_stream(
                 f"{sink_name}: availableNow batch did not finish in "
                 "180s; memory sink would be partial — failing loudly instead"
             )
+        if require_single_batch:
+            data_batches = sum(
+                1
+                for p in query.recentProgress
+                if p and p["numInputRows"] > 0
+            )
+            if data_batches > 1:
+                raise RuntimeError(
+                    f"{sink_name}: fixture arrived in {data_batches} "
+                    "micro-batches; the order-sensitive fold's "
+                    "cross-batch order would be arrival order, not "
+                    "event time — refusing to return a "
+                    "nondeterministic answer"
+                )
     finally:
         if use_tws:
             if prev_provider is None:
@@ -370,7 +397,10 @@ def _ewma_apply_in_pandas(stream: DataFrame) -> DataFrame:
     micro-batch (the sort) and across batches by arrival order — with
     Trigger.AvailableNow over an in-order source (the fixture, a
     compacted Kafka topic) the result equals the batch recurrence
-    EXACTLY, which is what the value oracle checks; for out-of-order
+    EXACTLY, which is what the value oracle checks; the runner FAILS
+    LOUDLY if the fixture splits across >1 data-carrying micro-batch
+    (require_single_batch), so a multi-file events dir can never
+    nondeterministically diverge from the oracle. For out-of-order
     production streams the watermark-buffered variant (timer-based
     reordering) is the documented extension, not silently different
     output. Primary path is Spark 4 transformWithStateInPandas
@@ -397,7 +427,13 @@ def stream_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         if use_tws
         else _ewma_apply_in_pandas(stream)
     )
-    snap = _run_update_stream(spark, result, "mrs_stream_ewma_sink", use_tws)
+    snap = _run_update_stream(
+        spark,
+        result,
+        "mrs_stream_ewma_sink",
+        use_tws,
+        require_single_batch=True,
+    )
     # one update row per key per micro-batch: keep the final state
     w = Window.partitionBy("user_id").orderBy(F.desc("n_purchases"))
     return (

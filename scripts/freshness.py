@@ -235,7 +235,11 @@ def audit() -> dict[str, dict]:
         if rnd is None:
             report[name] = {"status": "never", "round": None, "deep": None}
             continue
-        rev = markers.get(rnd)
+        # Mid-round, CORRECTNESS_r{N}.json exists before the "round N:
+        # verdict" marker commit does; the driver tested the round's final
+        # snapshot, which is at (or behind) HEAD — resolve to HEAD rather
+        # than mislabeling every current-round row as stale.
+        rev = markers.get(rnd, "HEAD")
         if rev not in old_sets:
             old_sets[rev] = _ClosureSet(
                 lambda rel, _rev=rev: _git_show(_rev, rel)

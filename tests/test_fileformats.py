@@ -68,7 +68,7 @@ def test_custom_pair_datasource(spark, tmp_path):
     out = str(tmp_path / "pairsrc")
     write_hex(rdd, out)
 
-    pairsource.register(spark)
+    pairsource.register_source(spark)
     df = spark.read.format("mrs_pairs").load(out)
     assert df.columns == ["key_hex", "value_hex"]
     # source parallelism mirrors the file layout (one partition per file)
