@@ -242,6 +242,23 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(within)
 
 
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): LSH banding over the long signature
+    format — band_key is the md5 of the band's seed-ordered minhashes,
+    so the bucket join moves 16-byte keys, never 4-int tuples."""
+    return sig.groupBy(
+        "doc_id", (F.col("seed") / _ROWS_PER_BAND).cast("int").alias("band")
+    ).agg(
+        F.md5(
+            F.array_join(
+                F.sort_array(F.collect_list(F.struct("seed", "minhash")))
+                .minhash.cast("array<string>"),
+                ",",
+            )
+        ).alias("band_key")
+    )
+
+
 def _minhash_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -253,22 +270,10 @@ def _minhash_pairs(
     corpus (the collapsed-edge components path passes distinct-content
     representatives)."""
     d = table(spark, sf_dir, "documents") if docs is None else docs
-    sig = _minhash_sig(d)
-    bands = sig.groupBy(
-        "doc_id", (F.col("seed") / _ROWS_PER_BAND).cast("int").alias("band")
-    ).agg(
-        F.md5(
-            F.array_join(
-                F.sort_array(F.collect_list(F.struct("seed", "minhash")))
-                .minhash.cast("array<string>"),
-                ",",
-            )
-        ).alias("band_key")
-    )
     # both sides of the bucket self-join read bands: materialize the
     # narrow (doc, band, 16-byte key) relation once instead of running
     # the whole shingle->signature pipeline twice (2 fewer corpus scans)
-    bands = bands.localCheckpoint(eager=True)
+    bands = _band_keys(_minhash_sig(d)).localCheckpoint(eager=True)
     if cap is not None:
         from pyspark.sql.window import Window
 
@@ -884,6 +889,168 @@ def dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+    )
+
+
+@register(
+    "dedup_against_corpus_minhash",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM words WHERE len(ws) >= 3),
+    sig AS (SELECT doc_id, CAST(seed AS INT) AS seed,
+                   min(({_DUCK_A}[seed + 1] * {_DUCK_N}
+                        + {_DUCK_B}[seed + 1]) % 2147483647) AS minhash
+            FROM sh CROSS JOIN generate_series(0, 15) AS s(seed)
+            GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), ','
+                                    ORDER BY seed)) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4),
+    cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+             FROM bands b JOIN bands c
+               ON b.band = c.band AND b.band_key = c.band_key
+             WHERE b.doc_id >= 250 AND c.doc_id < 250),
+    ssets AS (SELECT doc_id, sh FROM sh GROUP BY doc_id, sh),
+    verified AS (
+      SELECT p.batch_id, p.corpus_id,
+             count(sb.sh) AS inter_n,
+             any_value(na.n) + any_value(nb.n) - count(sb.sh) AS union_n
+      FROM cand p
+      JOIN ssets sa ON sa.doc_id = p.batch_id
+      LEFT JOIN ssets sb ON sb.doc_id = p.corpus_id AND sb.sh = sa.sh
+      JOIN (SELECT doc_id, count(*) AS n FROM ssets GROUP BY doc_id) na
+        ON na.doc_id = p.batch_id
+      JOIN (SELECT doc_id, count(*) AS n FROM ssets GROUP BY doc_id) nb
+        ON nb.doc_id = p.corpus_id
+      GROUP BY p.batch_id, p.corpus_id)
+    SELECT batch_id, corpus_id,
+           round(inter_n * 1.0 / union_n, 4) AS jaccard
+    FROM verified
+    WHERE inter_n * 1.0 / union_n >= 0.5
+    """,
+    survey="D1/D2 extension (incremental NEAR-dup admission: new batch "
+    "LSH-probes the historical corpus's banded signature index)",
+    scale="""
+    dedup_against_corpus extended from exact-hash to NEAR-dup, the
+    production ingest gate: the historical corpus is represented by its
+    persisted (doc, band, band_key) LSH index — 4 rows of 16-byte keys
+    per doc, bucketed on (band, band_key) on disk — and each incoming
+    batch computes ITS OWN signatures (O(batch)), probes the index with
+    an equi-join (never a corpus self-join: the join shape is
+    batch x bucket-hit, so ingest cost scales with the batch, not the
+    corpus), and exact-verifies the surviving candidates' Jaccard on
+    shingle hash sets. Admission is then one anti-join on the verified
+    batch_ids. Exact-copy mass collapses INDEPENDENTLY per side before
+    any pairwise work (identical text => identical signatures, buckets
+    and Jaccard — the two-sided split makes the collapse especially
+    clean: a batch copy of a corpus doc is a rep-level candidate PAIR,
+    so no within-family special case exists) and the verified rep pairs
+    expand back through both family relations. The oracle is the
+    UNCOLLAPSED direct computation over all docs, so driver hash
+    equality proves the collapse and the side-split lossless. At the
+    fixture there is no persisted index, so the corpus side's
+    signatures are computed in-plan; the plan SHAPE (batch-vs-corpus
+    equi-join, no self-join) is what survives 100 TB.
+    """,
+)
+def dedup_against_corpus_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch-vs-corpus near-dup pairs (LSH probe + exact Jaccard >= 0.5),
+    each side's exact-copy mass collapsed first (provably lossless)."""
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") >= 250)
+    corpus = d.filter(F.col("doc_id") < 250)
+    bfam = _content_families(batch).localCheckpoint(eager=True)
+    cfam = _content_families(corpus).localCheckpoint(eager=True)
+    brep = batch.join(
+        bfam.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+    )
+    crep = corpus.join(
+        cfam.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+    )
+    rp = _minhash_probe(brep, crep)
+    expanded = _expand_cross(rp, bfam, ordered=True, fam_b=cfam)
+    return expanded.select(
+        F.col("doc_a").alias("batch_id"),
+        F.col("doc_b").alias("corpus_id"),
+        "jaccard",
+    )
+
+
+def _minhash_probe(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """(doc_a=batch doc, doc_b=corpus doc, jaccard): LSH band probe of
+    ``corpus`` by ``batch``, exact-verified at Jaccard >= 0.5.
+
+    The probe twin of :func:`_minhash_pairs`: same signature family,
+    banding layout, threshold and merge-hint verify discipline, but the
+    candidate stage is a batch-bands x corpus-bands EQUI-join instead
+    of a corpus self-join — in production the corpus side is the
+    persisted index relation and only the batch side is computed.
+    """
+    b_bands = _band_keys(_minhash_sig(batch)).localCheckpoint(eager=True)
+    c_bands = _band_keys(_minhash_sig(corpus)).localCheckpoint(eager=True)
+    cand = (
+        b_bands.alias("a")
+        .join(
+            c_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # verify on md5'd shingle sets, merge-hinted: the same
+    # corpus-scaled-relation discipline as _minhash_pairs (see there)
+    ssets_a = (
+        shingles(batch).select("doc_id", F.md5("sh").alias("h")).distinct()
+    )
+    ssets_b = (
+        shingles(corpus).select("doc_id", F.md5("sh").alias("h")).distinct()
+    )
+    sizes_a = ssets_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes_b = ssets_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(
+            ssets_a.alias("sa").hint("merge"),
+            F.col("sa.doc_id") == F.col("doc_a"),
+        )
+        .join(
+            ssets_b.alias("sb").hint("merge"),
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.h") == F.col("sa.h")),
+            "left",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.col("sb.h")).alias("inter_n"))
+    )
+    verified = (
+        inter.join(
+            sizes_a.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+            ).hint("merge"),
+            "doc_a",
+        )
+        .join(
+            sizes_b.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+            ).hint("merge"),
+            "doc_b",
+        )
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter_n"))
+        .withColumn("jac", F.col("inter_n") * 1.0 / F.col("union_n"))
+    )
+    return verified.filter(F.col("jac") >= 0.5).select(
+        "doc_a", "doc_b", pround("jac", 4).alias("jaccard")
     )
 
 
@@ -1520,7 +1687,12 @@ def _expansion_partitions(fam: DataFrame) -> int:
         return fam.sparkSession.sparkContext.defaultParallelism
 
 
-def _expand_cross(rp: DataFrame, fam: DataFrame, ordered: bool) -> DataFrame:
+def _expand_cross(
+    rp: DataFrame,
+    fam: DataFrame,
+    ordered: bool,
+    fam_b: DataFrame | None = None,
+) -> DataFrame:
     """Expand representative-level pairs to all family-member pairs.
 
     ``rp``'s doc_a/doc_b are representative ids; every other column is
@@ -1529,6 +1701,10 @@ def _expand_cross(rp: DataFrame, fam: DataFrame, ordered: bool) -> DataFrame:
     keeps (a-member, b-member) orientation (containment); unordered
     re-orients each cross-family pair as (min, max) — families are
     disjoint, so each unordered pair is produced exactly once.
+
+    ``fam_b``: a SECOND family relation for the doc_b side (the
+    batch-vs-corpus probe, where the two sides collapse independently);
+    default None reuses ``fam`` for both sides (self-join pipelines).
     """
     carried = [c for c in rp.columns if c not in ("doc_a", "doc_b")]
     npart = _expansion_partitions(fam)
@@ -1547,13 +1723,20 @@ def _expand_cross(rp: DataFrame, fam: DataFrame, ordered: bool) -> DataFrame:
     # dedup_exact upstream first (the same contract as the components
     # star edges).
     arrs = fam.groupBy("rep").agg(F.collect_list("doc_id").alias("mm"))
+    arrs_b = (
+        arrs
+        if fam_b is None
+        else fam_b.groupBy("rep").agg(F.collect_list("doc_id").alias("mm"))
+    )
     j = (
         rp.join(
             arrs.select(F.col("rep").alias("doc_a"), F.col("mm").alias("as_")),
             "doc_a",
         )
         .join(
-            arrs.select(F.col("rep").alias("doc_b"), F.col("mm").alias("bs")),
+            arrs_b.select(
+                F.col("rep").alias("doc_b"), F.col("mm").alias("bs")
+            ),
             "doc_b",
         )
         .select(*carried, F.explode("as_").alias("xa"), "bs")

@@ -514,52 +514,15 @@ def _duck_assign(pts: str, cents: str, out: str) -> str:
         FROM {pts} p CROSS JOIN {cents} c) WHERE rk = 1)"""
 
 
-@register(
-    "similarity_ivf_trained",
-    oracle=f"""
-    WITH pts AS (SELECT vec_id,
-                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
-                 FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, a AS cv FROM pts WHERE vec_id < {_IVF_K}),
-    {_duck_assign('pts', 'c0', 'a1')},
-    u1 AS (SELECT a1.cid, g.i AS dim, round(avg(p.a[g.i]), 6) AS c
-           FROM a1 JOIN pts p USING (vec_id)
-           CROSS JOIN generate_series(1, 64) AS g(i)
-           GROUP BY a1.cid, g.i),
-    c1 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM u1 GROUP BY cid),
-    {_duck_assign('pts', 'c1', 'a2')},
-    q AS (SELECT a2.vec_id AS q_id, a2.cid AS q_cid, p.a AS qv
-          FROM a2 JOIN pts p USING (vec_id) WHERE vec_id < 10),
-    scored AS (SELECT q.q_id, a2.vec_id AS cand_id,
-                      {_duck_cos('qv', 'p.a')} AS cos
-               FROM q JOIN a2 ON a2.cid = q.q_cid
-               JOIN pts p ON p.vec_id = a2.vec_id
-               WHERE a2.vec_id <> q.q_id)
-    SELECT q_id, cand_id, round(cos, 6) AS cos_sim, rk
-    FROM (SELECT q_id, cand_id, cos,
-                 row_number() OVER (PARTITION BY q_id
-                                    ORDER BY cos DESC, cand_id) AS rk
-          FROM scored)
-    WHERE rk <= 3
-    """,
-    survey="D3 (IVF with a TRAINED k-means codebook — closes the "
-    "similarity_ivf 'first 16 vectors' caveat)",
-    scale="""
-    similarity_ivf with the codebook actually trained: one Lloyd update
-    round (fixed for determinism) wired in from iterative_kmeans_emb's
-    loop — assignment is the same broadcast struct-min argmin (one
-    shuffle carrying one row per point), the centroid update shuffles
-    only k x 64 rows, and the trained centroids localCheckpoint to a
-    k-row relation before search. Trained cells track the data
-    distribution, so cell sizes (and per-query candidate counts) are far
-    more balanced than the arbitrary seed-vector codebook — that balance
-    IS the recall/cost win at 100 TB, where each cell becomes a disk
-    partition and the worst cell bounds tail latency. Search itself is
-    the identical cell-equijoin + rank-limited window as similarity_ivf.
-    """,
-)
-def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-3 search over a k-means-trained (1 Lloyd round) codebook."""
+def _ivf_trained_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, a): every embedding assigned to its trained IVF cell.
+
+    similarity_ivf_trained's codebook pipeline — seed = first _IVF_K
+    vectors, ONE Lloyd update round (fixed for determinism), assignment
+    as the broadcast struct-min argmin — shared with the composed
+    IVF+ADC retrieval query, which probes these cells but re-ranks by
+    asymmetric distance instead of exact cosine.
+    """
     pts = (
         fan_out(table(spark, sf_dir, "embeddings"))
         .select(
@@ -609,7 +572,56 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # k-row codebook, lineage cut
     )
-    assigned = assign(trained)
+    return assign(trained)
+
+
+@register(
+    "similarity_ivf_trained",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                 FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, a AS cv FROM pts WHERE vec_id < {_IVF_K}),
+    {_duck_assign('pts', 'c0', 'a1')},
+    u1 AS (SELECT a1.cid, g.i AS dim, round(avg(p.a[g.i]), 6) AS c
+           FROM a1 JOIN pts p USING (vec_id)
+           CROSS JOIN generate_series(1, 64) AS g(i)
+           GROUP BY a1.cid, g.i),
+    c1 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM u1 GROUP BY cid),
+    {_duck_assign('pts', 'c1', 'a2')},
+    q AS (SELECT a2.vec_id AS q_id, a2.cid AS q_cid, p.a AS qv
+          FROM a2 JOIN pts p USING (vec_id) WHERE vec_id < 10),
+    scored AS (SELECT q.q_id, a2.vec_id AS cand_id,
+                      {_duck_cos('qv', 'p.a')} AS cos
+               FROM q JOIN a2 ON a2.cid = q.q_cid
+               JOIN pts p ON p.vec_id = a2.vec_id
+               WHERE a2.vec_id <> q.q_id)
+    SELECT q_id, cand_id, round(cos, 6) AS cos_sim, rk
+    FROM (SELECT q_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, cand_id) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    survey="D3 (IVF with a TRAINED k-means codebook — closes the "
+    "similarity_ivf 'first 16 vectors' caveat)",
+    scale="""
+    similarity_ivf with the codebook actually trained: one Lloyd update
+    round (fixed for determinism) wired in from iterative_kmeans_emb's
+    loop — assignment is the same broadcast struct-min argmin (one
+    shuffle carrying one row per point), the centroid update shuffles
+    only k x 64 rows, and the trained centroids localCheckpoint to a
+    k-row relation before search. Trained cells track the data
+    distribution, so cell sizes (and per-query candidate counts) are far
+    more balanced than the arbitrary seed-vector codebook — that balance
+    IS the recall/cost win at 100 TB, where each cell becomes a disk
+    partition and the worst cell bounds tail latency. Search itself is
+    the identical cell-equijoin + rank-limited window as similarity_ivf.
+    """,
+)
+def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 search over a k-means-trained (1 Lloyd round) codebook."""
+    assigned = _ivf_trained_assign(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
         F.col("cid").alias("q_cid"),
@@ -938,6 +950,138 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("lmicro").alias("admicro"))
+    )
+    w = Window.partitionBy("q_id").orderBy("admicro", "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "q_id",
+            "cand_id",
+            pround(F.col("admicro") / 1_000_000.0, 4).alias("adist"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "similarity_ivf_adc",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                 FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, a AS cv FROM pts WHERE vec_id < {_IVF_K}),
+    {_duck_assign('pts', 'c0', 'a1')},
+    u1 AS (SELECT a1.cid, g.i AS dim, round(avg(p.a[g.i]), 6) AS c
+           FROM a1 JOIN pts p USING (vec_id)
+           CROSS JOIN generate_series(1, 64) AS g(i)
+           GROUP BY a1.cid, g.i),
+    c1 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM u1 GROUP BY cid),
+    {_duck_assign('pts', 'c1', 'a2')},
+    sub AS (SELECT vec_id, g.m,
+                   a[g.m * {_PQ_D} + 1 : g.m * {_PQ_D} + {_PQ_D}] AS sv
+            FROM pts CROSS JOIN generate_series(0, {_PQ_M - 1}) AS g(m)),
+    cb AS (SELECT m, vec_id AS k, sv AS cv FROM sub
+           WHERE vec_id < {_PQ_K}),
+    codes AS (
+      SELECT vec_id, m, k FROM (
+        SELECT s.vec_id, s.m, c.k,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY list_aggregate(list_transform(
+                                      range(1, {_PQ_D} + 1),
+                                      i -> (s.sv[i] - c.cv[i])
+                                           * (s.sv[i] - c.cv[i])),
+                                  'sum'), c.k) AS rk
+        FROM sub s JOIN cb c ON c.m = s.m)
+      WHERE rk = 1),
+    lut AS (SELECT q.vec_id AS q_id, c.m, c.k,
+                   CAST(floor(list_aggregate(list_transform(
+                            range(1, {_PQ_D} + 1),
+                            i -> (q.sv[i] - c.cv[i])
+                                 * (q.sv[i] - c.cv[i])),
+                        'sum') * 1000000 + 0.5) AS BIGINT) AS lmicro
+            FROM sub q JOIN cb c ON c.m = q.m
+            WHERE q.vec_id < {_PQ_NQ}),
+    q AS (SELECT vec_id AS q_id, cid AS q_cid FROM a2
+          WHERE vec_id < {_PQ_NQ}),
+    scored AS (SELECT q.q_id, a.vec_id AS cand_id,
+                      sum(l.lmicro) AS admicro
+               FROM a2 a
+               JOIN q ON a.cid = q.q_cid AND a.vec_id <> q.q_id
+               JOIN codes c2 ON c2.vec_id = a.vec_id
+               JOIN lut l ON l.q_id = q.q_id AND l.m = c2.m
+                         AND l.k = c2.k
+               GROUP BY q.q_id, a.vec_id)
+    SELECT q_id, cand_id, round(admicro / 1000000.0, 4) AS adist, rk
+    FROM (SELECT q_id, cand_id, admicro,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY admicro, cand_id) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    survey="D3 (composed ANN retrieval: IVF cell-probe -> PQ/ADC "
+    "re-rank — the production vector-store read path as ONE plan)",
+    scale="""
+    The composition a real 100 TB vector store runs, declared as one
+    oracle-checked plan (the corpus_curate_pipeline discipline applied
+    to retrieval): similarity_ivf_trained's cells bound WHICH vectors
+    are touched, similarity_pq_adc's lookup tables bound WHAT is read
+    per vector. Candidate-set semantics, spelled out: candidates are
+    exactly the non-self members of the query's own trained cell
+    (nprobe = 1, the same set similarity_ivf_trained scores), ranked
+    by ADC distance over PQ codes (NOT exact cosine — the 32x-smaller
+    codes relation is the only corpus-sized input to the scoring join,
+    so the raw vectors are never read after assignment). Plan: cell
+    assignment and code assignment are both broadcast struct-min
+    argmins (one narrow shuffle each), the 5 x 8 x 4-row LUT and the
+    (q_id, q_cid) probe relation broadcast, scoring is one
+    equijoin + int64 partial-aggregated sum, top-3 a rank-limited
+    window. At scale the cells are disk partitions keyed by cid: the
+    probe join becomes partition-prune, and the ADC scan reads only
+    the probed cells' code files — recall tunes by probing the nprobe
+    nearest cells, cost by the codes' byte budget, exactly the
+    IVF-ADC tradeoff (Jegou et al. 2011) in Catalyst terms.
+    """,
+)
+def similarity_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per query: probe the trained IVF cell, re-rank by ADC."""
+    assigned = _ivf_trained_assign(spark, sf_dir).select("vec_id", "cid")
+    sub = _pq_subvectors(spark, sf_dir)
+    cb = _pq_codebook(sub)
+    codes = _pq_codes(sub, cb).select("vec_id", "m", "k")
+    lsq = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < _PQ_NQ)
+        .join(F.broadcast(cb), F.col("m") == F.col("cb_m"))
+        .select(
+            F.col("vec_id").alias("l_q"),
+            F.col("m").alias("l_m"),
+            F.col("k").alias("l_k"),
+            F.floor(lsq * 1_000_000 + 0.5).cast("long").alias("lmicro"),
+        )
+    )
+    q = assigned.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("cid").alias("q_cid")
+    )
+    cand = (
+        assigned.join(F.broadcast(q), F.col("cid") == F.col("q_cid"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("cand_id"))
+    )
+    scored = (
+        cand.join(codes, F.col("cand_id") == codes.vec_id)
+        .join(
+            F.broadcast(lut),
+            (F.col("q_id") == F.col("l_q"))
+            & (F.col("m") == F.col("l_m"))
+            & (F.col("k") == F.col("l_k")),
+        )
+        .groupBy("q_id", "cand_id")
         .agg(F.sum("lmicro").alias("admicro"))
     )
     w = Window.partitionBy("q_id").orderBy("admicro", "cand_id")

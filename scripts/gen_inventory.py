@@ -52,11 +52,32 @@ def main() -> None:
     n_oracle = sum(1 for q in registry.values() if q.oracle)
     n_fresh = sum(1 for r in fresh.values() if r["status"] == "fresh")
     n_stale = sum(1 for r in fresh.values() if r["status"] == "stale")
+    n_deep = sum(
+        1
+        for r in fresh.values()
+        if r["status"] == "fresh" and not r["deep"]
+    )
+    # deep-stale burn-down trend: carry the history forward from the
+    # previous INVENTORY.md so each regen appends one point (r6 verdict
+    # task 3 — the rotation's deep-stale tiebreak should drive this to 0
+    # over a few rounds, and the trend line makes the burn-down visible)
+    import re
+
+    out_path = Path(__file__).resolve().parent.parent / "INVENTORY.md"
+    history = "r6 close: 169"
+    if out_path.is_file():
+        m = re.search(r"Trend: (.+?)\.\n", out_path.read_text())
+        if m:
+            history = m.group(1).rsplit(" → now: ", 1)[0]
     lines.append(
         f"\n**{len(registry)} declared queries — {n_oracle} with exact SQL"
         f" oracles, {len(registry) - n_oracle} rows-only; evidence:"
         f" {n_fresh} fresh-green, {n_stale} stale,"
         f" {len(registry) - n_fresh - n_stale} never driver-tested.**\n"
+        f"\nDeep-stale (module-fresh but a shared cross-module helper"
+        f" changed since the evidence; burned down by the rotation's"
+        f" deep-stale tiebreak): **{n_deep}**."
+        f" Trend: {history} → now: {n_deep}.\n"
     )
 
     # reverse index: SURVEY §2 row -> queries covering it

@@ -78,6 +78,7 @@ HEAVY = [
     "dedup_ngram_jaccard_simblocked",
     "dedup_jaccard_exact",
     "dedup_containment",
+    "dedup_against_corpus_minhash",
     "dedup_embedding",
     "dedup_components",
     "dedup_components_star",
@@ -124,6 +125,10 @@ RATIO_BUDGETS = {
     # NEAR-dup (not exact-dup) mass — the headroom over 1.0x covers it
     "dedup_jaccard_exact": 6,
     "dedup_containment": 6,
+    # batch side is ~the whole replica tier (split is doc_id>=250):
+    # linear signature/band work over the batch + a batch x 250-doc
+    # corpus probe; output grows with batch copies of corpus texts
+    "dedup_against_corpus_minhash": 8,
     "dedup_embedding": 7,  # r5 re-block measured 2.8x
     # components run over collapsed edges (exact-dup mass as rep->copy
     # stars): r5 measured 20.3 s at 10 copies / 27.0 s at 100 copies

@@ -359,3 +359,60 @@ def test_fuzzy_names_misses_nothing_and_dist_is_exact(spark, sf_dir):
         if a < b and lev(a, b) <= 2
     }
     assert got == want and len(got) > 0
+
+
+def test_corpus_minhash_probe_collapse_equals_uncollapsed(
+    spark, tmp_path_factory
+):
+    """The collapsed dedup_against_corpus_minhash must equal the direct
+    (uncollapsed) batch-vs-corpus probe row-for-row, on a corpus with
+    copies WITHIN each side and ACROSS the doc_id-250 split — the
+    cross-side-copy case is where a single-family collapse would break
+    (same family, no rep pair) and the two-sided collapse must not."""
+    from mrs_mapreduce_spark.catalog import table
+    from mrs_mapreduce_spark.llm.dedup import (
+        _minhash_probe,
+        dedup_against_corpus_minhash,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # corpus side (doc_id < 250)
+        (100, base, "en", "srcA", len(base)),
+        (101, base, "en", "srcA", len(base)),            # corpus copy
+        (102, base + " lambda", "en", "srcA", 0),        # jac 7/8
+        (103, "solitary unrelated words entirely disjoint", "en", "srcA", 0),
+        (104, "tiny doc", "en", "srcA", 8),              # shingle-less
+        # batch side (doc_id >= 250)
+        (300, base, "en", "srcB", len(base)),            # cross-side copy
+        (301, base, "en", "srcB", len(base)),            # batch family
+        (302, base.replace("kappa", "omega"), "en", "srcB", 0),  # jac 6/8
+        (303, "tiny doc", "en", "srcB", 8),              # shingle-less copy
+    ]
+    path = str(tmp_path_factory.mktemp("probefam"))
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    got = {
+        (r.batch_id, r.corpus_id, float(r.jaccard))
+        for r in dedup_against_corpus_minhash(spark, path).collect()
+    }
+    d = table(spark, path, "documents")
+    want = {
+        (r.doc_a, r.doc_b, float(r.jaccard))
+        for r in _minhash_probe(
+            d.filter(F.col("doc_id") >= 250),
+            d.filter(F.col("doc_id") < 250),
+        ).collect()
+    }
+    assert got == want
+    # cross-side copies pair at 1.0 against BOTH corpus copies
+    assert (300, 100, 1.0) in got and (300, 101, 1.0) in got
+    assert (301, 100, 1.0) in got and (301, 101, 1.0) in got
+    # orientation: output is (batch, corpus) only — never batch-batch
+    pairs = {(a, b) for a, b, _ in got}
+    assert all(a >= 250 and b < 250 for a, b in pairs)
+    assert (300, 301) not in pairs and (301, 300) not in pairs
+    # shingle-less exact copies stay out despite crossing the split
+    assert not any(303 in p or 104 in p for p in pairs)
