@@ -382,6 +382,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # suppkey -> nation. The second sort-merge input drops from
     # |lineitem| rows (the 600M-row 96-way spilled sort the sf100 sweep
     # flagged) to the ~25x-smaller supplier-nation support set.
+    # Deliberately NOT pre-distincting (l_orderkey, l_suppkey) at the
+    # scan: measured at the 1000-copy tier the pair relation is 1.00x of
+    # lineitem (598.8M distinct / 600M rows — this generator has no
+    # per-order suppkey duplication), so the distinct adds a full
+    # corpus-sized shuffle for nothing (interleaved A/B: 159-187 s vs
+    # 97-116 s current; SCALE.md). On a corpus where the pair ratio is
+    # genuinely small, that distinct is the first knob to try.
     supp_cnation = (
         li.select("l_orderkey", "l_suppkey")
         .join(order_nation, li.l_orderkey == F.col("o_orderkey"))
