@@ -1055,6 +1055,84 @@ def _minhash_probe(batch: DataFrame, corpus: DataFrame) -> DataFrame:
 
 
 @register(
+    "sink_lsh_index",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM words WHERE len(ws) >= 3),
+    sig AS (SELECT doc_id, CAST(seed AS INT) AS seed,
+                   min(({_DUCK_A}[seed + 1] * {_DUCK_N}
+                        + {_DUCK_B}[seed + 1]) % 2147483647) AS minhash
+            FROM sh CROSS JOIN generate_series(0, 15) AS s(seed)
+            GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), ','
+                                    ORDER BY seed)) AS band_key
+              FROM sig GROUP BY doc_id, seed // 4)
+    SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+    FROM bands b JOIN bands c
+      ON b.band = c.band AND b.band_key = c.band_key
+    WHERE b.doc_id >= 250 AND c.doc_id < 250
+    """,
+    survey="A4/§4 + D2 extension (the PERSISTED banded LSH index: the "
+    "corpus-side artifact dedup_against_corpus_minhash's scale note "
+    "names, written bucketed on the probe key so admission probes read "
+    "it with zero index-side exchange)",
+    scale="""
+    dedup_against_corpus_minhash made storage-real: the corpus's
+    (corpus_id, band, band_key) LSH index is WRITTEN — bucketBy(8,
+    band, band_key) sortBy the same — and the candidate probe reads the
+    PERSISTED relation. Bucketing on the probe key means the stored
+    side of the bucket join reports its layout as the join's required
+    distribution, so the index — the corpus-scaled side, the one that
+    is 100 TB in production — is never exchanged: only the in-flight
+    batch bands shuffle, into |buckets| partitions
+    (tests/test_layouts.py asserts exactly one Exchange on the band
+    keys with broadcast disabled, and Bucketed: true on the scan).
+    Ingest then costs O(batch) signatures + one batch-sized shuffle +
+    a bucket-pruned merge against sorted index files, per batch,
+    forever — the index is written once and re-read by every
+    admission; re-bucketing never happens. The declared output is the
+    doc-level candidate pair list (the verify stage is
+    dedup_against_corpus_minhash's, shared); the oracle computes the
+    same bands directly, so hash equality proves the artifact
+    round-trips the banding exactly.
+    """,
+)
+def sink_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the corpus band index bucketed on (band, band_key); probe
+    it with the batch's in-flight bands; return candidate doc pairs."""
+    import tempfile
+
+    from ..sources.partitioned import write_bucketed
+
+    d = table(spark, sf_dir, "documents")
+    idx_df = _band_keys(_minhash_sig(d.filter(F.col("doc_id") < 250))).select(
+        F.col("doc_id").alias("corpus_id"), "band", "band_key"
+    )
+    base = tempfile.mkdtemp(prefix="mrs_lshidx_")
+    write_bucketed(
+        idx_df,
+        "q_lsh_index",
+        ["band", "band_key"],
+        8,
+        ["band", "band_key"],
+        location=f"{base}/q_lsh_index",
+    )
+    b_bands = _band_keys(
+        _minhash_sig(d.filter(F.col("doc_id") >= 250))
+    ).select(F.col("doc_id").alias("batch_id"), "band", "band_key")
+    return (
+        b_bands.join(spark.table("q_lsh_index"), ["band", "band_key"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+
+
+@register(
     "dedup_minhash_eval",
     oracle=f"""
     WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -514,14 +514,19 @@ def _duck_assign(pts: str, cents: str, out: str) -> str:
         FROM {pts} p CROSS JOIN {cents} c) WHERE rk = 1)"""
 
 
-def _ivf_trained_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cid, a): every embedding assigned to its trained IVF cell.
+def _ivf_trained(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(assigned, trained): the trained-IVF substrate.
 
-    similarity_ivf_trained's codebook pipeline — seed = first _IVF_K
+    ``assigned`` is (vec_id, cid, a) — every embedding in its trained
+    cell; ``trained`` is the k-row (cid, cv) codebook after one Lloyd
+    round. similarity_ivf_trained's pipeline — seed = first _IVF_K
     vectors, ONE Lloyd update round (fixed for determinism), assignment
     as the broadcast struct-min argmin — shared with the composed
-    IVF+ADC retrieval query, which probes these cells but re-ranks by
-    asymmetric distance instead of exact cosine.
+    IVF+ADC retrieval query (probes cells, re-ranks by asymmetric
+    distance) and the nprobe=2 search (ranks the codebook per query to
+    pick TWO cells, which needs ``trained`` itself).
     """
     pts = (
         fan_out(table(spark, sf_dir, "embeddings"))
@@ -572,7 +577,7 @@ def _ivf_trained_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # k-row codebook, lineage cut
     )
-    return assign(trained)
+    return assign(trained), trained
 
 
 @register(
@@ -621,7 +626,7 @@ def _ivf_trained_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-3 search over a k-means-trained (1 Lloyd round) codebook."""
-    assigned = _ivf_trained_assign(spark, sf_dir)
+    assigned, _ = _ivf_trained(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
         F.col("cid").alias("q_cid"),
@@ -629,6 +634,98 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         assigned.join(F.broadcast(q), F.col("cid") == F.col("q_cid"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine("qv", "a").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "cand_id", pround("cos", 6).alias("cos_sim"), "rk")
+    )
+
+
+@register(
+    "similarity_ivf_nprobe",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                 FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, a AS cv FROM pts WHERE vec_id < {_IVF_K}),
+    {_duck_assign('pts', 'c0', 'a1')},
+    u1 AS (SELECT a1.cid, g.i AS dim, round(avg(p.a[g.i]), 6) AS c
+           FROM a1 JOIN pts p USING (vec_id)
+           CROSS JOIN generate_series(1, 64) AS g(i)
+           GROUP BY a1.cid, g.i),
+    c1 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM u1 GROUP BY cid),
+    {_duck_assign('pts', 'c1', 'a2')},
+    qprobe AS (
+      SELECT vec_id AS q_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {_SQDIST_DUCK.format(
+                                      p='p.a', c='c.cv')}, c.cid) AS rk
+        FROM pts p CROSS JOIN c1 c
+        WHERE p.vec_id < 10) WHERE rk <= 2),
+    scored AS (SELECT qp.q_id, a2.vec_id AS cand_id,
+                      {_duck_cos('q.a', 'p.a')} AS cos
+               FROM qprobe qp
+               JOIN a2 ON a2.cid = qp.cid
+               JOIN pts p ON p.vec_id = a2.vec_id
+               JOIN pts q ON q.vec_id = qp.q_id
+               WHERE a2.vec_id <> qp.q_id)
+    SELECT q_id, cand_id, round(cos, 6) AS cos_sim, rk
+    FROM (SELECT q_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, cand_id) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    survey="D3 (nprobe=2 trained-IVF search — the recall/cost knob "
+    "named in similarity_ivf's scale note, on the trained codebook)",
+    scale="""
+    The IVF recall knob, implemented: each query ranks the k-row
+    trained codebook by distance and probes its TWO nearest cells
+    (nprobe=2), recovering neighbors that straddle a cell boundary —
+    the failure mode of nprobe=1, whose candidate set misses any true
+    neighbor k-means happened to cut away from the query. The codebook
+    ranking is a per-query window over a |queries| x k broadcast
+    crossJoin (k rows per query, never corpus-sized); cells are
+    disjoint so the nprobe union needs no dedup; candidate scoring is
+    the same cell-equijoin + rank-limited window as nprobe=1, now
+    reading two cells' partitions per query. At 100 TB with cells as
+    disk partitions, nprobe IS the knob: candidate volume (and scan
+    cost) scales linearly with it while recall climbs toward
+    brute-force — tune per query class, no re-index. Everything else
+    (codebook, assignment, storage) is shared verbatim with
+    similarity_ivf_trained / similarity_ivf_adc.
+    """,
+)
+def similarity_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per query probing the 2 nearest trained IVF cells."""
+    assigned, trained = _ivf_trained(spark, sf_dir)
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("a").alias("qv")
+    )
+    qd = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("q_id").orderBy("qdist", "cid")
+    qprobe = (
+        q.crossJoin(F.broadcast(trained))
+        .select("q_id", "qv", "cid", qd.alias("qdist"))
+        .withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= 2)
+        .select("q_id", "qv", "cid")
+    )
+    scored = (
+        assigned.join(F.broadcast(qprobe), "cid")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -1046,7 +1143,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 per query: probe the trained IVF cell, re-rank by ADC."""
-    assigned = _ivf_trained_assign(spark, sf_dir).select("vec_id", "cid")
+    assigned = _ivf_trained(spark, sf_dir)[0].select("vec_id", "cid")
     sub = _pq_subvectors(spark, sf_dir)
     cb = _pq_codebook(sub)
     codes = _pq_codes(sub, cb).select("vec_id", "m", "k")

@@ -86,7 +86,10 @@ HEAVY = [
     "text_bm25",
     "text_tfidf",
     "similarity_ivf_trained",
+    "similarity_ivf_nprobe",
+    "similarity_ivf_adc",
     "similarity_lsh_multiprobe",
+    "sink_lsh_index",
     "iterative_pagerank",
     "graph_triangles",
     "events_rfm",
@@ -140,7 +143,14 @@ RATIO_BUDGETS = {
     "text_bm25": 11,
     "text_tfidf": 10,
     "similarity_ivf_trained": 6,
+    # nprobe=2 doubles per-query candidates but cells track the corpus
+    "similarity_ivf_nprobe": 6,
+    # ADC scores the probed cell off the 32x-smaller codes relation
+    "similarity_ivf_adc": 6,
     "similarity_lsh_multiprobe": 6,
+    # index stays corpus-sized (250 docs at every tier); batch bands +
+    # the one batch-side shuffle grow linearly, output is bucket hits
+    "sink_lsh_index": 8,
     # r5: hard broadcast hints removed from their scaling edge builds
     # (AQE now picks the strategy) — gate that the unhinted plans stay
     # linear-ish at 10x
