@@ -85,6 +85,7 @@ HEAVY = [
     "text_perplexity",
     "text_bm25",
     "text_tfidf",
+    "text_bpe_train",
     "similarity_ivf_trained",
     "similarity_ivf_nprobe",
     "similarity_ivf_adc",
@@ -142,6 +143,9 @@ RATIO_BUDGETS = {
     "text_perplexity": 11,
     "text_bm25": 11,
     "text_tfidf": 10,
+    # corpus-sized stage is the word histogram; rounds are vocab-bounded
+    # (replica tiers multiply counts, not vocab) — near-flat by design
+    "text_bpe_train": 6,
     "similarity_ivf_trained": 6,
     # nprobe=2 doubles per-query candidates but cells track the corpus
     "similarity_ivf_nprobe": 6,

@@ -679,3 +679,78 @@ def test_global_rank_group_rebase_matches_per_group_row_number(spark, rows):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def _bpe_reference(word_counts, rounds=3):
+    """Classic greedy BPE trainer (Sennrich et al. 2016): per round, the
+    max-count adjacent pair (ties: lexicographic) merged left-to-right
+    non-overlapping in every word."""
+    toks = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(rounds):
+        pc = Counter()
+        for w, ts in toks.items():
+            for a, b in zip(ts, ts[1:]):
+                pc[(a, b)] += word_counts[w]
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, cnt))
+        for w, ts in toks.items():
+            out, i = [], 0
+            while i < len(ts):
+                if i + 1 < len(ts) and ts[i] == left and ts[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(ts[i])
+                    i += 1
+            toks[w] = out
+    return merges
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["aaaa", "abab", "aab", "banana", "bb", "a", "cacao"]
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@_SETTINGS
+def test_bpe_train_matches_reference_trainer(spark, tmp_path_factory, docs):
+    """The window-algebra merge (run-parity greedy) must equal the
+    classic sequential BPE trainer on repetition-heavy words — the
+    l==r chains and adjacent-candidate overlaps are the cases where a
+    naive 'merge every candidate' window would diverge."""
+    from mrs_mapreduce_spark.llm.text import text_bpe_train
+
+    rows = [
+        (i, " ".join(ws), "en", "src", len(" ".join(ws)))
+        for i, ws in enumerate(docs)
+    ]
+    path = str(tmp_path_factory.mktemp("bpe"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "length long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    counts = Counter(w for ws in docs for w in ws)
+    want = [
+        (i + 1, l, r, c)
+        for i, (l, r, c) in enumerate(_bpe_reference(counts))
+    ]
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in text_bpe_train(spark, path)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
