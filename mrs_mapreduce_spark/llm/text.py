@@ -859,6 +859,102 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_winnow_fingerprint",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws) - 1),
+                     i -> {'pos': i,
+                           'sh': ws[i] || ' ' || ws[i+1] || ' '
+                                 || ws[i+2]})) AS s
+          FROM words WHERE len(ws) >= 3),
+    h AS (SELECT doc_id, s.pos AS pos,
+                 (('0x' || substr(md5(s.sh), 1, 15))::BIGINT
+                  % 2147483647) AS h
+          FROM g),
+    keyed AS (SELECT doc_id, pos,
+                     h * 1048576 + (1048575 - pos) AS key FROM h),
+    sel AS (SELECT doc_id,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN 3 PRECEDING
+                                  AND CURRENT ROW) AS mkey
+            FROM keyed)
+    SELECT DISTINCT doc_id,
+           1048575 - (mkey % 1048576) AS pos,
+           mkey // 1048576 AS fp
+    FROM sel WHERE doc_id < 100
+    """,
+    survey="D4 extension (document fingerprinting via winnowing — "
+    "Schleimer et al. 2003's MOSS scheme: rolling window-min over "
+    "k-gram hashes, the position-robust fingerprint family SimHash "
+    "isn't)",
+    scale="""
+    Winnowing fingerprints as one window pass: hash every word 3-gram
+    (the minhash family's 31-bit md5 reduction), then in each sliding
+    window of 4 consecutive gram hashes select the minimum — ties to
+    the RIGHTMOST position, encoded so a single min() does both (key =
+    hash * 2^20 + (2^20-1 - pos): integer compare orders by hash then
+    by DESCENDING position, and the selection decodes back out of the
+    winning key) — and dedupe the selections. The guarantee that makes
+    this THE plagiarism/overlap-detection fingerprint: any shared run
+    of w+k-1 = 6 words between two documents shares at least one
+    selected fingerprint, yet only ~2/(w+1) of grams are kept. Head
+    windows are partial (the frame truncates), so docs with any gram
+    at all fingerprint — the non-empty guarantee. Plan shape: one
+    narrow explode, one per-doc window sort, one distinct — all keyed
+    by doc_id, so at 100 TB it partitions perfectly by document with
+    zero cross-doc traffic; the fingerprint relation (per-doc output,
+    doc_id < 100 declared here to bound the fixture output) is the
+    index a containment search then probes with a plain equijoin on
+    fp. Integer key packing keeps both engines bit-identical (pos <
+    2^20 by the 40-char/doc-length contract, hash < 2^31, key < 2^51).
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed k-gram fingerprints (w=4, k=3 words) for doc_id < 100."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2),"
+                    " i -> concat_ws(' ', slice(ws, i, 3)))"
+                )
+            ).alias("pos0", "sh"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    )
+    h = (
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+        % 2147483647
+    )
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        (h * 1048576 + (F.lit(1048575) - F.col("pos"))).alias("key"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return (
+        keyed.withColumn("mkey", F.min("key").over(w))
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            (F.lit(1048575) - F.col("mkey") % 1048576).alias("pos"),
+            F.expr("mkey div 1048576").alias("fp"),
+        )
+        .distinct()
+    )
+
+
 def _bpe_round_sql(prev: str, r: int) -> str:
     """One BPE merge round as DuckDB CTEs: pick the argmax pair from
     ``prev`` (word, wcount, idx, token), then greedy-merge it via the

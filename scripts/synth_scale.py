@@ -86,6 +86,7 @@ HEAVY = [
     "text_bm25",
     "text_tfidf",
     "text_bpe_train",
+    "text_winnow_fingerprint",
     "similarity_ivf_trained",
     "similarity_ivf_nprobe",
     "similarity_ivf_adc",
@@ -143,6 +144,8 @@ RATIO_BUDGETS = {
     "text_perplexity": 11,
     "text_bm25": 11,
     "text_tfidf": 10,
+    # one scan + per-doc windows; output bounded by the doc_id<100 cut
+    "text_winnow_fingerprint": 6,
     # corpus-sized stage is the word histogram; rounds are vocab-bounded
     # (replica tiers multiply counts, not vocab) — near-flat by design
     "text_bpe_train": 6,

@@ -754,3 +754,32 @@ def test_bpe_train_matches_reference_trainer(spark, tmp_path_factory, docs):
         .collect()
     ]
     assert got == want
+
+
+def test_winnow_shared_run_shares_fingerprint(spark, tmp_path_factory):
+    """The winnowing guarantee (Schleimer et al. 2003): two docs sharing
+    any run of w + k - 1 = 6 words share at least one selected (fp)
+    value, while selection keeps only a fraction of grams."""
+    from mrs_mapreduce_spark.llm.text import text_winnow_fingerprint
+
+    shared = "lorem ipsum dolor sit amet consectetur"  # 6 words
+    rows = [
+        (0, f"alpha beta {shared} gamma delta epsilon", "en", "s", 0),
+        (1, f"zeta eta theta iota {shared} kappa", "en", "s", 0),
+        (2, "completely different words only here now", "en", "s", 0),
+    ]
+    path = str(tmp_path_factory.mktemp("winnow"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "length long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    fps = text_winnow_fingerprint(spark, path).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "shared 6-word run must share an fp"
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+    # density: winnowing selects, it doesn't keep every gram
+    n_grams_doc0 = len(rows[0][1].split()) - 2
+    assert len(by_doc[0]) < n_grams_doc0
