@@ -592,8 +592,14 @@ def _ngram_jaccard_pairs(
         "doc_a", "doc_b", pround("jac", 4).alias("jaccard")
     )
 
-def _collapsed_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _collapsed_pair_edges(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Connectivity-equivalent edge list with exact-duplicate mass collapsed.
+
+    ``docs``: run over an arbitrary (doc_id, text) frame instead of the
+    documents table — the composed curation pipeline passes its
+    quality-filtered survivor set.
 
     Exact copies (identical RAW text — no normalization, matching the
     shingle pipeline's input) are guaranteed pairwise-connected by the
@@ -618,7 +624,7 @@ def _collapsed_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact shape) before the pair pipeline sees only distinct
     contents.
     """
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents") if docs is None else docs
     keyed = d.select("doc_id", "text", F.md5("text").alias("h"))
     groups = keyed.groupBy("h").agg(F.min("doc_id").alias("rep"))
     # materialize the (doc, content-rep) mapping ONCE: star edges, the
@@ -2149,3 +2155,121 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         eligible=sizes_rep.select(F.col("doc_id").alias("rep"), "n"),
     )
     return cross.unionByName(within)
+
+
+def _neardup_curate_oracle() -> str:
+    """Assemble corpus_curate_neardup's oracle: the quality band, the
+    brute-force pair CTE re-pointed at the filtered set, the recursive
+    component fixpoint, and the pack rollup — spliced from the declared
+    building-block oracles so the composition is checked against the
+    same SQL the stages are checked against individually."""
+    from .curation import _CTX
+
+    pairs = (
+        _pairs_cte()
+        .replace("FROM documents", "FROM q")
+        .replace("SELECT doc_a, doc_b,", ", pair_rows AS (SELECT doc_a, doc_b,")
+        .replace(
+            "WHERE inter_n * 1.0 / union_n >= 0.5",
+            "WHERE inter_n * 1.0 / union_n >= 0.5)",
+        )
+    )
+    return f"""
+    WITH RECURSIVE bounds AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.10) AS lo,
+             quantile_cont(n_chars, 0.90) AS hi
+      FROM documents GROUP BY lang),
+    q AS (SELECT d.doc_id, d.text
+          FROM documents d JOIN bounds b ON d.lang = b.lang
+          WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi),
+    {pairs},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pair_rows
+        UNION ALL
+        SELECT doc_b, doc_a FROM pair_rows
+    ),
+    reach(doc_id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+        WHERE r.lbl < e.dst
+    ),
+    comp AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id),
+    t AS (SELECT q.doc_id, len(string_split(q.text, ' ')) AS n_tok
+          FROM q LEFT JOIN comp USING (doc_id)
+          WHERE comp.lbl IS NULL OR comp.lbl = q.doc_id),
+    c AS (SELECT doc_id, n_tok,
+                 COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_before
+          FROM t)
+    SELECT CAST(cum_before // {_CTX} AS BIGINT) AS ctx_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """
+
+
+@register(
+    "corpus_curate_neardup",
+    oracle=_neardup_curate_oracle(),
+    survey="E14/E15 + D2 (the production curation chain: quality band "
+    "-> MinHash-LSH connected-component NEAR-dup dedup keeping the "
+    "min-id representative -> context packing, ONE declared plan)",
+    scale="""
+    corpus_curate_pipeline with the dedup stage upgraded from exact
+    hash to NEAR-dup — the chain GPT-3/LLaMA-class corpus reports
+    actually describe: per-language p10..p90 length band, then MinHash
+    LSH pair generation over the survivors with exact-copy mass
+    collapsed first (_collapsed_pair_edges over the filtered set — the
+    quality filter SHRINKS the pair problem before any pairwise work,
+    which is why the stage order matters at 100 TB), min-label
+    propagation to the exact component fixpoint (O(diameter) rounds,
+    near-dup clusters are dense so 2-4 in practice), keep = component
+    representative (min doc_id) plus every unpaired doc, then the
+    distributed prefix-sum pack. Near-dup keep subsumes exact dedup
+    for every doc with >= 3 words (identical text => Jaccard 1.0 pair);
+    shingle-less docs are isolated in the TRUE pair graph, so exact
+    copies of sub-3-word docs all survive — the honest MinHash-family
+    semantics, matched by the oracle, which recomputes the components
+    from the UNCOLLAPSED brute-force pair CTE via a recursive fixpoint
+    and re-derives the pack, so one hash equality checks the filter,
+    the collapse, the component loop, the keep rule and the packing
+    together. Per-stage scale stories are unchanged from the parent
+    queries; the composition adds one id-keyed anti-join.
+    """,
+)
+def corpus_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter, NEAR-dup dedup (LSH components), then pack."""
+    from ..catalog import cached_count
+    from .curation import _pack_windows
+
+    d = table(spark, sf_dir, "documents")
+    bounds = d.groupBy(F.col("lang").alias("b_lang")).agg(
+        F.expr("percentile(n_chars, 0.10)").alias("lo"),
+        F.expr("percentile(n_chars, 0.90)").alias("hi"),
+    )
+    q = (
+        d.join(F.broadcast(bounds), d.lang == bounds.b_lang)
+        .filter(
+            (F.col("n_chars") >= F.col("lo"))
+            & (F.col("n_chars") <= F.col("hi"))
+        )
+        .select("doc_id", "text")
+    )
+    edges = _collapsed_pair_edges(spark, sf_dir, docs=q)
+    sym = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    labels = propagate_min_labels(sym)
+    sym.unpersist()
+    drop = labels.filter(F.col("lbl") != F.col("doc_id")).select("doc_id")
+    surv = q.join(drop, "doc_id", "left_anti").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return _pack_windows(surv, cached_count(d))

@@ -102,6 +102,7 @@ HEAVY = [
     "corpus_decontaminate",
     "corpus_pack_contexts",
     "corpus_curate_pipeline",
+    "corpus_curate_neardup",
     "stream_ewma_state",
 ]
 
@@ -173,6 +174,9 @@ RATIO_BUDGETS = {
     # filter + hash-dedup + pack: every stage linear, one extra id-keyed
     # semi-join over pack alone
     "corpus_curate_pipeline": 8,
+    # filter shrinks the pair problem before pairwise work; components
+    # run over collapsed edges of the filtered set + pack
+    "corpus_curate_neardup": 10,
     # stateful stream: rows scale 10x, state O(live keys); availableNow
     # micro-batch overhead dominates the small denominators
     "stream_ewma_state": 8,
