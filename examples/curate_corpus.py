@@ -18,6 +18,10 @@ Usage::
         [--sample-rate 0.5]
 
 Prints per-stage row counts so the funnel is auditable.
+
+Declared, oracle-checked twins of this narrative: stages 1-2 + packing
+= ``corpus_curate_pipeline``; stages 1-3 with full connected-component
+near-dup = ``corpus_curate_neardup`` (llm/curation.py, llm/dedup.py).
 """
 
 from __future__ import annotations
