@@ -72,6 +72,7 @@ HEAVY = [
     "q3:tpch_q3",
     "dedup_minhash",
     "dedup_minhash_pairs",
+    "dedup_minhash_eval",
     "dedup_substring",
     "dedup_semdedup",
     "dedup_ngram_jaccard",
@@ -135,6 +136,9 @@ RATIO_BUDGETS = {
     # linear signature/band work over the batch + a batch x 250-doc
     # corpus probe; output grows with batch copies of corpus texts
     "dedup_against_corpus_minhash": 8,
+    # collapsed like _pairs; output = candidate pairs (quadratic in
+    # replicas by contract), generated through the expansion explode
+    "dedup_minhash_eval": 8,
     "dedup_embedding": 7,  # r5 re-block measured 2.8x
     # components run over collapsed edges (exact-dup mass as rep->copy
     # stars): r5 measured 20.3 s at 10 copies / 27.0 s at 100 copies

@@ -416,3 +416,34 @@ def test_corpus_minhash_probe_collapse_equals_uncollapsed(
     assert (300, 301) not in pairs and (301, 300) not in pairs
     # shingle-less exact copies stay out despite crossing the split
     assert not any(303 in p or 104 in p for p in pairs)
+
+
+def test_minhash_eval_collapse_equals_uncollapsed(spark, corpus_dir):
+    """The collapsed dedup_minhash_eval must equal the direct pipeline
+    row-for-row: candidacy, signature agreement AND exact Jaccard are
+    all content-level, so copies inherit (est, true) verbatim and
+    within-family pairs are (1.0, 1.0) — except shingle-less copies,
+    which have no signature and never become candidates."""
+    from mrs_mapreduce_spark.catalog import table
+    from mrs_mapreduce_spark.llm.dedup import (
+        _minhash_eval_pairs,
+        dedup_minhash_eval,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, float(r.est_jaccard), float(r.true_jaccard))
+        for r in dedup_minhash_eval(spark, corpus_dir).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, float(r.est_jaccard), float(r.true_jaccard))
+        for r in _minhash_eval_pairs(
+            table(spark, corpus_dir, "documents")
+        ).collect()
+    }
+    assert got == want
+    assert (9, 10, 1.0, 1.0) in got              # within-family pair
+    assert (0, 3, 1.0, 1.0) in got               # 2-copy family
+    assert not any(12 in p[:2] or 13 in p[:2] for p in got)
+    # a true near-dup (not exact-copy) candidate keeps its real values
+    near = [p for p in got if p[:2] == (0, 1)]
+    assert near and near[0][3] == 0.8889         # jac(0,1) = 8/9 3-shingles
