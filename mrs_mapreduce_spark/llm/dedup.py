@@ -2194,9 +2194,17 @@ def _neardup_curate_oracle() -> str:
     same SQL the stages are checked against individually."""
     from .curation import _CTX
 
+    base = _pairs_cte()
+    # splice anchors must exist exactly once each, or the assembled SQL
+    # silently drifts from the building blocks — fail at import instead
+    for anchor in (
+        "FROM documents",
+        "SELECT doc_a, doc_b,",
+        "WHERE inter_n * 1.0 / union_n >= 0.5",
+    ):
+        assert base.count(anchor) == 1, f"pairs-CTE anchor moved: {anchor}"
     pairs = (
-        _pairs_cte()
-        .replace("FROM documents", "FROM q")
+        base.replace("FROM documents", "FROM q")
         .replace("SELECT doc_a, doc_b,", ", pair_rows AS (SELECT doc_a, doc_b,")
         .replace(
             "WHERE inter_n * 1.0 / union_n >= 0.5",
