@@ -546,6 +546,149 @@ def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_countmin_merge",
+    oracle=f"""
+    WITH occs AS (SELECT CAST(doc_id % 2 AS INT) AS shard, w
+                  FROM (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS w
+                        FROM documents)
+                  WHERE w <> ''),
+    cells AS (SELECT shard, CAST(s.seed AS INT) AS seed,
+                     CAST((([1103515245, 1103515247, 1103515249, 1103515251][s.seed + 1] * {_DUCK_N}
+                            + [12345, 20264, 28183, 36102][s.seed + 1])
+                           % 2147483647) % 256 AS INT) AS bucket
+              FROM occs CROSS JOIN generate_series(0, 3) AS s(seed)),
+    per_shard AS (SELECT shard, seed, bucket,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM cells GROUP BY shard, seed, bucket),
+    merged AS (SELECT seed, bucket, CAST(sum(cnt) AS BIGINT) AS m_cnt
+               FROM per_shard GROUP BY seed, bucket),
+    direct AS (SELECT seed, bucket, CAST(count(*) AS BIGINT) AS d_cnt
+               FROM cells GROUP BY seed, bucket),
+    cmp AS (SELECT CAST(count(*) AS BIGINT) AS n_diff
+            FROM merged m FULL JOIN direct d USING (seed, bucket)
+            WHERE COALESCE(m.m_cnt, 0) <> COALESCE(d.d_cnt, 0)),
+    topw AS (SELECT w, CAST(count(*) AS BIGINT) AS true_cnt
+             FROM occs GROUP BY w
+             ORDER BY true_cnt DESC, w LIMIT 1),
+    probes AS (SELECT t.w, t.true_cnt, CAST(s.seed AS INT) AS seed,
+                      CAST((([1103515245, 1103515247, 1103515249, 1103515251][s.seed + 1] * {_DUCK_N}
+                             + [12345, 20264, 28183, 36102][s.seed + 1])
+                            % 2147483647) % 256 AS INT) AS bucket
+               FROM topw t CROSS JOIN generate_series(0, 3) AS s(seed)),
+    est AS (SELECT p.w, p.true_cnt,
+                   CAST(min(m.m_cnt) AS BIGINT) AS est_cnt
+            FROM probes p
+            JOIN merged m ON m.seed = p.seed AND m.bucket = p.bucket
+            GROUP BY p.w, p.true_cnt)
+    SELECT (SELECT n_diff FROM cmp) AS n_cell_mismatches,
+           e.w AS top_word, e.true_cnt, e.est_cnt
+    FROM est e
+    """,
+    survey="B10 extension (count-min shard-merge — the bucket-sum "
+    "monoid twin of sketch_hll_merge's bucket-max proof)",
+    scale="""
+    The mergeability proof for the second sketch family: per-shard
+    count-min tables (doc_id parity shards standing in for days or
+    executors) merge by plain cell-wise SUM, and because non-negative
+    addition is an associative monoid the merged d x w table is
+    BIT-IDENTICAL to the table built directly over the union — the
+    query proves it (n_cell_mismatches = 0 over a FULL join, so a cell
+    missing on either side also fails) and then answers a real
+    frequency question from the MERGED sketch alone (the corpus top
+    word's estimate next to its true count). At 100 TB this is how
+    rolling heavy-hitter dashboards work: store d*w integers per
+    partition, merge k partitions for k*d*w row additions, never
+    re-scan the corpus; the shard fan-out here is one narrow column
+    added to the existing sketch plan, and every aggregate is
+    map-side-combined integer arithmetic.
+    """,
+)
+def sketch_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge per-shard count-min tables; prove cell-exact equality with
+    the direct build, then probe the merged sketch for the top word."""
+    d = table(spark, sf_dir, "documents")
+    occs = (
+        fan_out(d)
+        .select(
+            F.pmod("doc_id", F.lit(2)).cast("int").alias("shard"),
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    n = _n("w")
+    cells = occs.select(
+        "shard",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seed"),
+                        ((F.lit(_A[i]) * n + F.lit(_B[i])) % _P % _W)
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for i in range(_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("shard", "c.seed", "c.bucket")
+    per_shard = cells.groupBy("shard", "seed", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    merged = per_shard.groupBy("seed", "bucket").agg(
+        F.sum("cnt").cast("long").alias("m_cnt")
+    )
+    direct = cells.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("d_cnt")
+    )
+    mism = (
+        merged.join(direct, ["seed", "bucket"], "full")
+        .select(
+            F.when(
+                F.coalesce("m_cnt", F.lit(0))
+                != F.coalesce("d_cnt", F.lit(0)),
+                1,
+            )
+            .otherwise(0)
+            .alias("diff")
+        )
+        .agg(F.sum("diff").cast("long").alias("n_cell_mismatches"))
+    )
+    topw = (
+        occs.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "w")
+        .limit(1)
+    )
+    probes = topw.select(
+        "w",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seed"),
+                        ((F.lit(_A[i]) * n + F.lit(_B[i])) % _P % _W)
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for i in range(_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("w", "true_cnt", "c.seed", "c.bucket")
+    est = (
+        probes.join(merged, ["seed", "bucket"])
+        .groupBy("w", "true_cnt")
+        .agg(F.min("m_cnt").cast("long").alias("est_cnt"))
+        .select(F.col("w").alias("top_word"), "true_cnt", "est_cnt")
+    )
+    # both sides are 1-row aggregates — the bounded-crossJoin contract
+    return mism.crossJoin(F.broadcast(est))
+
+
+@register(
     "sketch_hll_merge",
     oracle="""
     WITH keys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS w,

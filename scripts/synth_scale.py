@@ -99,6 +99,7 @@ HEAVY = [
     "events_session_ids",
     "window_frame",
     "sketch_countmin",
+    "sketch_countmin_merge",
     "sketch_quantile",
     "corpus_decontaminate",
     "corpus_pack_contexts",
@@ -172,6 +173,8 @@ RATIO_BUDGETS = {
     "events_session_ids": 6,
     "window_frame": 6,
     "sketch_countmin": 6,
+    # same fan-out + one shard column; every aggregate map-side combined
+    "sketch_countmin_merge": 6,
     "sketch_quantile": 6,
     "corpus_decontaminate": 6,
     "corpus_pack_contexts": 7,
