@@ -1060,6 +1060,59 @@ def _minhash_probe(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     )
 
 
+def _lsh_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write (or reuse) the persisted corpus LSH index; return its table.
+
+    Memoized per (session, sf_dir, documents-mtime) — the index is a
+    pure function of the immutable fixture, so re-invocation reuses the
+    already-written table instead of (a) leaking one full bucketed copy
+    per run and (b) dropping a fixed-name table out from under a prior
+    call's still-lazy DataFrame (ADVICE r7). The table name is derived
+    from the corpus path, so indexes for different sf_dirs coexist; a
+    REBUILT fixture (new mtime) rewrites in place — the one case where
+    a prior handle was already invalid — after rmtree'ing the
+    superseded copy, keeping at most one on-disk index per corpus per
+    session.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.partitioned import write_bucketed
+
+    memo: dict = getattr(spark, "_mrs_lsh_index_memo", None)
+    if memo is None:
+        memo = {}
+        spark._mrs_lsh_index_memo = memo
+    try:
+        mtime = os.stat(f"{sf_dir}/documents.parquet").st_mtime_ns
+    except OSError:
+        mtime = None
+    tbl = "q_lsh_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    hit = memo.get(sf_dir)
+    if hit is not None and hit[0] == mtime:
+        return tbl
+    if hit is not None:
+        shutil.rmtree(hit[1], ignore_errors=True)
+    d = table(spark, sf_dir, "documents")
+    idx_df = _band_keys(_minhash_sig(d.filter(F.col("doc_id") < 250))).select(
+        F.col("doc_id").alias("corpus_id"), "band", "band_key"
+    )
+    base = tempfile.mkdtemp(prefix="mrs_lshidx_")
+    write_bucketed(
+        idx_df,
+        tbl,
+        ["band", "band_key"],
+        8,
+        ["band", "band_key"],
+        location=f"{base}/{tbl}",
+    )
+    memo[sf_dir] = (mtime, base)
+    return tbl
+
+
+
 @register(
     "sink_lsh_index",
     oracle=f"""
@@ -1111,28 +1164,13 @@ def _minhash_probe(batch: DataFrame, corpus: DataFrame) -> DataFrame:
 def sink_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persist the corpus band index bucketed on (band, band_key); probe
     it with the batch's in-flight bands; return candidate doc pairs."""
-    import tempfile
-
-    from ..sources.partitioned import write_bucketed
-
+    tbl = _lsh_index_table(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
-    idx_df = _band_keys(_minhash_sig(d.filter(F.col("doc_id") < 250))).select(
-        F.col("doc_id").alias("corpus_id"), "band", "band_key"
-    )
-    base = tempfile.mkdtemp(prefix="mrs_lshidx_")
-    write_bucketed(
-        idx_df,
-        "q_lsh_index",
-        ["band", "band_key"],
-        8,
-        ["band", "band_key"],
-        location=f"{base}/q_lsh_index",
-    )
     b_bands = _band_keys(
         _minhash_sig(d.filter(F.col("doc_id") >= 250))
     ).select(F.col("doc_id").alias("batch_id"), "band", "band_key")
     return (
-        b_bands.join(spark.table("q_lsh_index"), ["band", "band_key"])
+        b_bands.join(spark.table(tbl), ["band", "band_key"])
         .select("batch_id", "corpus_id")
         .distinct()
     )
@@ -2196,13 +2234,16 @@ def _neardup_curate_oracle() -> str:
 
     base = _pairs_cte()
     # splice anchors must exist exactly once each, or the assembled SQL
-    # silently drifts from the building blocks — fail at import instead
+    # silently drifts from the building blocks — fail at import instead.
+    # Explicit raise, not assert: the guard must survive ``python -O``
+    # (ADVICE r7), same discipline as _capped_oracle.
     for anchor in (
         "FROM documents",
         "SELECT doc_a, doc_b,",
         "WHERE inter_n * 1.0 / union_n >= 0.5",
     ):
-        assert base.count(anchor) == 1, f"pairs-CTE anchor moved: {anchor}"
+        if base.count(anchor) != 1:
+            raise RuntimeError(f"pairs-CTE anchor moved: {anchor}")
     pairs = (
         base.replace("FROM documents", "FROM q")
         .replace("SELECT doc_a, doc_b,", ", pair_rows AS (SELECT doc_a, doc_b,")

@@ -933,10 +933,31 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
         % 2147483647
     )
+    # Loud packing guard (ADVICE r7): the hash-then-rightmost tie order
+    # is only correct while pos < 2^20; past it the position field
+    # underflows into the hash field and BOTH engines drift from the
+    # winnowing spec identically, so the oracle could never catch it.
+    # assert_true raises at runtime on the first offending row; the
+    # coalesce folds its NULL into the key arithmetic so the check
+    # can't be pruned as an unused column.
+    pos_guard = F.coalesce(
+        F.assert_true(
+            F.col("pos") < 1048576,
+            F.lit(
+                "winnow key packing overflow: pos >= 2^20 corrupts the"
+                " hash-then-rightmost tie order; widen the position"
+                " field (key = hash * 2^B) before fingerprinting docs"
+                " this long"
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     keyed = grams.select(
         "doc_id",
         "pos",
-        (h * 1048576 + (F.lit(1048575) - F.col("pos"))).alias("key"),
+        (h * 1048576 + (F.lit(1048575) - F.col("pos")) + pos_guard).alias(
+            "key"
+        ),
     )
     w = (
         Window.partitionBy("doc_id")

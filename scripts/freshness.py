@@ -76,6 +76,28 @@ def _round_markers() -> dict[int, str]:
     return markers
 
 
+def _artifact_rev(rnd: int) -> str:
+    """Evidence revision for a round whose verdict marker doesn't exist yet.
+
+    Mid-round fallback (ADVICE r7): resolve to the commit that first
+    introduced CORRECTNESS_r{N}.json — the driver tested the snapshot
+    just before committing the artifact, so its parent (the ``^``
+    convention _round_markers uses) is the tested code state. An
+    artifact present only in the worktree (uncommitted) means the
+    driver tested the current tree: HEAD is then genuinely correct.
+    """
+    for pat in (f"CORRECTNESS_r{rnd:02d}.json", f"CORRECTNESS_r{rnd}.json"):
+        proc = subprocess.run(
+            ["git", "log", "--diff-filter=A", "-1", "--format=%H",
+             "--", pat],
+            cwd=REPO, capture_output=True, text=True,
+        )
+        sha = proc.stdout.strip()
+        if proc.returncode == 0 and sha:
+            return sha + "^"
+    return "HEAD"
+
+
 def _green_rounds() -> dict[str, int]:
     """query name -> latest round with a fully-green driver row."""
     latest: dict[str, int] = {}
@@ -236,10 +258,17 @@ def audit() -> dict[str, dict]:
             report[name] = {"status": "never", "round": None, "deep": None}
             continue
         # Mid-round, CORRECTNESS_r{N}.json exists before the "round N:
-        # verdict" marker commit does; the driver tested the round's final
-        # snapshot, which is at (or behind) HEAD — resolve to HEAD rather
-        # than mislabeling every current-round row as stale.
-        rev = markers.get(rnd, "HEAD")
+        # verdict" marker commit does. A bare HEAD fallback opened a
+        # false-fresh window (ADVICE r7): builder edits committed AFTER
+        # the driver's green run but before the marker compared
+        # HEAD-vs-HEAD and read as fresh. Anchor the fallback to the
+        # commit that introduced the round's CORRECTNESS artifact (the
+        # driver tested the snapshot just before committing it, same ^
+        # convention as the marker); only if the artifact is still
+        # uncommitted did the driver test the current tree → HEAD.
+        rev = markers.get(rnd)
+        if rev is None:
+            rev = _artifact_rev(rnd)
         if rev not in old_sets:
             old_sets[rev] = _ClosureSet(
                 lambda rel, _rev=rev: _git_show(_rev, rel)

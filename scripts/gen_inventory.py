@@ -68,7 +68,10 @@ def main() -> None:
     if out_path.is_file():
         m = re.search(r"Trend: (.+?)\.\n", out_path.read_text())
         if m:
-            history = m.group(1).rsplit(" → now: ", 1)[0]
+            # fold the previous "now" into the history as a plain point
+            # (ADVICE r7: rsplit dropped it, so the line only ever held
+            # the seed plus the current value — no actual burn-down)
+            history = m.group(1).replace(" → now: ", " → ")
     lines.append(
         f"\n**{len(registry)} declared queries — {n_oracle} with exact SQL"
         f" oracles, {len(registry) - n_oracle} rows-only; evidence:"
