@@ -413,3 +413,24 @@ def test_no_query_returns_zero_rows(spark):
         except Exception as exc:  # noqa: BLE001 — surface builder breakage
             empty.append(f"{name} (ERR {type(exc).__name__})")
     assert not empty, f"zero-row / broken declared queries: {empty}"
+
+
+def test_recall_witness_bounds_and_exact_side(spark, sf_dir):
+    """The witness is only a witness if its numbers are structurally
+    honest: every query row reports n_exact == 5 (ground truth is the
+    full top-5, never truncated by the approx side's misses), n_hit in
+    [0, 5], and recall == n_hit / 5 exactly. A LEFT-join orientation
+    bug (approx LEFT exact) would silently cap n_exact at the approx
+    candidate count and inflate recall — this pins the denominator."""
+    from mrs_mapreduce_spark.registry import load_all
+
+    rows = (
+        load_all()["similarity_recall_witness"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == 10  # one row per query vector, misses included
+    for r in rows:
+        assert r.n_exact == 5, r
+        assert 0 <= r.n_hit <= 5, r
+        assert abs(r.recall - r.n_hit / 5) < 1e-9, r
