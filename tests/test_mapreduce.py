@@ -245,3 +245,117 @@ def test_progress_reports_task_fractions_midflight(spark):
     # staggered tasks guarantee at least one genuinely partial reading
     assert any(0.0 < p < 1.0 for p in midflight), midflight
     assert midflight == sorted(midflight)  # task counts only grow
+
+
+class TestMockParallelParity:
+    """A16: MockParallelJob must produce EXACTLY what the Spark-backed
+    Job produces for the same program text — that equivalence is what
+    makes it a debug mode rather than a second implementation to trust
+    separately. Each test runs both modes and compares."""
+
+    def _both(self, spark):
+        from mrs_mapreduce_spark.mockparallel import make_job
+
+        return (
+            make_job("spark", spark, default_splits=4),
+            make_job("mock_parallel", default_splits=4),
+        )
+
+    def test_wordcount_with_combiner_matches_spark(self, spark):
+        program = WordCount()
+        pairs = [(i, f"w{i % 5} w{i % 3} common") for i in range(40)]
+        outs = []
+        for job in self._both(spark):
+            ds0 = job.local_data(pairs, splits=3)
+            ds1 = job.map_data(ds0, program.map, combiner=program.combine)
+            ds2 = job.reduce_data(ds1, program.reduce, splits=4)
+            outs.append(sorted(ds2.collect()))
+        assert outs[0] == outs[1]
+
+    def test_secondary_sort_matches_spark(self, spark):
+        import random as _random
+
+        rng = _random.Random(11)
+        pairs = [(k, v) for k in range(4) for v in range(25)]
+        rng.shuffle(pairs)
+
+        def first_last(key, vals):
+            vals = list(vals)
+            assert vals == sorted(vals)
+            yield (vals[0], vals[-1], len(vals))
+
+        outs = []
+        for job in self._both(spark):
+            ds = job.local_data(list(pairs), splits=4)
+            outs.append(
+                sorted(job.reduce_data_sorted(ds, first_last, splits=3).collect())
+            )
+        assert outs[0] == outs[1] == [(k, (0, 24, 25)) for k in range(4)]
+
+    def test_reducemap_and_mod_parter_match_spark(self, spark):
+        program = WordCount()
+        outs = []
+        for job in self._both(spark):
+            ds0 = job.local_data([(0, "aa ab ba aa bb ab")], splits=2)
+            ds1 = job.map_data(ds0, program.map, parter=mod_partition)
+            ds2 = job.reducemap_data(
+                ds1, program.reduce, lambda w, c: iter([(w[:1], c)])
+            )
+            ds3 = job.reduce_data(ds2, program.reduce)
+            outs.append(sorted(ds3.collect()))
+        assert outs[0] == outs[1] == [("a", 4), ("b", 2)]
+
+    def test_text_sink_matches_spark(self, spark, tmp_path):
+        program = WordCount()
+        contents = []
+        for name, job in zip(("spark", "mock"), self._both(spark)):
+            src = tmp_path / f"in_{name}.txt"
+            src.write_text("hello world\nhello mock\n")
+            outdir = tmp_path / f"out_{name}"
+            ds0 = job.file_data([str(src)])
+            ds1 = job.map_data(ds0, program.map)
+            job.reduce_data(ds1, program.reduce, splits=2, outdir=str(outdir))
+            lines = []
+            for part in sorted(outdir.glob("part-*")):
+                lines += part.read_text().splitlines()
+            contents.append(sorted(lines))
+        assert contents[0] == contents[1]
+
+    def test_iterative_driver_runs_unmodified(self, spark):
+        from mrs_mapreduce_spark.mockparallel import MockParallelJob
+
+        program = ConvergingProgram()
+        iterations = IterativeMR(program).run(MockParallelJob())
+        assert program.seen[-1] == 128
+        assert iterations == 7
+
+    def test_montecarlo_pi_bitwise_equal_across_modes(self, spark):
+        # per-task seeded RNG: the SAME task grid must give the SAME
+        # estimate in both modes, bit for bit — scheduler-independence
+        program = MonteCarloPi()
+        tasks = [(i, 2000) for i in range(8)]
+        vals = []
+        for job in self._both(spark):
+            ds0 = job.local_data(tasks, splits=4)
+            ds1 = job.map_data(ds0, program.map)
+            ds2 = job.reduce_data(ds1, program.reduce, splits=1)
+            vals.append(ds2.collect()[0][1])
+        assert vals[0] == vals[1]
+
+    def test_mock_runs_are_deterministic_and_progress_counts(self):
+        from mrs_mapreduce_spark.mockparallel import MockParallelJob
+
+        program = WordCount()
+        runs = []
+        for _ in range(2):
+            job = MockParallelJob(default_splits=3)
+            ds0 = job.local_data([(i, "a b a c") for i in range(9)], splits=3)
+            ds1 = job.map_data(ds0, program.map, combiner=program.combine)
+            ds2 = job.reduce_data(ds1, program.reduce)
+            assert job.progress(ds2) == 0.0  # nothing ran yet: lazy
+            ready = job.wait(ds2)
+            assert ready == [ds2]
+            assert job.progress(ds2) == 1.0
+            runs.append(ds2.collect())  # UNsorted: order itself is pinned
+        assert runs[0] == runs[1]
+        assert dict(runs[0]) == {"a": 18, "b": 9, "c": 9}
