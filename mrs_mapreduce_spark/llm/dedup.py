@@ -2351,3 +2351,84 @@ def corpus_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split("text", " ")).alias("n_tok")
     )
     return _pack_windows(surv, cached_count(d))
+
+
+@register(
+    "dedup_canonical",
+    oracle="""
+    WITH pert AS (
+        SELECT doc_id, text AS p FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, upper(text) || '!!'
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 20000, ' ' || replace(text, ' ', '  ') || '. '
+        FROM documents WHERE doc_id % 7 = 0),
+    canon AS (SELECT doc_id, p,
+                     trim(regexp_replace(regexp_replace(lower(p),
+                              '[^a-z0-9 ]', '', 'g'),
+                          ' +', ' ', 'g')) AS c
+              FROM pert)
+    SELECT md5(c) AS canon_md5,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(p)) AS BIGINT) AS n_raw_variants,
+           min(doc_id) AS keep_id
+    FROM canon GROUP BY md5(c)
+    """,
+    survey="D1/E84 (canonicalizing exact dedup: the normalize-then-hash "
+    "step production exact dedup actually runs — case folding, "
+    "punctuation strip, whitespace collapse — so trivially-reformatted "
+    "copies land in one family raw hashing would split)",
+    scale="""
+    dedup_exact's production-honest form: raw text hashing misses the
+    near-universal trivial variants (case, punctuation, runs of
+    whitespace), so the hash key is a CANONICAL form — lower →
+    strip-non-alnum → collapse-spaces → trim, all JVM regexp/codegen,
+    no UDF, still one partial-aggregated groupBy on a constant-width
+    key. The fixture has no reformatted copies (all sf0.01 texts are
+    unique), so the relation under test splices them: every 5th doc
+    gains an UPPER+'!!' twin and every 7th a space-doubled+'. ' twin
+    (deterministic ids +10000/+20000, same construction both
+    engines). The n_raw_variants>1 families are then a PROVABLY
+    non-vacuous witness — those variants hash apart raw (distinct
+    md5(p)) and together canonicalized — sizes 2 and 3 (docs
+    divisible by 35) both occurring. At 100 TB this is the same
+    hash-groupBy-monoid plan as dedup_exact — normalization adds
+    per-byte CPU, zero shuffle width — and the canonical hash is what
+    the incremental corpus set (dedup_against_corpus) should store.
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup families over the canonicalized (not raw) text hash."""
+    d = fan_out(table(spark, sf_dir, "documents"))
+    pert = (
+        d.select("doc_id", F.col("text").alias("p"))
+        .unionAll(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 10000).alias("doc_id"),
+                F.concat(F.upper("text"), F.lit("!!")).alias("p"),
+            )
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(
+                    F.lit(" "),
+                    F.regexp_replace("text", F.lit(" "), F.lit("  ")),
+                    F.lit(". "),
+                ).alias("p"),
+            )
+        )
+    )
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("p"), F.lit("[^a-z0-9 ]"), F.lit("")),
+            F.lit(" +"),
+            F.lit(" "),
+        )
+    )
+    return pert.groupBy(F.md5(canon).alias("canon_md5")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(F.md5("p")).cast("long").alias("n_raw_variants"),
+        F.min("doc_id").alias("keep_id"),
+    )

@@ -1061,6 +1061,25 @@ def _bpe_round_sql(prev: str, r: int) -> str:
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn 3 BPE merges (greedy non-overlap) from the word histogram."""
+    _, merges = _bpe_learn(spark, sf_dir, rounds=3)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    )
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> tuple[DataFrame, list[tuple[str, str, int]]]:
+    """Run ``rounds`` greedy BPE merges over the corpus word histogram.
+
+    Returns (tok, merges): ``tok`` is the (word, wcount, idx, token)
+    relation AFTER the merges — i.e. the trained tokenizer's encoding
+    of the vocabulary, which is what ``text_bpe_encode`` declares —
+    and ``merges`` the learned (lhs, rhs, pair_count) list that
+    ``text_bpe_train`` declares. Shared so the two queries can never
+    drift: the encoder IS the final state of the trainer's loop.
+    """
     docs = table(spark, sf_dir, "documents")
     wc = (
         fan_out(docs)
@@ -1082,7 +1101,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("word").orderBy("idx")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     merges = []
-    for _ in range(3):
+    for _ in range(rounds):
         paired = tok.withColumn("nxt", F.lead("token").over(w))
         top = (
             paired.filter(F.col("nxt").isNotNull())
@@ -1131,9 +1150,63 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)  # vocab-sized; cut round lineage
         )
-    return spark.createDataFrame(
-        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
-        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    return tok, merges
+
+
+@register(
+    "text_bpe_encode",
+    oracle=f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS wcount FROM w
+           WHERE w <> '' AND length(w) <= 40 GROUP BY w),
+    t0 AS (SELECT word, wcount, g.i AS idx, substr(word, g.i, 1) AS token
+           FROM wc CROSS JOIN generate_series(1, 40) AS g(i)
+           WHERE g.i <= length(word)),
+    {{r1}},
+    {{r2}},
+    {{r3}}
+    SELECT word,
+           CAST(max(wcount) AS BIGINT) AS wcount,
+           CAST(length(word) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(count(*) / (1.0 * length(word)), 6) AS compression
+    FROM t3 GROUP BY word
+    """.format(
+        r1=_bpe_round_sql("t0", 1),
+        r2=_bpe_round_sql("t1", 2),
+        r3=_bpe_round_sql("t2", 3),
+    ),
+    survey="D4/A12 extension (BPE tokenizer APPLICATION: encode the "
+    "vocabulary with the trained merges — the inference half of "
+    "text_bpe_train, sharing its loop so trainer and encoder can't "
+    "drift)",
+    scale="""
+    The encode path completes the tokenizer story (pairs → train →
+    encode → fertility): per vocabulary word, the token count after
+    the 3 trained merges, i.e. the trained tokenizer's segmentation.
+    The relation declared is the VOCAB encoding — O(|vocab| x
+    word-length), corpus-independent — because that is how production
+    tokenizes at 100 TB: encode the (word, count) histogram once,
+    then rejoin to the corpus by word (a broadcast: vocab is
+    Zipf-tiny), never re-running merge windows per occurrence.
+    ``compression`` (tokens per char) is the per-word fertility the
+    rejoin aggregates. Shares _bpe_learn with text_bpe_train, so the
+    declared encoder is BY CONSTRUCTION the trainer's final state;
+    the oracle replays the same three merge rounds in SQL and
+    re-derives the segmentation independently.
+    """,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-word token counts under the 3 trained BPE merges."""
+    tok, _ = _bpe_learn(spark, sf_dir, rounds=3)
+    return tok.groupBy("word").agg(
+        F.max("wcount").cast("long").alias("wcount"),
+        F.length(F.first("word")).cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        pround(
+            F.count(F.lit(1)) / F.length(F.first("word")).cast("double"), 6
+        ).alias("compression"),
     )
 
 
@@ -1607,4 +1680,89 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.orderBy(F.desc("k"), "doc_id")
         .limit(64)
         .select("doc_id", "n_chars", pround("k", 6).alias("es_key"))
+    )
+
+
+_EMAIL_RE = "[a-z0-9.-]+@[a-z0-9.-]+"
+_IP_RE = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+
+@register(
+    "text_redact",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id,
+                        text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com'
+                        || repeat(' backup-' || CAST(doc_id AS VARCHAR)
+                                  || '@alt.example.org',
+                                  CAST(doc_id % 3 AS INT))
+                        || ' via 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.42' AS t
+                 FROM documents),
+    red AS (SELECT doc_id, t,
+                   regexp_replace(regexp_replace(t, '{_EMAIL_RE}',
+                                                 '<EMAIL>', 'g'),
+                                  '{_IP_RE}', '<IP>', 'g') AS r
+            FROM aug)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS BIGINT) AS n_ips,
+           CAST(length(r) AS BIGINT) AS redacted_len,
+           md5(r) AS redacted_md5
+    FROM red
+    """,
+    survey="D4/E83 (PII redaction: the scrub-before-training curation "
+    "step — regex detect/replace for emails and IPs with per-doc "
+    "counts and a full-text witness hash)",
+    scale="""
+    PII scrubbing as production runs it: detection and replacement are
+    JVM-side regexp_count/regexp_replace inside whole-stage codegen —
+    a narrow per-row map with NO shuffle, no UDF, linear in corpus
+    bytes and embarrassingly partition-parallel at 100 TB (the regex
+    engine is the bottleneck, so keeping it in codegen rather than a
+    Python UDF is the 10-100x decision). The fixture text contains no
+    organic PII, so both engines splice the SAME deterministic
+    addresses in (1 + doc_id%3 emails, one IPv4) before scrubbing —
+    the md5(redacted) witness then proves replacement happened at the
+    right offsets relative to the variable-length document body, not
+    just that counts matched; patterns stay in the RE2/Java common
+    dialect (character classes only, greedy) so both engines parse
+    them identically.
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact spliced emails/IPs; count hits and hash the scrubbed text."""
+    d = fan_out(table(spark, sf_dir, "documents"))
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com"),
+            F.repeat(
+                F.concat(
+                    F.lit(" backup-"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@alt.example.org"),
+                ),
+                (F.col("doc_id") % 3).cast("int"),
+            ),
+            F.lit(" via 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.42"),
+        ).alias("t"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace("t", F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_IP_RE),
+        F.lit("<IP>"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(_IP_RE)).cast("long").alias("n_ips"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
     )
