@@ -106,6 +106,13 @@ HEAVY = [
     "corpus_curate_pipeline",
     "corpus_curate_neardup",
     "stream_ewma_state",
+    # round-8 additions
+    "similarity_recall_witness",
+    "text_bpe_encode",
+    "text_redact",
+    "dedup_canonical",
+    "multimodal_bmp_roundtrip",
+    "multimodal_wav_roundtrip",
 ]
 
 #: ``--check`` regression gate (round-5, r4 verdict #6): pinned ceilings
@@ -187,6 +194,19 @@ RATIO_BUDGETS = {
     # stateful stream: rows scale 10x, state O(live keys); availableNow
     # micro-batch overhead dominates the small denominators
     "stream_ewma_state": 8,
+    # exact side scans the corpus once per plan (broadcast query set of
+    # 10); approx side is bucket-joined — both linear in replicas
+    "similarity_recall_witness": 6,
+    # same histogram collapse as text_bpe_train + a vocab-bounded final
+    # agg; replica tiers multiply counts, never vocab
+    "text_bpe_encode": 6,
+    # pure narrow codegen regexp map, no shuffle
+    "text_redact": 6,
+    # one hash groupBy over the 1.34x-spliced relation
+    "dedup_canonical": 6,
+    # narrow Arrow stages, per-row constant work
+    "multimodal_bmp_roundtrip": 6,
+    "multimodal_wav_roundtrip": 6,
 }
 
 #: floor for the sf0.1 denominator: sub-0.3 s timings are scheduler
