@@ -783,3 +783,45 @@ def test_winnow_shared_run_shares_fingerprint(spark, tmp_path_factory):
     # density: winnowing selects, it doesn't keep every gram
     n_grams_doc0 = len(rows[0][1].split()) - 2
     assert len(by_doc[0]) < n_grams_doc0
+
+
+@given(
+    w=st.integers(min_value=1, max_value=37),
+    h=st.integers(min_value=1, max_value=23),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_codec_roundtrips_any_dims(w, h, seed):
+    """Pure-codec property: for ANY dims (widths exercise every
+    stride-padding class 3w%4 in {0,1,2,3}) and any pixel content, the
+    parse returns the encoded dims and exactly 3x the pixel sum."""
+    from mrs_mapreduce_spark.llm.codecs import decode_bmp, encode_bmp_gray24
+
+    def px(x, y):
+        return (seed + 31 * x + 7 * y) % 256
+
+    dw, dh, s = decode_bmp(encode_bmp_gray24(w, h, px))
+    assert (dw, dh) == (w, h)
+    assert s == 3 * sum(px(x, y) for y in range(h) for x in range(w))
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=0,
+        max_size=33,
+    ),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_codec_roundtrips_any_samples(samples, rate):
+    """PCM16 round trip for any sample list (odd lengths exercise the
+    odd-data-chunk pad byte) at several rates."""
+    from mrs_mapreduce_spark.llm.codecs import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    r, decoded = decode_wav_pcm16(encode_wav_pcm16(samples, rate=rate))
+    assert r == rate
+    assert decoded == samples
