@@ -361,3 +361,98 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "180s; memory sink would be partial — failing loudly instead"
         )
     return spark.table(sink_name)
+
+
+@register(
+    "stream_join_inner",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           s.event_id AS signup_id,
+           p.user_id,
+           CAST(epoch_ns(p.ts) // 1000 - epoch_ns(s.ts) // 1000
+                AS BIGINT) AS gap_us
+    FROM events p
+    JOIN events s
+      ON p.user_id = s.user_id
+     AND p.event_type = 'purchase'
+     AND s.event_type = 'signup'
+     AND epoch_ns(s.ts) // 1000 <= epoch_ns(p.ts) // 1000
+     AND epoch_ns(s.ts) // 1000 > epoch_ns(p.ts) // 1000 - 3600000000
+    """,
+    survey="C/E87 (stream-stream INNER join: the matched-pairs mode "
+    "completing stream_join_left_outer's matrix — emits on match, no "
+    "eviction wait)",
+    scale="""
+    stream_join_left_outer's inner twin, run as a REAL dual
+    readStream: equi-key (user_id) plus the event-time interval
+    bound, watermarks on both sides sizing the join state to
+    O(rate x interval) per side. Inner mode needs no eviction
+    semantics in the oracle — a pair emits the micro-batch both rows
+    exist, so the availableNow drain equals the batch interval join
+    EXACTLY (join_interval_events' relation, which is this query's
+    oracle verbatim). The mode pair documents the production choice:
+    inner when downstream tolerates missing matches, outer when it
+    must see every left row and can wait out the watermark.
+    """,
+)
+def stream_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """purchases INNER JOIN signups within 1h as a real dual-stream join."""
+    from .source import events_stream
+
+    def src():
+        return events_stream(spark, sf_dir)
+
+    p = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.expr("ts_ns div 1000").alias("p_us"),
+        )
+    )
+    s = (
+        src()
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+            F.expr("ts_ns div 1000").alias("s_us"),
+        )
+    )
+    joined = p.join(
+        s,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("s_us") <= F.col("p_us"))
+        & (F.col("s_us") > F.col("p_us") - 3_600_000_000),
+        "inner",
+    ).select(
+        "purchase_id",
+        "signup_id",
+        "user_id",
+        (F.col("p_us") - F.col("s_us")).alias("gap_us"),
+    )
+    sink_name = "mrs_stream_inner_sink"
+    checkpoint = tempfile.mkdtemp(prefix="mrs_ssi_ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(180)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "stream_join_inner: availableNow drain did not finish in "
+            "180s; memory sink would be partial — failing loudly instead"
+        )
+    return spark.table(sink_name)

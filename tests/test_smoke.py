@@ -434,3 +434,27 @@ def test_recall_witness_bounds_and_exact_side(spark, sf_dir):
         assert r.n_exact == 5, r
         assert 0 <= r.n_hit <= 5, r
         assert abs(r.recall - r.n_hit / 5) < 1e-9, r
+
+
+def test_cli_surface(spark, sf_dir, capsys):
+    """A17: list/run/oracle/explain through the __main__ CLI (in-process
+    so the session is shared; the subprocess path is the same main())."""
+    from mrs_mapreduce_spark.__main__ import main
+
+    assert main(["list", "--grep", "redact"]) == 0
+    out = capsys.readouterr().out
+    assert "text_redact" in out
+
+    assert main(["run", "groupby_agg", "--sf-dir", sf_dir, "--limit", "2"]) == 0
+    out = capsys.readouterr().out
+    lines = out.strip().splitlines()
+    assert lines[0].split("\t")[0] == "l_returnflag"
+    assert len(lines) == 3  # header + 2 rows
+
+    assert main(["oracle", "tpch_q6"]) == 0
+    assert "l_extendedprice" in capsys.readouterr().out
+
+    assert main(["explain", "tpch_q6", "--sf-dir", sf_dir]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
+
+    assert main(["run", "not_a_query"]) == 2
