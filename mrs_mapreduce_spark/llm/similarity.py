@@ -742,6 +742,138 @@ def similarity_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_recall_ivf",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                 FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, a AS cv FROM pts WHERE vec_id < {_IVF_K}),
+    {_duck_assign('pts', 'c0', 'a1')},
+    u1 AS (SELECT a1.cid, g.i AS dim, round(avg(p.a[g.i]), 6) AS c
+           FROM a1 JOIN pts p USING (vec_id)
+           CROSS JOIN generate_series(1, 64) AS g(i)
+           GROUP BY a1.cid, g.i),
+    c1 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM u1 GROUP BY cid),
+    {_duck_assign('pts', 'c1', 'a2')},
+    qprobe AS (
+      SELECT vec_id AS q_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {_SQDIST_DUCK.format(
+                                      p='p.a', c='c.cv')}, c.cid) AS rk
+        FROM pts p CROSS JOIN c1 c
+        WHERE p.vec_id < 10) WHERE rk <= 2),
+    approx AS (SELECT q_id, cand_id FROM (
+                 SELECT qp.q_id, a2.vec_id AS cand_id,
+                        row_number() OVER (PARTITION BY qp.q_id
+                            ORDER BY {_duck_cos('q.a', 'p.a')} DESC,
+                                     a2.vec_id) AS rk
+                 FROM qprobe qp
+                 JOIN a2 ON a2.cid = qp.cid
+                 JOIN pts p ON p.vec_id = a2.vec_id
+                 JOIN pts q ON q.vec_id = qp.q_id
+                 WHERE a2.vec_id <> qp.q_id)
+               WHERE rk <= 5),
+    exact AS (SELECT q_id, cand_id FROM (
+                SELECT q.vec_id AS q_id, e.vec_id AS cand_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_duck_cos('q.a', 'e.a')} DESC,
+                                    e.vec_id) AS rk
+                FROM pts q CROSS JOIN pts e
+                WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+              WHERE rk <= 5)
+    SELECT x.q_id,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1.0 ELSE 0 END)
+                 / count(*), 6) AS recall
+    FROM exact x LEFT JOIN approx a
+      ON a.q_id = x.q_id AND a.cand_id = x.cand_id
+    GROUP BY x.q_id
+    """,
+    survey="D3/E81 (recall@k witness for the IVF family: nprobe=2 over "
+    "the trained codebook vs the exact top-5 — the same in-plan "
+    "contract similarity_recall_witness declares for LSH, so both "
+    "index families ship with measured recall, not a knob promise)",
+    scale="""
+    similarity_recall_witness's IVF sibling: identical witness shape
+    (exact top-5 LEFT-joins the approx top-5 on (q_id, cand_id); the
+    LEFT keeps misses as 0-hit rows), approx side = the exact
+    similarity_ivf_nprobe candidate pipeline with k=5. Together the
+    two witnesses turn 'nprobe/planes are recall knobs' from a scale
+    note into DECLARED, oracle-checked measurements per index family
+    — the eval every production deployment runs before choosing an
+    index. Cost notes carry over verbatim: all real cost is the exact
+    side's corpus scan, which is why the witness runs on a sampled
+    query set at 100 TB.
+    """,
+)
+def similarity_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of trained-IVF nprobe=2 vs the exact top-5."""
+    assigned, trained = _ivf_trained(spark, sf_dir)
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("a").alias("qv")
+    )
+    qd = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("q_id").orderBy("qdist", "cid")
+    qprobe = (
+        q.crossJoin(F.broadcast(trained))
+        .select("q_id", "qv", "cid", qd.alias("qdist"))
+        .withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= 2)
+        .select("q_id", "qv", "cid")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
+    approx = (
+        assigned.join(F.broadcast(qprobe), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine("qv", "a").alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", F.col("cand_id").alias("a_cand"))
+    )
+    exact = (
+        assigned.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine("qv", "a").alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "cand_id")
+    )
+    hit = F.when(F.col("a_cand").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    return (
+        exact.join(
+            approx,
+            (exact["q_id"] == approx["q_id"])
+            & (exact["cand_id"] == approx["a_cand"]),
+            "left",
+        )
+        .select(exact["q_id"].alias("q_id"), "cand_id", "a_cand")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(hit).cast("long").alias("n_hit"),
+            pround(
+                F.sum(hit) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
     "similarity_lsh_multiprobe",
     oracle=f"""
     WITH sig AS (SELECT vec_id, embedding,

@@ -113,6 +113,8 @@ HEAVY = [
     "dedup_canonical",
     "multimodal_bmp_roundtrip",
     "multimodal_wav_roundtrip",
+    "similarity_recall_ivf",
+    "stream_join_inner",
 ]
 
 #: ``--check`` regression gate (round-5, r4 verdict #6): pinned ceilings
@@ -207,6 +209,11 @@ RATIO_BUDGETS = {
     # narrow Arrow stages, per-row constant work
     "multimodal_bmp_roundtrip": 6,
     "multimodal_wav_roundtrip": 6,
+    # exact side linear scan; approx side = the nprobe cell equijoin
+    "similarity_recall_ivf": 6,
+    # dual-stream state O(rate x interval); micro-batch overhead
+    # dominates the sf0.1 denominator like stream_ewma_state
+    "stream_join_inner": 8,
 }
 
 #: floor for the sf0.1 denominator: sub-0.3 s timings are scheduler

@@ -424,16 +424,14 @@ def test_recall_witness_bounds_and_exact_side(spark, sf_dir):
     candidate count and inflate recall — this pins the denominator."""
     from mrs_mapreduce_spark.registry import load_all
 
-    rows = (
-        load_all()["similarity_recall_witness"]
-        .builder(spark, sf_dir)
-        .collect()
-    )
-    assert len(rows) == 10  # one row per query vector, misses included
-    for r in rows:
-        assert r.n_exact == 5, r
-        assert 0 <= r.n_hit <= 5, r
-        assert abs(r.recall - r.n_hit / 5) < 1e-9, r
+    reg = load_all()
+    for name in ("similarity_recall_witness", "similarity_recall_ivf"):
+        rows = reg[name].builder(spark, sf_dir).collect()
+        assert len(rows) == 10, name  # one row per query, misses included
+        for r in rows:
+            assert r.n_exact == 5, (name, r)
+            assert 0 <= r.n_hit <= 5, (name, r)
+            assert abs(r.recall - r.n_hit / 5) < 1e-9, (name, r)
 
 
 def test_cli_surface(spark, sf_dir, capsys):
