@@ -183,6 +183,13 @@ EXTRA = [
     "agg_bitmap_distinct",
     "text_entropy",
     "sample_weighted",
+    # round-8 additions (witnesses, curation ops, real codecs)
+    "similarity_recall_witness",
+    "similarity_recall_ivf",
+    "text_redact",
+    "dedup_canonical",
+    "text_bpe_encode",
+    "multimodal_bmp_roundtrip",
 ]
 
 #: per-query soft budgets at sf0.1 (seconds): BENCH_r03 medians x ~1.5
