@@ -6,11 +6,21 @@ switch (``--mrs=Serial|MockParallel|Master``). Spark's analogue is
 configuration: ``--master local[1]`` is Serial, ``local[N]`` is
 MockParallel-with-real-parallelism, a cluster URL is Master/Slave.
 
-Usage::
+Usage (``python -m mrs_mapreduce_spark`` is the same entry point)::
 
-    python -m mrs_mapreduce_spark.cli --query groupby_agg \
+    python -m mrs_mapreduce_spark --query groupby_agg \
         --sf-dir /root/testdata/sf0.001 --master "local[4]" --show 10
-    python -m mrs_mapreduce_spark.cli --list
+    python -m mrs_mapreduce_spark --list
+    python -m mrs_mapreduce_spark --query tpch_q6 --explain
+    python -m mrs_mapreduce_spark --query tpch_q6 --oracle   # DuckDB SQL
+    python -m mrs_mapreduce_spark --query reduce_sum --splits 8
+
+``--splits`` maps to ``spark.sql.shuffle.partitions`` — the analogue of
+the reference's ``--mrs-reduce-tasks`` (reduce-task count == shuffle
+width). ``--oracle`` prints the query's DuckDB oracle SQL so a user can
+replay the correctness check themselves. The MockParallel DEBUG run
+mode (A16) is a programmatic switch, not a master URL:
+``mockparallel.make_job("mock_parallel")``.
 """
 
 from __future__ import annotations
@@ -44,6 +54,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--list", action="store_true", help="list registered queries"
     )
+    parser.add_argument(
+        "--oracle",
+        action="store_true",
+        help="print the query's DuckDB oracle SQL and exit",
+    )
+    parser.add_argument(
+        "--splits",
+        type=int,
+        default=None,
+        help="shuffle partition count (the reference's --mrs-reduce-tasks)",
+    )
     return parser
 
 
@@ -63,9 +84,27 @@ def main(argv: list[str] | None = None) -> int:
         print(f"unknown query: {args.query}", file=sys.stderr)
         return 2
 
+    if args.oracle:
+        oracle = registry[args.query].oracle
+        if oracle is None:
+            print(
+                f"{args.query} has no SQL oracle (rows-only check)",
+                file=sys.stderr,
+            )
+            return 1
+        print(oracle.strip())
+        return 0
+
     from .session import get_session
 
-    spark = get_session(f"mrs-cli:{args.query}", master=args.master)
+    extra = (
+        {"spark.sql.shuffle.partitions": str(args.splits)}
+        if args.splits
+        else None
+    )
+    spark = get_session(
+        f"mrs-cli:{args.query}", master=args.master, extra=extra
+    )
     df = registry[args.query].builder(spark, args.sf_dir)
     if args.explain:
         df.explain("formatted")

@@ -435,24 +435,30 @@ def test_recall_witness_bounds_and_exact_side(spark, sf_dir):
 
 
 def test_cli_surface(spark, sf_dir, capsys):
-    """A17: list/run/oracle/explain through the __main__ CLI (in-process
-    so the session is shared; the subprocess path is the same main())."""
-    from mrs_mapreduce_spark.__main__ import main
+    """A17: --list/--query/--oracle/--explain/--splits through the one
+    CLI (python -m mrs_mapreduce_spark delegates to cli.main)."""
+    from mrs_mapreduce_spark.cli import main
 
-    assert main(["list", "--grep", "redact"]) == 0
-    out = capsys.readouterr().out
-    assert "text_redact" in out
+    assert main(["--list"]) == 0
+    assert "text_redact" in capsys.readouterr().out
 
-    assert main(["run", "groupby_agg", "--sf-dir", sf_dir, "--limit", "2"]) == 0
-    out = capsys.readouterr().out
-    lines = out.strip().splitlines()
-    assert lines[0].split("\t")[0] == "l_returnflag"
-    assert len(lines) == 3  # header + 2 rows
+    assert main(["--query", "groupby_agg", "--sf-dir", sf_dir,
+                 "--show", "2"]) == 0
+    assert "l_returnflag" in capsys.readouterr().out
 
-    assert main(["oracle", "tpch_q6"]) == 0
+    assert main(["--query", "tpch_q6", "--oracle"]) == 0
     assert "l_extendedprice" in capsys.readouterr().out
 
-    assert main(["explain", "tpch_q6", "--sf-dir", sf_dir]) == 0
+    assert main(["--query", "tpch_q6", "--sf-dir", sf_dir,
+                 "--explain"]) == 0
     assert "Physical Plan" in capsys.readouterr().out
 
-    assert main(["run", "not_a_query"]) == 2
+    assert main(["--query", "not_a_query"]) == 2
+    # rows-only queries have no oracle: exit 1, loud
+    from mrs_mapreduce_spark.registry import load_all
+
+    rows_only = next(
+        (n for n, q in sorted(load_all().items()) if q.oracle is None), None
+    )
+    if rows_only is not None:
+        assert main(["--query", rows_only, "--oracle"]) == 1
