@@ -112,3 +112,139 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_side = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o_side = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f_side.intersectAll(o_side)
+
+
+@register(
+    "set_union_byname",
+    oracle="""
+    SELECT event_id AS id, event_type AS kind,
+           round(value, 2) AS value, CAST(NULL AS DOUBLE) AS price
+    FROM events
+    UNION ALL
+    SELECT o_orderkey AS id, o_orderstatus AS kind,
+           CAST(NULL AS DOUBLE) AS value, round(o_totalprice, 2) AS price
+    FROM orders
+    """,
+    survey="B18/E22 (schema-evolving union: unionByName with "
+    "allowMissingColumns — the heterogeneous-source concat)",
+    scale="""
+    ``unionByName(allowMissingColumns=True)`` resolves columns by NAME,
+    null-padding each child's absent columns — the union a 100 TB lake
+    actually needs, where month-over-month parquet schemas drift (new
+    columns appear, old ones retire). Like plain union it is a metadata
+    concat: zero shuffle, zero data movement; the null fill is a literal
+    projection inside each child's scan stage (WholeStageCodegen), so
+    schema drift costs nothing at read time. Contrast with positional
+    ``UNION ALL`` which silently mis-aligns drifted schemas — the oracle
+    spells the alignment explicitly with typed NULL casts.
+    """,
+)
+def set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union two sources with DIFFERENT schemas, aligned by column name."""
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("kind"),
+        pround("value", 2).alias("value"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("kind"),
+        pround("o_totalprice", 2).alias("price"),
+    )
+    return ev.unionByName(orders, allowMissingColumns=True)
+
+
+@register(
+    "table_diff",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      o_orderpriority AS pri
+               FROM orders),
+    b AS (SELECT k, st, cents + CASE WHEN k % 5 = 0 THEN 100 ELSE 0 END
+                 AS cents, pri
+          FROM a WHERE k % 7 <> 0
+          UNION ALL
+          SELECT k + 10000000, st, cents, pri FROM a WHERE k % 7 = 0),
+    fa AS (SELECT k, md5(st || '|' || CAST(cents AS VARCHAR) || '|' || pri)
+                  AS fp FROM a),
+    fb AS (SELECT k, md5(st || '|' || CAST(cents AS VARCHAR) || '|' || pri)
+                  AS fp FROM b),
+    d AS (SELECT COALESCE(fa.k, fb.k) AS k,
+                 CASE WHEN fb.k IS NULL THEN 'deleted'
+                      WHEN fa.k IS NULL THEN 'inserted'
+                      WHEN fa.fp <> fb.fp THEN 'updated'
+                      ELSE 'unchanged' END AS change_type
+          FROM fa FULL OUTER JOIN fb ON fa.k = fb.k)
+    SELECT change_type, count(*) AS n,
+           CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+    FROM d GROUP BY change_type
+    """,
+    survey="B19 extension (snapshot reconciliation / CDC table diff: "
+    "row-fingerprint FULL OUTER join classifying inserted / deleted / "
+    "updated / unchanged)",
+    scale="""
+    The reconciliation primitive for two 100 TB snapshots: each side is
+    reduced AT SCAN to (key, fingerprint) — one md5 over the concatenated
+    business columns inside WholeStageCodegen, so the join carries 2
+    narrow columns no matter how wide the table — then ONE full outer
+    sort-merge join on the primary key classifies every row. With both
+    snapshots bucketed by key (sink_bucketed_join's layout) the join is
+    zero-exchange. The production refinement the plan shape already
+    admits: a per-bucket checksum pre-pass (sum of fingerprint words per
+    key range, two tiny aggregates) prunes identical buckets before the
+    row-level join — day-over-day snapshots that differ in 0.1% of rows
+    then pay the full join on only the touched buckets. The synthetic
+    twin here derives snapshot B from A deterministically (k%7 deleted
+    and re-inserted under shifted keys, k%5 repriced) so both engines
+    build byte-identical inputs; price compares in integer cents to keep
+    the fingerprint float-free cross-engine.
+    """,
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify row changes between two snapshots via fingerprint diff."""
+    a = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    b = a.filter(F.col("k") % 7 != 0).select(
+        "k",
+        "st",
+        (
+            F.col("cents")
+            + F.when(F.col("k") % 5 == 0, F.lit(100)).otherwise(F.lit(0))
+        ).alias("cents"),
+        "pri",
+    ).unionByName(
+        a.filter(F.col("k") % 7 == 0).select(
+            (F.col("k") + 10000000).alias("k"), "st", "cents", "pri"
+        )
+    )
+
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            "k",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("st"), F.col("cents").cast("string"), F.col("pri")
+                )
+            ).alias("fp"),
+        )
+
+    fa, fb = fp(a), fp(b)
+    d = fa.alias("a").join(fb.alias("b"), F.col("a.k") == F.col("b.k"), "full")
+    classified = d.select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+        F.when(F.col("b.k").isNull(), F.lit("deleted"))
+        .when(F.col("a.k").isNull(), F.lit("inserted"))
+        .when(F.col("a.fp") != F.col("b.fp"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+    return classified.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )

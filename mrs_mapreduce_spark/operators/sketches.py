@@ -781,3 +781,117 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.709 * 64 * 64 * F.expr("cast(1 as bigint) << 55") / denom, 4
         ).alias("merged_estimate"),
     )
+
+
+_MG_K = 64  # Misra-Gries counters per segment
+_MG_SEGS = 4  # deterministic ingestion segments (doc_id mod)
+
+
+@register(
+    "sketch_heavy_hitters",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    bg AS (SELECT doc_id % {_MG_SEGS} AS seg,
+                  unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS w
+           FROM words WHERE len(ws) >= 2),
+    wc AS (SELECT seg, w, count(*) AS cnt FROM bg GROUP BY seg, w),
+    top AS (SELECT * FROM (
+                SELECT seg, w, cnt,
+                       row_number() OVER (PARTITION BY seg
+                                          ORDER BY cnt DESC, w) AS rk
+                FROM wc) WHERE rk <= {_MG_K + 1}),
+    thr AS (SELECT seg,
+                   CASE WHEN count(*) = {_MG_K + 1} THEN min(cnt)
+                        ELSE 0 END AS thr
+            FROM top GROUP BY seg),
+    summ AS (SELECT t.seg, t.w, t.cnt - h.thr AS est
+             FROM top t JOIN thr h ON t.seg = h.seg
+             WHERE t.cnt > h.thr),
+    merged AS (SELECT w, CAST(sum(est) AS BIGINT) AS est_cnt
+               FROM summ GROUP BY w),
+    err AS (SELECT CAST(sum(thr) AS BIGINT) AS err_bound FROM thr),
+    truth AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS true_cnt
+              FROM wc GROUP BY w)
+    SELECT m.w, m.est_cnt, e.err_bound, t.true_cnt,
+           (m.est_cnt <= t.true_cnt
+            AND t.true_cnt <= m.est_cnt + e.err_bound) AS within_bound
+    FROM merged m CROSS JOIN err e JOIN truth t ON m.w = t.w
+    ORDER BY m.est_cnt DESC, m.w LIMIT 25
+    """,
+    survey="E (mergeable heavy-hitter summaries — Misra-Gries offset "
+    "form per ingestion segment, merged with additive error; completes "
+    "the shard-merge sketch family next to sketch_countmin_merge / "
+    "sketch_hll_merge)",
+    scale="""
+    Misra-Gries in its deterministic OFFSET form: each ingestion segment
+    keeps at most k=64 (key, count - threshold) counters, where the
+    threshold is the (k+1)-th largest per-segment count — the summary
+    under-counts any key by at most thr_seg, and merging S segment
+    summaries by summing surviving estimates gives the textbook merge
+    bound est <= true <= est + SUM(thr_seg) (Agarwal et al. 2013,
+    "Mergeable Summaries"), which the ``within_bound`` witness column
+    asserts IN-PLAN against the exact counts. The plan is
+    scale-deliberate three ways: (1) per-segment counts partial-aggregate
+    map-side, so the shuffle carries |segments| x |vocab_seg| rows, never
+    occurrences; (2) the rk <= k+1 filter compiles to Spark's
+    WindowGroupLimit pushdown — each segment's sort keeps a bounded
+    top-(k+1) heap per task instead of a full per-segment sort; (3) the
+    merged summary is at most S*k rows however large the corpus, so the
+    final merge + truth join is driver-trivial. At 100 TB segments are
+    real ingestion shards (one summary per shard, merged hourly); the
+    truth side exists here only because the witness demands it — the
+    production path ships summaries alone, which is the point of the
+    sketch. Segment assignment is content-derived (doc_id mod), so the
+    result is partition-layout-independent and engine-portable.
+    """,
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 bigrams by merged Misra-Gries estimate, bound-checked."""
+    from pyspark.sql.window import Window
+
+    from ..llm.dedup import shingles
+
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        shingles(docs, k=2)
+        .select((F.col("doc_id") % _MG_SEGS).alias("seg"), F.col("sh").alias("w"))
+        .groupBy("seg", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    w_rk = Window.partitionBy("seg").orderBy(F.desc("cnt"), "w")
+    top = (
+        wc.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= _MG_K + 1)
+    )
+    thr = top.groupBy("seg").agg(
+        F.when(F.count(F.lit(1)) == _MG_K + 1, F.min("cnt"))
+        .otherwise(F.lit(0))
+        .alias("thr")
+    )
+    summ = (
+        top.join(F.broadcast(thr), "seg")
+        .filter(F.col("cnt") > F.col("thr"))
+        .select("w", (F.col("cnt") - F.col("thr")).alias("est"))
+    )
+    merged = summ.groupBy("w").agg(F.sum("est").alias("est_cnt"))
+    err = thr.agg(F.sum("thr").alias("err_bound"))
+    truth = wc.groupBy("w").agg(F.sum("cnt").alias("true_cnt"))
+    return (
+        merged.crossJoin(F.broadcast(err))
+        .join(truth, "w")
+        .select(
+            "w",
+            "est_cnt",
+            "err_bound",
+            "true_cnt",
+            (
+                (F.col("est_cnt") <= F.col("true_cnt"))
+                & (F.col("true_cnt") <= F.col("est_cnt") + F.col("err_bound"))
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("est_cnt"), "w")
+        .limit(25)
+    )

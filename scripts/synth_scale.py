@@ -115,6 +115,8 @@ HEAVY = [
     "multimodal_wav_roundtrip",
     "similarity_recall_ivf",
     "stream_join_inner",
+    "sketch_heavy_hitters",
+    "table_diff",
 ]
 
 #: ``--check`` regression gate (round-5, r4 verdict #6): pinned ceilings
@@ -214,6 +216,11 @@ RATIO_BUDGETS = {
     # dual-stream state O(rate x interval); micro-batch overhead
     # dominates the sf0.1 denominator like stream_ewma_state
     "stream_join_inner": 8,
+    # per-segment counts partial-aggregate; summary bounded at S*k rows;
+    # replica tiers multiply counts, never the bigram vocabulary
+    "sketch_heavy_hitters": 6,
+    # two narrow (key, fingerprint) scans + one full outer SMJ, linear
+    "table_diff": 6,
 }
 
 #: floor for the sf0.1 denominator: sub-0.3 s timings are scheduler

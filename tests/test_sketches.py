@@ -86,3 +86,21 @@ def test_sketch_quantile_rank_error_bound(spark, sf_dir):
             lo = vals[max(0, target - tol)]
             hi = vals[min(n - 1, target + tol)]
             assert lo <= got <= hi, (r.l_returnflag, q, got, lo, hi)
+
+
+def test_heavy_hitters_bound_holds_and_summary_is_bounded(spark, sf_dir):
+    from mrs_mapreduce_spark.operators.sketches import (
+        _MG_K,
+        _MG_SEGS,
+        sketch_heavy_hitters,
+    )
+
+    rows = sketch_heavy_hitters(spark, sf_dir).collect()
+    assert rows, "expected merged MG candidates at this SF"
+    # the mergeable-summaries theorem, checked row by row
+    assert all(r.within_bound for r in rows)
+    assert all(r.est_cnt <= r.true_cnt for r in rows)
+    assert all(r.true_cnt <= r.est_cnt + r.err_bound for r in rows)
+    # summary size bound: at most S*k merged candidates exist at all,
+    # and the declared query caps its report at 25
+    assert len(rows) <= min(25, _MG_SEGS * _MG_K)

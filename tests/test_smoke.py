@@ -462,3 +462,21 @@ def test_cli_surface(spark, sf_dir, capsys):
     )
     if rows_only is not None:
         assert main(["--query", rows_only, "--oracle"]) == 1
+
+
+def test_table_diff_counts_are_exactly_the_synthetic_deltas(spark, sf_dir):
+    """B's construction pins every class count: k%7 deleted+reinserted,
+    k%5 (and not %7) repriced, the rest byte-identical."""
+    from mrs_mapreduce_spark.catalog import table
+    from mrs_mapreduce_spark.registry import load_all
+
+    rows = {
+        r.change_type: r
+        for r in load_all()["table_diff"].builder(spark, sf_dir).collect()
+    }
+    n = table(spark, sf_dir, "orders").count()
+    dele, ins = rows["deleted"].n, rows["inserted"].n
+    upd, same = rows["updated"].n, rows["unchanged"].n
+    assert dele == ins  # every deleted key re-enters under a shifted key
+    assert dele + upd + same == n
+    assert rows["inserted"].min_key >= 10000000  # shifted key space
