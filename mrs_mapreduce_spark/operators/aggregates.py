@@ -649,3 +649,60 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_cust")
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+    SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+           round(corr(l_quantity, l_extendedprice), 6) AS r FROM lineitem
+    UNION ALL SELECT 'l_quantity', 'l_discount',
+           round(corr(l_quantity, l_discount), 6) FROM lineitem
+    UNION ALL SELECT 'l_quantity', 'l_tax',
+           round(corr(l_quantity, l_tax), 6) FROM lineitem
+    UNION ALL SELECT 'l_extendedprice', 'l_discount',
+           round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+    UNION ALL SELECT 'l_extendedprice', 'l_tax',
+           round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+    UNION ALL SELECT 'l_discount', 'l_tax',
+           round(corr(l_discount, l_tax), 6) FROM lineitem
+    """,
+    survey="B9 extension (pairwise Pearson correlation matrix — the "
+    "feature-profiling aggregate, all pairs in ONE corpus pass)",
+    scale="""
+    All C(4,2)=6 pairwise correlations compute in a SINGLE aggregation
+    over ONE scan: corr is algebraic (sums of x, y, xy, x2, y2, n), so
+    the 6 aggregates share the scan and partial-aggregate map-side
+    together — the shuffle carries one 6-aggregate state row per
+    partition, and the long-form unpivot (stack) happens on the 1-row
+    result. The naive form — one query per pair — would scan the corpus
+    6 times; at p columns and 100 TB the one-pass property is the
+    difference between O(p^2) scans and exactly one. The oracle spells
+    the same matrix as a UNION of scalar aggregates because DuckDB
+    dedups the shared scan internally; the Spark plan is pinned
+    single-scan by construction.
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlations of the lineitem numeric columns, one pass."""
+    li = table(spark, sf_dir, "lineitem")
+    pairs = [
+        (x, y)
+        for i, x in enumerate(_CORR_COLS)
+        for y in _CORR_COLS[i + 1 :]
+    ]
+    wide = li.agg(
+        *[
+            pround(F.corr(x, y), 6).alias(f"{x}__{y}")
+            for x, y in pairs
+        ]
+    )
+    stack = ", ".join(f"'{x}', '{y}', {x}__{y}" for x, y in pairs)
+    return wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack}) AS (col_x, col_y, r)"
+        )
+    )

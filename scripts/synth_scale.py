@@ -117,6 +117,8 @@ HEAVY = [
     "stream_join_inner",
     "sketch_heavy_hitters",
     "table_diff",
+    "table_diff_incremental",
+    "agg_corr_matrix",
 ]
 
 #: ``--check`` regression gate (round-5, r4 verdict #6): pinned ceilings
@@ -221,6 +223,11 @@ RATIO_BUDGETS = {
     "sketch_heavy_hitters": 6,
     # two narrow (key, fingerprint) scans + one full outer SMJ, linear
     "table_diff": 6,
+    # digest phase is two partial-aggregated sums; row phase touches
+    # only dirty buckets (delta density is replica-invariant)
+    "table_diff_incremental": 6,
+    # one scan, 6 algebraic aggregates, one state-row exchange
+    "agg_corr_matrix": 6,
 }
 
 #: floor for the sf0.1 denominator: sub-0.3 s timings are scheduler
