@@ -553,3 +553,114 @@ def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows_bound: the PRE-filter table count is a sound upper bound on
     # the survivor bucket domain (filter/dedup only remove rows)
     return _pack_windows(surv, cached_count(d))
+
+
+_TAKEDOWN_SOURCES = ("src7", "src13")  # ~10% of the corpus
+_CHUNK_W = 64  # words per chunk in the derived-chunk artifact
+
+
+@register(
+    "takedown_propagation",
+    oracle=f"""
+    WITH bad AS (SELECT DISTINCT doc_id FROM documents
+                 WHERE source IN ('src7', 'src13')),
+    d AS (SELECT doc_id, len(string_split(text, ' ')) AS nw,
+                 (doc_id IN (SELECT doc_id FROM bad)) AS is_bad
+          FROM documents),
+    occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+    post AS (SELECT DISTINCT w, doc_id FROM occ WHERE w <> ''),
+    p AS (SELECT p.doc_id,
+                 (p.doc_id IN (SELECT doc_id FROM bad)) AS is_bad
+          FROM post p)
+    SELECT 'documents' AS artifact,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE is_bad) AS BIGINT) AS n_removed,
+           CAST(count(*) FILTER (WHERE NOT is_bad) AS BIGINT) AS n_kept
+    FROM d
+    UNION ALL
+    SELECT 'chunks',
+           CAST(sum((nw + {_CHUNK_W - 1}) // {_CHUNK_W}) AS BIGINT),
+           CAST(sum(CASE WHEN is_bad
+                    THEN (nw + {_CHUNK_W - 1}) // {_CHUNK_W}
+                    ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN NOT is_bad
+                    THEN (nw + {_CHUNK_W - 1}) // {_CHUNK_W}
+                    ELSE 0 END) AS BIGINT)
+    FROM d
+    UNION ALL
+    SELECT 'postings',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE is_bad) AS BIGINT),
+           CAST(count(*) FILTER (WHERE NOT is_bad) AS BIGINT)
+    FROM p
+    """,
+    survey="E15 extension (right-to-be-forgotten propagation: a takedown "
+    "list anti-joins the corpus AND every derived artifact — chunks, "
+    "postings — with per-artifact removed/kept accounting)",
+    scale="""
+    Takedown (GDPR erasure, DMCA, contamination recall) must reach every
+    DERIVED artifact, not just the source table — chunked training
+    shards and inverted-index postings silently resurrect deleted text
+    otherwise. The list is a distinct-id relation broadcast to each
+    artifact scan (at 100 TB: a few million ids against billions of
+    rows — classic broadcast anti/semi-join, zero shuffle of the fact
+    side); each artifact then splits its mass into removed/kept with one
+    partial-aggregated pass. Chunk counts derive arithmetically from
+    word counts (ceil(nw/64)) so the chunk artifact never materializes;
+    postings pay their distinct-pair aggregation once. The three-row
+    report is the audit record a deletion pipeline emits; the
+    n_removed + n_kept = n_total invariant is implicit in the oracle
+    equality. Per-artifact accounting stays correct under replicas
+    because membership is id-based, not positional.
+    """,
+)
+def takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-artifact removed/kept accounting for a source takedown list."""
+    docs = table(spark, sf_dir, "documents")
+    bad = (
+        docs.filter(F.col("source").isin(*_TAKEDOWN_SOURCES))
+        .select("doc_id")
+        .distinct()
+    )
+    flagged = docs.join(
+        F.broadcast(bad.withColumn("is_bad", F.lit(True))), "doc_id", "left"
+    ).withColumn("is_bad", F.coalesce("is_bad", F.lit(False)))
+
+    d = flagged.select(
+        "doc_id", "is_bad", F.size(F.split("text", " ")).alias("nw")
+    )
+    chunks = (F.col("nw") + (_CHUNK_W - 1)) / _CHUNK_W
+    n_chunks = F.floor(chunks).cast("long")
+
+    doc_row = d.agg(
+        F.lit("documents").alias("artifact"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if("is_bad").alias("n_removed"),
+        F.count_if(~F.col("is_bad")).alias("n_kept"),
+    )
+    chunk_row = d.agg(
+        F.lit("chunks").alias("artifact"),
+        F.sum(n_chunks).alias("n_total"),
+        F.sum(F.when(F.col("is_bad"), n_chunks).otherwise(F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.sum(F.when(~F.col("is_bad"), n_chunks).otherwise(F.lit(0))).alias(
+            "n_kept"
+        ),
+    )
+    post = (
+        flagged.select(
+            "doc_id", "is_bad", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .select("w", "doc_id", "is_bad")
+        .distinct()
+    )
+    post_row = post.agg(
+        F.lit("postings").alias("artifact"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if("is_bad").alias("n_removed"),
+        F.count_if(~F.col("is_bad")).alias("n_kept"),
+    )
+    return doc_row.unionByName(chunk_row).unionByName(post_row)

@@ -706,3 +706,81 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(pairs)}, {stack}) AS (col_x, col_y, r)"
         )
     )
+
+
+_DP_M = 4503599627370496  # 2^52: PRF output domain for the uniform draw
+_DP_EPS = 1.0  # epsilon; counts have sensitivity 1, so b = 1/eps
+_DP_RELEASE = "dp-release-1"  # release id — the PRF key
+
+
+@register(
+    "agg_dp_release",
+    oracle=f"""
+    WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+    u AS (SELECT event_type, n,
+                 ((('0x' || substr(md5('{_DP_RELEASE}:' || event_type),
+                                   1, 15))::BIGINT % {_DP_M}) + 0.5)
+                 / {_DP_M}.0 AS u
+          FROM g),
+    z AS (SELECT event_type, n,
+                 -(1.0 / {_DP_EPS}) * sign(u - 0.5)
+                     * ln(1 - 2 * abs(u - 0.5)) AS noise
+          FROM u)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS true_n,
+           round(n + noise, 4) AS released_n,
+           round(noise, 4) AS noise
+    FROM z
+    """,
+    survey="B9 extension (differential-privacy count release: Laplace "
+    "mechanism with PRF-seeded noise — the deterministic per-release "
+    "noise derivation production DP systems use, making the release "
+    "reproducible and engine-portable)",
+    scale="""
+    The Laplace mechanism for counting queries (sensitivity 1, b=1/eps)
+    with the noise drawn from a keyed PRF over (release_id, group) via
+    inverse-CDF — exactly how production DP releases derive per-cell
+    noise from a per-release seed so re-runs are reproducible and
+    auditable. The whole mechanism is a codegen projection OVER the
+    aggregated relation: at 100 TB the counts partial-aggregate
+    map-side like any groupBy and the noise costs |groups| hash+log
+    evaluations, nothing at data scale. Post-processing invariance
+    means downstream rounding/clamping stays DP. ``true_n`` is emitted
+    here ONLY as the oracle witness — the production release artifact
+    is (group, released_n); the md5-domain uniform is offset by +0.5
+    inside a 2^52 grid so u is strictly inside (0,1) and ln never sees
+    0. Both engines evaluate the identical double pipeline (libm log on
+    identical inputs); the declared values round at 4 decimals per the
+    float discipline.
+    """,
+)
+def agg_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type counts released via PRF-seeded Laplace noise."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{_DP_RELEASE}:"), F.col("event_type"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _DP_M
+        ).cast("double")
+        + 0.5
+    ) / float(_DP_M)
+    noise = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - 0.5))
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("true_n"),
+        pround(F.col("n") + noise, 4).alias("released_n"),
+        pround(noise, 4).alias("noise"),
+    )

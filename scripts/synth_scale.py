@@ -119,6 +119,8 @@ HEAVY = [
     "table_diff",
     "table_diff_incremental",
     "agg_corr_matrix",
+    "takedown_propagation",
+    "agg_dp_release",
 ]
 
 #: ``--check`` regression gate (round-5, r4 verdict #6): pinned ceilings
@@ -228,6 +230,11 @@ RATIO_BUDGETS = {
     "table_diff_incremental": 6,
     # one scan, 6 algebraic aggregates, one state-row exchange
     "agg_corr_matrix": 6,
+    # broadcast anti-join per artifact + partial-aggregated counting;
+    # the postings distinct is the only shuffle that grows with data
+    "takedown_propagation": 6,
+    # groupBy + a |groups|-row noise projection
+    "agg_dp_release": 6,
 }
 
 #: floor for the sf0.1 denominator: sub-0.3 s timings are scheduler
