@@ -254,6 +254,39 @@ _DIFF_BUCKETS = 4096
 _DIGEST_MOD = 1099511627776  # 2^40: bucket sums stay far inside int64
 
 
+def checksum_dirty_buckets(fa: DataFrame, fb: DataFrame) -> DataFrame:
+    """(bucket) — buckets whose order-independent digests disagree.
+
+    ``fa``/``fb`` are (k, bucket, fp, ...) fingerprint relations. Each
+    side reduces to one digest row per bucket (SUM of a 40-bit keyed
+    hash of (k, fp) — commutative, partial-aggregated map-side); a
+    full outer join keeps buckets missing on either side dirty.
+    COMPLETENESS property (tests/test_properties.py): any bucket whose
+    (k, fp) multiset differs lands in the output unless the two 40-bit
+    digest sums collide (~2^-40 per bucket).
+    """
+
+    def digest(df: DataFrame) -> DataFrame:
+        keyed = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("k").cast("string"), F.col("fp"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long") % _DIGEST_MOD
+        return df.groupBy("bucket").agg(F.sum(keyed).alias("dg"))
+
+    da, db = digest(fa), digest(fb)
+    return (
+        da.alias("da")
+        .join(db.alias("db"), F.col("da.bucket") == F.col("db.bucket"), "full")
+        .filter(~F.col("da.dg").eqNullSafe(F.col("db.dg")))
+        .select(F.coalesce(F.col("da.bucket"), F.col("db.bucket")).alias("bucket"))
+    )
+
+
 @register(
     "table_diff_incremental",
     oracle=f"""
@@ -342,26 +375,8 @@ def table_diff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
 
-    def digest(df: DataFrame) -> DataFrame:
-        keyed = F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("k").cast("string"), F.col("fp"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long") % _DIGEST_MOD
-        return df.groupBy("bucket").agg(F.sum(keyed).alias("dg"))
-
     fa, fb = finger(a), finger(b)
-    da, db = digest(fa), digest(fb)
-    dirty = (
-        da.alias("da")
-        .join(db.alias("db"), F.col("da.bucket") == F.col("db.bucket"), "full")
-        .filter(~F.col("da.dg").eqNullSafe(F.col("db.dg")))
-        .select(F.coalesce(F.col("da.bucket"), F.col("db.bucket")).alias("bucket"))
-    )
+    dirty = checksum_dirty_buckets(fa, fb)
     pruned_a = fa.join(F.broadcast(dirty), "bucket", "left_semi")
     return (
         pruned_a.alias("a")

@@ -783,6 +783,40 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mg_merge(wc: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """(merged, err): Misra-Gries offset summaries per ``seg``, merged.
+
+    ``wc`` is (seg, w, cnt) — exact per-segment counts. Each segment's
+    summary keeps keys with cnt > thr_seg (thr_seg = the (k+1)-th
+    largest per-segment count, 0 if the segment holds <= k keys), at
+    estimate cnt - thr_seg; ``merged`` sums surviving estimates per key
+    and ``err`` is the single-row SUM(thr_seg) merge-error bound
+    (Agarwal et al. 2013): est <= true <= est + err for EVERY key,
+    surviving or not. Property-tested against exact counts on arbitrary
+    multisets (tests/test_properties.py).
+    """
+    from pyspark.sql.window import Window
+
+    w_rk = Window.partitionBy("seg").orderBy(F.desc("cnt"), "w")
+    top = (
+        wc.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= k + 1)
+    )
+    thr = top.groupBy("seg").agg(
+        F.when(F.count(F.lit(1)) == k + 1, F.min("cnt"))
+        .otherwise(F.lit(0))
+        .alias("thr")
+    )
+    summ = (
+        top.join(F.broadcast(thr), "seg")
+        .filter(F.col("cnt") > F.col("thr"))
+        .select("w", (F.col("cnt") - F.col("thr")).alias("est"))
+    )
+    merged = summ.groupBy("w").agg(F.sum("est").alias("est_cnt"))
+    err = thr.agg(F.coalesce(F.sum("thr"), F.lit(0)).alias("err_bound"))
+    return merged, err
+
+
 _MG_K = 64  # Misra-Gries counters per segment
 _MG_SEGS = 4  # deterministic ingestion segments (doc_id mod)
 
@@ -849,8 +883,6 @@ _MG_SEGS = 4  # deterministic ingestion segments (doc_id mod)
 )
 def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 bigrams by merged Misra-Gries estimate, bound-checked."""
-    from pyspark.sql.window import Window
-
     from ..llm.dedup import shingles
 
     docs = table(spark, sf_dir, "documents")
@@ -861,23 +893,7 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    w_rk = Window.partitionBy("seg").orderBy(F.desc("cnt"), "w")
-    top = (
-        wc.withColumn("rk", F.row_number().over(w_rk))
-        .filter(F.col("rk") <= _MG_K + 1)
-    )
-    thr = top.groupBy("seg").agg(
-        F.when(F.count(F.lit(1)) == _MG_K + 1, F.min("cnt"))
-        .otherwise(F.lit(0))
-        .alias("thr")
-    )
-    summ = (
-        top.join(F.broadcast(thr), "seg")
-        .filter(F.col("cnt") > F.col("thr"))
-        .select("w", (F.col("cnt") - F.col("thr")).alias("est"))
-    )
-    merged = summ.groupBy("w").agg(F.sum("est").alias("est_cnt"))
-    err = thr.agg(F.sum("thr").alias("err_bound"))
+    merged, err = mg_merge(wc, _MG_K)
     truth = wc.groupBy("w").agg(F.sum("cnt").alias("true_cnt"))
     return (
         merged.crossJoin(F.broadcast(err))

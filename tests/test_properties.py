@@ -825,3 +825,79 @@ def test_wav_codec_roundtrips_any_samples(samples, rate):
     r, decoded = decode_wav_pcm16(encode_wav_pcm16(samples, rate=rate))
     assert r == rate
     assert decoded == samples
+
+
+@given(
+    occ=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from("abcdefgh")),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(1, 4),
+)
+@_SETTINGS
+def test_mg_merge_bound_holds_on_any_multiset(spark, occ, k):
+    """Misra-Gries offset-form merge: est <= true <= est + err for EVERY
+    key — including keys dropped from every segment summary."""
+    from mrs_mapreduce_spark.operators.sketches import mg_merge
+
+    wc_py = Counter(occ)  # {(seg, w): cnt}
+    wc = spark.createDataFrame(
+        [(s, w, c) for (s, w, c) in
+         ((s, w, c) for (s, w), c in wc_py.items())],
+        "seg int, w string, cnt long",
+    )
+    merged, err = mg_merge(wc, k)
+    est = {r.w: r.est_cnt for r in merged.collect()}
+    bound = err.collect()[0].err_bound
+    true = Counter()
+    for (s, w), c in wc_py.items():
+        true[w] += c
+    for w, t in true.items():
+        e = est.get(w, 0)
+        assert e <= t <= e + bound, (w, e, t, bound)
+    # summary never invents keys
+    assert set(est) <= set(true)
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(0, 40), st.integers(0, 3), min_size=1, max_size=25
+    ),
+    touched=st.sets(st.integers(0, 40), max_size=8),
+)
+@_SETTINGS
+def test_checksum_diff_finds_exactly_the_dirty_buckets(spark, base, touched):
+    """The digest pre-pass is COMPLETE: every bucket containing a
+    modified, inserted, or deleted key is reported dirty; buckets whose
+    (k, fp) multiset is identical are pruned."""
+    from mrs_mapreduce_spark.operators.setops import checksum_dirty_buckets
+
+    n_buckets = 8
+    rows_a = [(k, k % n_buckets, f"fp{v}") for k, v in base.items()]
+    b_items = dict(base)
+    for k in touched:
+        if k in b_items:
+            if k % 2:
+                b_items[k] = b_items[k] + 10  # update
+            else:
+                del b_items[k]  # delete
+        else:
+            b_items[k] = 99  # insert
+    rows_b = [(k, k % n_buckets, f"fp{v}") for k, v in b_items.items()]
+    schema = "k long, bucket int, fp string"
+    fa = spark.createDataFrame(rows_a, schema)
+    fb = spark.createDataFrame(rows_b, schema)
+    got = {r.bucket for r in checksum_dirty_buckets(fa, fb).collect()}
+
+    from collections import defaultdict
+
+    ma, mb = defaultdict(Counter), defaultdict(Counter)
+    for k, bkt, fp in rows_a:
+        ma[bkt][(k, fp)] += 1
+    for k, bkt, fp in rows_b:
+        mb[bkt][(k, fp)] += 1
+    want = {
+        bkt for bkt in set(ma) | set(mb) if ma.get(bkt) != mb.get(bkt)
+    }
+    assert got == want
