@@ -190,6 +190,13 @@ EXTRA = [
     "dedup_canonical",
     "text_bpe_encode",
     "multimodal_bmp_roundtrip",
+    # round-8b additions (sketch / reconciliation / governance)
+    "sketch_heavy_hitters",
+    "table_diff",
+    "table_diff_incremental",
+    "agg_corr_matrix",
+    "takedown_propagation",
+    "agg_dp_release",
 ]
 
 #: per-query soft budgets at sf0.1 (seconds): BENCH_r03 medians x ~1.5

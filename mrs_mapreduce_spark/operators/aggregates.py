@@ -784,3 +784,62 @@ def agg_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("n") + noise, 4).alias("released_n"),
         pround(noise, 4).alias("noise"),
     )
+
+
+@register(
+    "feature_standardize",
+    oracle="""
+    WITH s AS (SELECT c_mktsegment, avg(c_acctbal) AS mu,
+                      stddev_samp(c_acctbal) AS sd, count(*) AS n
+               FROM customer GROUP BY c_mktsegment),
+    z AS (SELECT c.c_mktsegment, (c.c_acctbal - s.mu) / s.sd AS z
+          FROM customer c JOIN s ON c.c_mktsegment = s.c_mktsegment)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(z), 6) AS mean_z,
+           round(var_samp(z), 6) AS var_z,
+           round(min(z), 4) AS min_z,
+           round(max(z), 4) AS max_z
+    FROM z GROUP BY c_mktsegment
+    """,
+    survey="B9 extension (per-group z-score standardization — the ML "
+    "feature-scaling pass, stats via ONE aggregate + broadcast join "
+    "back, no window sort; post-transform moments witnessed in-plan: "
+    "mean 0, variance 1)",
+    scale="""
+    Standardization needs each row joined with its group's (mu, sd). The
+    window formulation (avg OVER (PARTITION BY g)) forces a full sort
+    shuffle of the fact table; this plan instead aggregates the
+    |groups|-row stats relation (partial-aggregated, one shuffle of
+    state rows) and BROADCASTS it back onto the scan — the fact table is
+    never re-partitioned, and the transform is a codegen projection.
+    At 100 TB that is the difference between a petabyte sort and a
+    kilobyte broadcast. The declared output re-aggregates the
+    standardized column into per-group moments — mean_z = 0 and
+    var_z = 1 by construction, which the oracle equality verifies as an
+    end-to-end arithmetic witness (any drift in either engine's
+    mu/sd/transform breaks it); min_z/max_z expose the group's outlier
+    envelope (the winsorization knob's input).
+    """,
+)
+def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score customer balances per segment; verify the moments."""
+    cust = table(spark, sf_dir, "customer")
+    stats = cust.groupBy("c_mktsegment").agg(
+        F.avg("c_acctbal").alias("mu"),
+        F.stddev_samp("c_acctbal").alias("sd"),
+    )
+    z = (
+        cust.join(F.broadcast(stats), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            ((F.col("c_acctbal") - F.col("mu")) / F.col("sd")).alias("z"),
+        )
+    )
+    return z.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.avg("z"), 6).alias("mean_z"),
+        pround(F.var_samp("z"), 6).alias("var_z"),
+        pround(F.min("z"), 4).alias("min_z"),
+        pround(F.max("z"), 4).alias("max_z"),
+    )

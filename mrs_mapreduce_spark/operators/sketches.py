@@ -911,3 +911,102 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_cnt"), "w")
         .limit(25)
     )
+
+
+@register(
+    "sketch_join_size",
+    oracle=f"""
+    WITH p AS (SELECT CAST(user_id AS VARCHAR) AS w, count(*) AS c
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    v AS (SELECT CAST(user_id AS VARCHAR) AS w, count(*) AS c
+          FROM events WHERE event_type = 'view' GROUP BY 1),
+    np AS (SELECT w, c, {_DUCK_N} AS n FROM p),
+    nv AS (SELECT w, c, {_DUCK_N} AS n FROM v),
+    sa AS (SELECT s.seed,
+                  (([{", ".join(str(a) for a in _A)}][s.seed + 1] * np.n
+                    + [{", ".join(str(b) for b in _B)}][s.seed + 1])
+                   % 2147483647) % 256 AS bucket,
+                  sum(np.c) AS cnt
+           FROM np CROSS JOIN generate_series(0, 3) AS s(seed)
+           GROUP BY 1, 2),
+    sb AS (SELECT s.seed,
+                  (([{", ".join(str(a) for a in _A)}][s.seed + 1] * nv.n
+                    + [{", ".join(str(b) for b in _B)}][s.seed + 1])
+                   % 2147483647) % 256 AS bucket,
+                  sum(nv.c) AS cnt
+           FROM nv CROSS JOIN generate_series(0, 3) AS s(seed)
+           GROUP BY 1, 2),
+    ip AS (SELECT sa.seed, sum(sa.cnt * sb.cnt) AS prod
+           FROM sa JOIN sb ON sa.seed = sb.seed AND sa.bucket = sb.bucket
+           GROUP BY sa.seed),
+    est AS (SELECT min(prod) AS est_join_size FROM ip),
+    tru AS (SELECT COALESCE(sum(p.c * v.c), 0) AS true_join_size
+            FROM p JOIN v ON p.w = v.w)
+    SELECT CAST(e.est_join_size AS BIGINT) AS est_join_size,
+           CAST(t.true_join_size AS BIGINT) AS true_join_size,
+           (e.est_join_size >= t.true_join_size) AS never_under
+    FROM est e CROSS JOIN tru t
+    """,
+    survey="E (join-size estimation via count-min inner product — the "
+    "AMS/CM cardinality estimate a cost-based planner consults BEFORE "
+    "committing to a join order; est >= true guaranteed, witnessed "
+    "in-plan)",
+    scale="""
+    |A join B| on a key equals the inner product of the two key-frequency
+    vectors; the count-min estimate is min over d rows of
+    sum_bucket(cmA[b] * cmB[b]), which NEVER under-estimates (every CM
+    cell over-counts, products and sums preserve it — the witness column
+    asserts this against the exact size). Why it matters at 100 TB: the
+    exact join size of a skewed self-join can be quadratic, but the
+    estimate costs two d x w = 1024-row sketches — built map-side from
+    per-key counts (countmin_sketch's weighted monoid form), joined on
+    (seed, bucket) in microseconds. This is the planner's pre-flight
+    check for the events purchase x view self-join whose TRUE size the
+    oracle computes from the aggregated per-user counts (never the raw
+    pair explosion). Sketches are mergeable across shards (bucket-wise
+    SUM, sketch_countmin_merge's proof), so per-day sketches answer
+    any date-range join-size question without rescanning history.
+    """,
+)
+def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate |purchase x view| per-user self-join size from sketches."""
+    ev = table(spark, sf_dir, "events")
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select(F.col("user_id").cast("string").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)  # shared by sketch + truth
+        )
+
+    p, v = side("purchase"), side("view")
+    sa = countmin_sketch(p, weight="c")
+    sb = countmin_sketch(v, weight="c")
+    ip = (
+        sa.alias("a")
+        .join(
+            sb.alias("b"),
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy("a.seed")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("prod"))
+    )
+    est = ip.agg(F.min("prod").alias("est_join_size"))
+    tru = (
+        p.join(v, "w")
+        .agg(
+            F.coalesce(F.sum(p.c * v.c), F.lit(0))
+            .cast("long")
+            .alias("true_join_size")
+        )
+    )
+    return est.crossJoin(tru).select(
+        F.col("est_join_size").cast("long").alias("est_join_size"),
+        "true_join_size",
+        (F.col("est_join_size") >= F.col("true_join_size")).alias(
+            "never_under"
+        ),
+    )

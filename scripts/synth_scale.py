@@ -121,6 +121,8 @@ HEAVY = [
     "agg_corr_matrix",
     "takedown_propagation",
     "agg_dp_release",
+    "sketch_join_size",
+    "feature_standardize",
 ]
 
 #: ``--check`` regression gate (round-5, r4 verdict #6): pinned ceilings
@@ -235,6 +237,10 @@ RATIO_BUDGETS = {
     "takedown_propagation": 6,
     # groupBy + a |groups|-row noise projection
     "agg_dp_release": 6,
+    # two 1024-row sketches from per-key counts; truth joins aggregates
+    "sketch_join_size": 6,
+    # one stats aggregate + broadcast-join projection + final re-agg
+    "feature_standardize": 6,
 }
 
 #: floor for the sf0.1 denominator: sub-0.3 s timings are scheduler
