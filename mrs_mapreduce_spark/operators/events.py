@@ -1155,3 +1155,144 @@ def events_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_val", ignorenulls=True).over(w).alias("locf_val"),
         )
     )
+
+
+@register(
+    "events_concurrency",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS t,
+               lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_ns(ts), event_id)
+                   AS prev_t
+        FROM events),
+    flagged AS (
+        SELECT user_id, event_id, t,
+               CASE WHEN prev_t IS NULL
+                         OR t - prev_t > {_NS_PER_30MIN}
+                    THEN 1 ELSE 0 END AS is_start
+        FROM o),
+    ids AS (
+        SELECT user_id, t,
+               sum(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sno
+        FROM flagged),
+    sess AS (SELECT user_id, sno, min(t) AS st,
+                    max(t) + {_NS_PER_30MIN} AS en
+             FROM ids GROUP BY user_id, sno),
+    seg AS (SELECT user_id, sno, d,
+                   greatest(st, d * {_NS_PER_DAY}) AS sst,
+                   least(en, (d + 1) * {_NS_PER_DAY}) AS sen
+            FROM sess,
+                 unnest(range(st // {_NS_PER_DAY},
+                              (en - 1) // {_NS_PER_DAY} + 1)) AS u(d)),
+    pts AS (SELECT d, 2 * sst + 1 AS k, 1 AS delta FROM seg
+            WHERE sen > sst
+            UNION ALL
+            SELECT d, 2 * sen AS k, -1 FROM seg WHERE sen > sst),
+    run AS (SELECT d, delta,
+                   sum(delta) OVER (PARTITION BY d ORDER BY k
+                                    RANGE BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS conc
+            FROM pts)
+    SELECT CAST(d AS BIGINT) AS day,
+           CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT)
+               AS n_active_sessions,
+           CAST(max(conc) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY d
+    """,
+    survey="D6 extension (interval concurrency via sweep-line: peak "
+    "simultaneous 30-min sessions per day — the +1/-1 boundary-point "
+    "running sum, day-split so every day's sweep is an independent "
+    "partition)",
+    scale="""
+    The sweep-line algorithm as a relational plan: each session interval
+    [first_event, last_event + 30min) emits a +1 point at its start and
+    a -1 at its (exclusive) end; concurrency at any instant is the
+    running sum, and the day's peak is its max. Two scale decisions:
+    (1) intervals are SPLIT at day boundaries first (unnest over the
+    session's day range), so the running-sum window partitions by DAY —
+    independent per-day sorts instead of one global ordered sweep, which
+    is what makes the plan parallel at 100 TB (a day of boundary points
+    per task; sessions spanning midnight contribute a segment to each
+    day, preserving exact cross-boundary concurrency). (2) The frame is
+    RANGE over the single packed key k = 2t + (1 if start) — ties (many
+    sessions starting the same instant) are PEERS whose sum is frame-
+    identical in any order, so the peak is engine-deterministic without
+    a total tie-break; packing ends at even keys sorts them before
+    same-instant starts (end-exclusive semantics). Session derivation
+    reuses events_session_ids' pinned gaps-and-islands exactly.
+    """,
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions per day (sweep-line over intervals)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | (F.col("ts_ns") - F.lag("ts_ns").over(w) > _NS_PER_30MIN),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy(
+        "ts_ns", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        flagged.withColumn("sno", F.sum("is_start").over(w_run))
+        .groupBy("user_id", "sno")
+        .agg(
+            F.min("ts_ns").alias("st"),
+            (F.max("ts_ns") + _NS_PER_30MIN).alias("en"),
+        )
+    )
+    seg = (
+        sess.select(
+            F.explode(
+                F.sequence(
+                    F.expr(f"st div {_NS_PER_DAY}"),
+                    F.expr(f"(en - 1) div {_NS_PER_DAY}"),
+                )
+            ).alias("d"),
+            "st",
+            "en",
+        )
+        .select(
+            "d",
+            F.greatest("st", F.col("d") * _NS_PER_DAY).alias("sst"),
+            F.least("en", (F.col("d") + 1) * _NS_PER_DAY).alias("sen"),
+        )
+        .filter(F.col("sen") > F.col("sst"))
+    )
+    pts = seg.select(
+        "d",
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.lit(2) * F.col("sst") + 1).alias("k"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    (F.lit(2) * F.col("sen")).alias("k"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("p"),
+    ).select("d", "p.k", "p.delta")
+    w_sweep = (
+        Window.partitionBy("d")
+        .orderBy("k")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.withColumn("conc", F.sum("delta").over(w_sweep))
+    return run.groupBy("d").agg(
+        F.col("d").alias("day"),
+        F.count_if(F.col("delta") == 1).alias("n_active_sessions"),
+        F.max("conc").alias("peak_concurrent"),
+    ).select("day", "n_active_sessions", "peak_concurrent")

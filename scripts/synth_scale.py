@@ -123,6 +123,8 @@ HEAVY = [
     "agg_dp_release",
     "sketch_join_size",
     "feature_standardize",
+    "stream_join_full_outer",
+    "events_concurrency",
 ]
 
 #: ``--check`` regression gate (round-5, r4 verdict #6): pinned ceilings
@@ -241,6 +243,11 @@ RATIO_BUDGETS = {
     "sketch_join_size": 6,
     # one stats aggregate + broadcast-join projection + final re-agg
     "feature_standardize": 6,
+    # dual-stream state O(rate x interval); micro-batch overhead
+    # dominates the sf0.1 denominator like stream_join_inner
+    "stream_join_full_outer": 8,
+    # one session window + day-partitioned sweeps; points = 2 x segments
+    "events_concurrency": 6,
 }
 
 #: floor for the sf0.1 denominator: sub-0.3 s timings are scheduler
