@@ -664,3 +664,55 @@ def takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(~F.col("is_bad")).alias("n_kept"),
     )
     return doc_row.unionByName(chunk_row).unionByName(post_row)
+
+
+_KANON_K = 5  # minimum group size for the k-anonymity audit
+
+
+@register(
+    "scan_kanonymity",
+    oracle=f"""
+    WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+               FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (WHERE n < {_KANON_K}) AS BIGINT)
+               AS n_violating,
+           CAST(COALESCE(sum(n) FILTER (WHERE n < {_KANON_K}), 0) AS BIGINT)
+               AS n_rows_at_risk,
+           CAST(min(n) AS BIGINT) AS min_group_size,
+           CAST(sum(n) AS BIGINT) AS n_rows
+    FROM g
+    """,
+    survey="E91/E92 sibling (k-anonymity audit: quasi-identifier group "
+    "sizes below k identify re-identifiable rows BEFORE a release — "
+    "the check run before agg_dp_release or any per-group publication)",
+    scale="""
+    The pre-release governance gate: rows whose quasi-identifier
+    combination (here nation x market segment) lands in a group smaller
+    than k = {k} are re-identifiable in a published per-group table. One
+    partial-aggregated groupBy over the quasi-identifiers, then a
+    |groups|-row audit aggregate — the shuffle carries group counts,
+    never rows, so auditing a 100 TB release candidate costs one
+    aggregation at fact-scan speed. The remediation paths this audit
+    feeds are all declared siblings: generalize the quasi-identifiers
+    (coarser grouping sets, E10), suppress the violating groups
+    (anti-join, B6), or release noisy counts instead (agg_dp_release,
+    E92 — DP is the rigorous alternative k-anonymity approximates).
+    """.replace("{k}", str(_KANON_K)),
+)
+def scan_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit (nation, segment) quasi-identifier groups against k=5."""
+    cust = table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    small = F.col("n") < _KANON_K
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count_if(small).alias("n_violating"),
+        F.coalesce(F.sum(F.when(small, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("n").alias("min_group_size"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )

@@ -1010,3 +1010,130 @@ def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_under"
         ),
     )
+
+
+@register(
+    "sketch_hll_intersection",
+    oracle="""
+    WITH ka AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS w
+                FROM orders WHERE o_orderstatus = 'F'),
+    kb AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS w
+           FROM orders WHERE o_orderstatus = 'O'),
+    ha AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS n FROM ka),
+    hb AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS n FROM kb),
+    ma AS (SELECT n % 64 AS bucket,
+                  max(CASE WHEN n // 64 = 0 THEN 55
+                           ELSE 55 - length(bin(n // 64)) END) AS m
+           FROM ha GROUP BY 1),
+    mb AS (SELECT n % 64 AS bucket,
+                  max(CASE WHEN n // 64 = 0 THEN 55
+                           ELSE 55 - length(bin(n // 64)) END) AS m
+           FROM hb GROUP BY 1),
+    mu AS (SELECT bucket, max(m) AS m
+           FROM (SELECT * FROM ma UNION ALL SELECT * FROM mb)
+           GROUP BY bucket),
+    ea AS (SELECT 0.709 * 64 * 64 * (CAST(1 AS BIGINT) << 55)
+                  / (sum(CAST(1 AS BIGINT) << (55 - m))
+                     + (64 - count(*)) * (CAST(1 AS BIGINT) << 55)) AS e
+           FROM ma),
+    eb AS (SELECT 0.709 * 64 * 64 * (CAST(1 AS BIGINT) << 55)
+                  / (sum(CAST(1 AS BIGINT) << (55 - m))
+                     + (64 - count(*)) * (CAST(1 AS BIGINT) << 55)) AS e
+           FROM mb),
+    eu AS (SELECT 0.709 * 64 * 64 * (CAST(1 AS BIGINT) << 55)
+                  / (sum(CAST(1 AS BIGINT) << (55 - m))
+                     + (64 - count(*)) * (CAST(1 AS BIGINT) << 55)) AS e
+           FROM mu),
+    truth AS (SELECT count(*) AS exact_intersection
+              FROM (SELECT w FROM ka INTERSECT SELECT w FROM kb))
+    SELECT round(ea.e, 4) AS est_a,
+           round(eb.e, 4) AS est_b,
+           round(eu.e, 4) AS est_union,
+           round(ea.e + eb.e - eu.e, 4) AS est_intersection,
+           CAST(t.exact_intersection AS BIGINT) AS exact_intersection
+    FROM ea, eb, eu, truth t
+    """,
+    survey="B10/E3 extension (HLL set algebra: |A∩B| by inclusion-"
+    "exclusion over MERGED registers — union of HLLs is bucket-wise "
+    "max, so the intersection of two populations is answerable from "
+    "their stored sketches alone, no rescan)",
+    scale="""
+    The payoff of keeping HLL state as data: HLL(A ∪ B) is the
+    bucket-wise MAX of the two 64-row register relations (max is the
+    monoid sketch_hll_merge proved), so |A ∩ B| = E(A) + E(B) − E(A∪B)
+    computes entirely from stored sketches — the 100 TB question "how
+    many users did both campaigns touch" costs three 64-row aggregations
+    instead of a distinct-intersect over the raw populations. Error
+    compounds: each estimate carries ~1.04/sqrt(64) relative error and
+    the subtraction amplifies it when the intersection is small relative
+    to the union (the documented limitation — production uses larger m
+    or a theta sketch when the overlap ratio is tiny; the exact witness
+    column makes the achieved error visible per release). All register
+    arithmetic is exact integers until the final division, so both
+    engines agree bit-for-bit at 4-decimal rounding.
+    """,
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|A∩B| of two customer populations from merged HLL registers."""
+    orders = table(spark, sf_dir, "orders")
+
+    def mx_of(status: str) -> DataFrame:
+        keys = (
+            orders.filter(F.col("o_orderstatus") == status)
+            .select(F.col("o_custkey").cast("string").alias("w"))
+            .distinct()
+        )
+        n = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+        parts = keys.select(n.alias("full_n")).select(
+            (F.col("full_n") % _HLL_M).alias("bucket"),
+            F.expr(f"full_n div {_HLL_M}").alias("rem"),
+        )
+        return (
+            parts.select(
+                "bucket",
+                F.when(F.col("rem") == 0, F.lit(55))
+                .otherwise(F.lit(55) - F.length(F.bin("rem")))
+                .alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m"))
+        )
+
+    def est_of(mx: DataFrame, alias: str) -> DataFrame:
+        two55 = 1 << 55
+        return mx.agg(
+            (
+                F.lit(0.709 * _HLL_M * _HLL_M)
+                * F.lit(float(two55))
+                / (
+                    F.sum(F.expr("shiftleft(1L, cast(55 - m as int))"))
+                    + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(two55)
+                )
+            ).alias(alias)
+        )
+
+    ma, mb = mx_of("F"), mx_of("O")
+    mu = ma.unionByName(mb).groupBy("bucket").agg(F.max("m").alias("m"))
+    ea, eb, eu = est_of(ma, "ea"), est_of(mb, "eb"), est_of(mu, "eu")
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    truth = (
+        f_keys.intersect(o_keys)
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(truth)
+        .select(
+            pround("ea", 4).alias("est_a"),
+            pround("eb", 4).alias("est_b"),
+            pround("eu", 4).alias("est_union"),
+            pround(F.col("ea") + F.col("eb") - F.col("eu"), 4).alias(
+                "est_intersection"
+            ),
+            F.col("exact_intersection").cast("long").alias(
+                "exact_intersection"
+            ),
+        )
+    )

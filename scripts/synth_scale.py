@@ -125,6 +125,8 @@ HEAVY = [
     "feature_standardize",
     "stream_join_full_outer",
     "events_concurrency",
+    "sketch_hll_intersection",
+    "scan_kanonymity",
 ]
 
 #: ``--check`` regression gate (round-5, r4 verdict #6): pinned ceilings
@@ -248,6 +250,10 @@ RATIO_BUDGETS = {
     "stream_join_full_outer": 8,
     # one session window + day-partitioned sweeps; points = 2 x segments
     "events_concurrency": 6,
+    # three 64-row register aggregations + one exact intersect witness
+    "sketch_hll_intersection": 6,
+    # one groupBy over quasi-identifiers + a |groups|-row audit agg
+    "scan_kanonymity": 6,
 }
 
 #: floor for the sf0.1 denominator: sub-0.3 s timings are scheduler
