@@ -104,3 +104,25 @@ def test_heavy_hitters_bound_holds_and_summary_is_bounded(spark, sf_dir):
     # summary size bound: at most S*k merged candidates exist at all,
     # and the declared query caps its report at 25
     assert len(rows) <= min(25, _MG_SEGS * _MG_K)
+
+
+def test_hll_intersection_identity_and_witness(spark, sf_dir):
+    from mrs_mapreduce_spark.operators.sketches import (
+        sketch_hll_intersection,
+    )
+
+    r = sketch_hll_intersection(spark, sf_dir).collect()[0]
+    # inclusion-exclusion identity holds by construction (rounding slack)
+    assert abs(r.est_intersection - (r.est_a + r.est_b - r.est_union)) < 1e-3
+    # union is at least each side (bucket-wise max can only grow)
+    assert r.est_union >= r.est_a - 1e-9
+    assert r.est_union >= r.est_b - 1e-9
+    assert r.exact_intersection > 0  # fixture populations overlap
+
+
+def test_join_size_estimate_never_under(spark, sf_dir):
+    from mrs_mapreduce_spark.operators.sketches import sketch_join_size
+
+    r = sketch_join_size(spark, sf_dir).collect()[0]
+    assert r.never_under
+    assert r.est_join_size >= r.true_join_size > 0

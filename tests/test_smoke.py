@@ -480,3 +480,14 @@ def test_table_diff_counts_are_exactly_the_synthetic_deltas(spark, sf_dir):
     assert dele == ins  # every deleted key re-enters under a shifted key
     assert dele + upd + same == n
     assert rows["inserted"].min_key >= 10000000  # shifted key space
+
+
+def test_kanonymity_audit_accounts_for_every_row(spark, sf_dir):
+    from mrs_mapreduce_spark.catalog import table
+    from mrs_mapreduce_spark.registry import load_all
+
+    r = load_all()["scan_kanonymity"].builder(spark, sf_dir).collect()[0]
+    assert r.n_rows == table(spark, sf_dir, "customer").count()
+    assert 0 <= r.n_violating <= r.n_groups
+    assert r.n_rows_at_risk <= r.n_rows
+    assert r.min_group_size >= 1
