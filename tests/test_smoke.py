@@ -491,3 +491,18 @@ def test_kanonymity_audit_accounts_for_every_row(spark, sf_dir):
     assert 0 <= r.n_violating <= r.n_groups
     assert r.n_rows_at_risk <= r.n_rows
     assert r.min_group_size >= 1
+
+
+def test_govern_release_example(spark, sf_dir, capsys):
+    """The governance example runs all three stages and reports them."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "examples/govern_release.py"
+    spec = importlib.util.spec_from_file_location("govern_release", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.run(spark, sf_dir)
+    assert out["kanon"].n_groups > 0
+    assert set(out["takedown"]) == {"documents", "chunks", "postings"}
+    assert len(out["release"]) == 5  # one row per event type
