@@ -843,3 +843,70 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.min("z"), 4).alias("min_z"),
         pround(F.max("z"), 4).alias("max_z"),
     )
+
+
+@register(
+    "agg_ttest",
+    oracle="""
+    WITH s AS (SELECT
+        count(*) FILTER (WHERE event_type = 'purchase') AS n_a,
+        avg(value) FILTER (WHERE event_type = 'purchase') AS m_a,
+        var_samp(value) FILTER (WHERE event_type = 'purchase') AS v_a,
+        count(*) FILTER (WHERE event_type = 'view') AS n_b,
+        avg(value) FILTER (WHERE event_type = 'view') AS m_b,
+        var_samp(value) FILTER (WHERE event_type = 'view') AS v_b
+        FROM events)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+           round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+           round(pow(v_a / n_a + v_b / n_b, 2)
+                 / (pow(v_a / n_a, 2) / (n_a - 1)
+                    + pow(v_b / n_b, 2) / (n_b - 1)), 2) AS df
+    FROM s
+    """,
+    survey="B9 extension (Welch's two-sample t-test — the continuous-"
+    "outcome complement of events_abtest's two-proportion z-test E61; "
+    "unequal variances, Welch-Satterthwaite df)",
+    scale="""
+    The experimentation primitive for continuous metrics: both arms'
+    (n, mean, var) come from ONE conditional aggregation pass (count/
+    avg/var_samp FILTER per arm — algebraic, partial-aggregated
+    map-side, a single state row on the wire), and the t statistic plus
+    Welch-Satterthwaite degrees of freedom are a codegen projection over
+    that one row. At 100 TB an A/B readout costs one scan regardless of
+    how many metrics/arms are added (more FILTER aggregates, same
+    shuffle). Welch's form is deliberate: it never assumes equal
+    variances, so skewed treatment groups don't silently bias the test
+    the way pooled-variance Student's t does.
+    """,
+)
+def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t for purchase-vs-view event values, one pass."""
+    ev = table(spark, sf_dir, "events")
+
+    def arm(t: str, fn, col: str = "value"):
+        return fn(F.when(F.col("event_type") == t, F.col(col)))
+
+    s = ev.agg(
+        F.count(arm("purchase", lambda c: c)).alias("n_a"),
+        arm("purchase", F.avg).alias("m_a"),
+        arm("purchase", F.var_samp).alias("v_a"),
+        F.count(arm("view", lambda c: c)).alias("n_b"),
+        arm("view", F.avg).alias("m_b"),
+        arm("view", F.var_samp).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    return s.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        pround("m_a", 4).alias("mean_a"),
+        pround("m_b", 4).alias("mean_b"),
+        pround((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 4).alias(
+            "t_stat"
+        ),
+        pround(df, 2).alias("df"),
+    )

@@ -863,3 +863,89 @@ def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.cnt").alias("cnt_b"),
         )
     )
+
+
+_ASOF_TOL_US = 600_000_000  # 10 minutes
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id,
+                      epoch_ns(ts) AS p_ns, epoch_ns(ts) // 1000 AS p_us
+               FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT p.event_id,
+                 (SELECT max(epoch_ns(s.ts) // 1000) FROM events s
+                  WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                    AND epoch_ns(s.ts) <= p.p_ns) AS back_us
+          FROM p),
+    f AS (SELECT p.event_id,
+                 (SELECT min(epoch_ns(s.ts) // 1000) FROM events s
+                  WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                    AND epoch_ns(s.ts) > p.p_ns) AS fwd_us
+          FROM p),
+    near AS (SELECT p.event_id, p.user_id, p.p_us,
+                    CASE WHEN f.fwd_us IS NULL THEN b.back_us
+                         WHEN b.back_us IS NULL THEN f.fwd_us
+                         WHEN p.p_us - b.back_us <= f.fwd_us - p.p_us
+                             THEN b.back_us
+                         ELSE f.fwd_us END AS cand_us
+             FROM p JOIN b USING (event_id) JOIN f USING (event_id))
+    SELECT event_id, user_id,
+           CASE WHEN abs(p_us - cand_us) <= {_ASOF_TOL_US}
+                THEN cand_us END AS matched_signup_us,
+           CASE WHEN abs(p_us - cand_us) <= {_ASOF_TOL_US}
+                THEN CAST(p_us - cand_us AS BIGINT) END AS gap_us,
+           (cand_us IS NOT NULL
+            AND abs(p_us - cand_us) <= {_ASOF_TOL_US}) AS matched
+    FROM near
+    """,
+    survey="B8/E50 extension (as-of join with TOLERANCE — nearest match "
+    "within a 10-minute bound, else NULL: pandas merge_asof's "
+    "``tolerance=`` semantics, completing the backward/forward/nearest "
+    "family)",
+    scale="""
+    Tolerance is the as-of variant real pipelines want: a sensor/quote
+    older than the bound is WORSE than no match. The plan is
+    join_asof_nearest verbatim — one (user_id, ts) shuffle+sort shared
+    by both direction frames, never a correlated subquery — plus one
+    codegen CASE applying the bound; rows outside tolerance keep their
+    left side and NULL the match (left-join semantics), so downstream
+    can distinguish "no signup ever" from "signup too stale" via the
+    ``matched`` flag. Cost at 100 TB is identical to nearest; the bound
+    prunes nothing at join time by design (pruning would need a range
+    join — join_interval_events covers that shape when the tolerance is
+    tight enough to block on).
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest same-user signup within 10 min per purchase, else NULL."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts_ns"
+    )
+    base = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(1, Window.unboundedFollowing)
+    s_us = F.when(
+        F.col("event_type") == "signup", F.expr("ts_ns div 1000")
+    )
+    carried = ev.withColumn(
+        "back_us", F.last(s_us, ignorenulls=True).over(w_back)
+    ).withColumn("fwd_us", F.first(s_us, ignorenulls=True).over(w_fwd))
+    p_us = F.expr("ts_ns div 1000")
+    back_gap = p_us - F.col("back_us")
+    fwd_gap = F.col("fwd_us") - p_us
+    pick_back = F.col("fwd_us").isNull() | (
+        F.col("back_us").isNotNull() & (back_gap <= fwd_gap)
+    )
+    cand = F.when(pick_back, F.col("back_us")).otherwise(F.col("fwd_us"))
+    in_tol = F.abs(p_us - cand) <= _ASOF_TOL_US
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.when(in_tol, cand).alias("matched_signup_us"),
+        F.when(in_tol, p_us - cand).alias("gap_us"),
+        (cand.isNotNull() & in_tol).alias("matched"),
+    )

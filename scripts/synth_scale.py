@@ -127,6 +127,8 @@ HEAVY = [
     "events_concurrency",
     "sketch_hll_intersection",
     "scan_kanonymity",
+    "join_asof_tolerance",
+    "agg_ttest",
 ]
 
 #: ``--check`` regression gate (round-5, r4 verdict #6): pinned ceilings
@@ -254,6 +256,10 @@ RATIO_BUDGETS = {
     "sketch_hll_intersection": 6,
     # one groupBy over quasi-identifiers + a |groups|-row audit agg
     "scan_kanonymity": 6,
+    # join_asof_nearest's one-shuffle shared-frame plan + a CASE
+    "join_asof_tolerance": 6,
+    # one conditional-aggregation pass, single state row on the wire
+    "agg_ttest": 6,
 }
 
 #: floor for the sf0.1 denominator: sub-0.3 s timings are scheduler
