@@ -197,6 +197,14 @@ EXTRA = [
     "agg_corr_matrix",
     "takedown_propagation",
     "agg_dp_release",
+    # round-8c additions (estimation / stats / audit)
+    "sketch_join_size",
+    "sketch_hll_intersection",
+    "feature_standardize",
+    "events_concurrency",
+    "scan_kanonymity",
+    "join_asof_tolerance",
+    "agg_ttest",
 ]
 
 #: per-query soft budgets at sf0.1 (seconds): BENCH_r03 medians x ~1.5
