@@ -716,3 +716,77 @@ def scan_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("min_group_size"),
         F.sum("n").cast("long").alias("n_rows"),
     )
+
+
+#: md5-nibble thresholds: first hex digit 0-12 -> train (13/16),
+#: 13 -> val, 14-15 -> test — deterministic, content-keyed, reproducible
+_SPLIT_EXPR_DUCK = """
+    CASE WHEN pos <= 12 THEN 'train'
+         WHEN pos = 13 THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@register(
+    "sample_split",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang,
+                      strpos('0123456789abcdef',
+                             substr(md5('split-1:' ||
+                                        CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                          AS pos
+               FROM documents),
+    s AS (SELECT doc_id, lang, {_SPLIT_EXPR_DUCK} AS split FROM d)
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS first_id,
+           CAST(max(doc_id) AS BIGINT) AS last_id
+    FROM s GROUP BY split, lang
+    """,
+    survey="D4 extension (deterministic train/val/test split manifest: "
+    "keyed-hash thresholds make the split disjoint, exhaustive, "
+    "reproducible across engines/runs, and stable under corpus "
+    "growth — a doc never migrates between splits when new docs "
+    "arrive; the per-(split, lang) manifest is the audit record)",
+    scale="""
+    The split every training pipeline needs, done the only way that
+    survives re-runs and incremental corpus growth: split membership is
+    a pure function of a keyed content hash (md5 over release-id +
+    doc_id, first nibble thresholded 13/1/2 ≈ 81/6/13%), so adding
+    documents NEVER reshuffles existing assignments (the holdout stays
+    clean) and both engines derive identical membership. The manifest
+    aggregates per (split, lang) — a partial-aggregated groupBy whose
+    shuffle carries group counts; the split column itself is a codegen
+    projection any downstream query reuses as a partition filter. The
+    disjoint-exhaustive witness is implicit: the oracle equality forces
+    sum over splits per lang to equal the corpus exactly.
+    """,
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 81/6/13 train/val/test manifest per language."""
+    docs = table(spark, sf_dir, "documents")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split-1:"), F.col("doc_id").cast("string"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        )
+    ).cast("int")
+    split = (
+        F.when(pos <= 12, F.lit("train"))
+        .when(pos == 13, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+    )

@@ -910,3 +910,70 @@ def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         pround(df, 2).alias("df"),
     )
+
+
+@register(
+    "agg_chi2",
+    oracle="""
+    WITH obs AS (SELECT event_type,
+                        CAST(epoch_ns(ts) // 86400000000000 % 7 AS BIGINT)
+                            AS dow,
+                        count(*) AS o
+                 FROM events GROUP BY 1, 2),
+    margins AS (SELECT event_type, dow, o,
+                       sum(o) OVER (PARTITION BY event_type) AS row_n,
+                       sum(o) OVER (PARTITION BY dow) AS col_n,
+                       sum(o) OVER () AS n
+                FROM obs)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(n) AS BIGINT) AS n,
+           round(sum(pow(o - row_n * col_n / CAST(n AS DOUBLE), 2)
+                     / (row_n * col_n / CAST(n AS DOUBLE))), 4) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1) AS BIGINT) AS df
+    FROM margins
+    """,
+    survey="B9 extension (chi-square independence test for two "
+    "categoricals — completes the declared test-statistic trio: "
+    "two-proportion z E61, Welch t E100, chi-square here)",
+    scale="""
+    Independence of event type and day-of-week from the CONTINGENCY
+    TABLE, never the raw rows: one partial-aggregated groupBy produces
+    the |types| x |days| cell counts, margins come from windows OVER
+    that tiny relation, and the chi-square sum is a projection —
+    adding a 100 TB of events changes only the first groupBy's scan.
+    The day-of-week bucket is integer epoch-day arithmetic (mod 7),
+    identical in both engines; expected counts stay in double only for
+    the final ratio. The statistic's magnitude on synthetic uniform
+    fixtures is small by construction — the point is the plan shape
+    and the cross-engine arithmetic, both oracle-pinned.
+    """,
+)
+def agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of event_type x day-of-week independence."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        (F.expr("ts_ns div 86400000000000") % 7).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = (
+        obs.withColumn(
+            "row_n", F.sum("o").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("col_n", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn(
+            "n", F.sum("o").over(Window.partitionBy())
+        )
+    )
+    exp = F.col("row_n") * F.col("col_n") / F.col("n").cast("double")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").alias("n"),
+        pround(F.sum(F.pow(F.col("o") - exp, 2) / exp), 4).alias("chi2"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("dow") - 1)
+        ).alias("df"),
+    )

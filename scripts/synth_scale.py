@@ -129,6 +129,8 @@ HEAVY = [
     "scan_kanonymity",
     "join_asof_tolerance",
     "agg_ttest",
+    "agg_chi2",
+    "sample_split",
 ]
 
 #: ``--check`` regression gate (round-5, r4 verdict #6): pinned ceilings
@@ -260,6 +262,10 @@ RATIO_BUDGETS = {
     "join_asof_tolerance": 6,
     # one conditional-aggregation pass, single state row on the wire
     "agg_ttest": 6,
+    # one groupBy to the contingency table; margins over ~35 rows
+    "agg_chi2": 6,
+    # codegen split projection + one partial-aggregated manifest groupBy
+    "sample_split": 6,
 }
 
 #: floor for the sf0.1 denominator: sub-0.3 s timings are scheduler
