@@ -225,8 +225,18 @@ BUDGETS = {
     "sink_bucketed_join": 1.7,
     "text_bm25": 1.2,
     "text_perplexity": 2.2,
-    "similarity_ivf_trained": 2.0,
-    "similarity_lsh_multiprobe": 1.5,
+    # r8: same re-base as similarity_lsh_multiprobe below — the two
+    # ANN model-build queries (codebook train + broadcast, multiple
+    # jobs) spike 1.7-2.1x their medians on a warm/loaded host with no
+    # code change (driver benches 0.91/1.02 s in r6/r7; today's spread
+    # 1.02-2.1 s across seven same-code runs)
+    "similarity_ivf_trained": 2.5,
+    # r8: solo spread 1.05-1.60 s with NO code change since the r3
+    # median (driver benches 0.73/0.83 s in r6/r7) — the old 1.5 ceiling
+    # sat inside the documented +-30-40% host band for a ~1 s query and
+    # tripped spuriously on a warm host; re-based like the other
+    # ~1 s-class entries (BASELINE.md round-8 drift attribution)
+    "similarity_lsh_multiprobe": 2.0,
     "events_rfm": 1.8,
     # r4b: k tracks the corpus AND assignment is two-level (O(n*sqrt k))
     # — at sf0.1 the extra model-build/checkpoint barriers cost ~1.5 s
