@@ -576,3 +576,110 @@ def stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "180s; memory sink would be partial — failing loudly instead"
         )
     return spark.table(sink_name)
+
+
+@register(
+    "stream_join_right_outer",
+    oracle="""
+    WITH mxp AS (SELECT max(epoch_ns(ts) // 1000000) AS m FROM events
+                 WHERE event_type = 'purchase'),
+    mxs AS (SELECT max(epoch_ns(ts) // 1000000) AS m FROM events
+            WHERE event_type = 'signup'),
+    w AS (SELECT (least(mxp.m, mxs.m) - 3600000) * 1000 AS w_us
+          FROM mxp, mxs),
+    p AS (SELECT event_id AS purchase_id, user_id,
+                 epoch_ns(ts) // 1000 AS p_us
+          FROM events WHERE event_type = 'purchase'),
+    s AS (SELECT event_id AS signup_id, user_id AS s_user,
+                 epoch_ns(ts) // 1000 AS s_us
+          FROM events WHERE event_type = 'signup'),
+    m AS (SELECT p.purchase_id, s.signup_id, p.user_id,
+                 p.p_us - s.s_us AS gap_us
+          FROM p JOIN s
+            ON p.user_id = s.s_user
+           AND s.s_us <= p.p_us
+           AND s.s_us > p.p_us - 3600000000)
+    SELECT purchase_id, signup_id, user_id,
+           CAST(gap_us AS BIGINT) AS gap_us
+    FROM m
+    UNION ALL
+    SELECT NULL, s.signup_id, s.s_user, NULL
+    FROM s
+    WHERE s.signup_id NOT IN (SELECT signup_id FROM m)
+      AND s.s_us < (SELECT w_us FROM w) - 3600000000
+    """,
+    survey="C (stream-stream RIGHT OUTER join — the fourth and final "
+    "mode: inner, left outer E49, full outer E95, right outer here; "
+    "the matrix is closed)",
+    scale="""
+    The right-preserving mode, free once the full-outer boundaries were
+    pinned: matched pairs emit on match (no eviction), and an unmatched
+    SIGNUP null-emits iff s_us < w − 1h — the same forward-window
+    eviction the full-outer right side uses (the signup matches
+    purchases in [s_us, s_us + 1h), so its state survives until the
+    watermark clears the whole window). Oracle = the full-outer oracle
+    minus the left-orphan class, nothing re-derived. State bound and
+    micro-batch cost identical to the other outer modes.
+    """,
+)
+def stream_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """purchases RIGHT OUTER signups within 1h as a real dual-stream join."""
+    from .source import events_stream
+
+    def src():
+        return events_stream(spark, sf_dir)
+
+    p = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.expr("ts_ns div 1000").alias("p_us"),
+        )
+    )
+    s = (
+        src()
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+            F.expr("ts_ns div 1000").alias("s_us"),
+        )
+    )
+    joined = p.join(
+        s,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("s_us") <= F.col("p_us"))
+        & (F.col("s_us") > F.col("p_us") - 3_600_000_000),
+        "right_outer",
+    ).select(
+        "purchase_id",
+        "signup_id",
+        F.coalesce("user_id", "s_user").alias("user_id"),
+        (F.col("p_us") - F.col("s_us")).alias("gap_us"),
+    )
+    sink_name = "mrs_stream_right_outer_sink"
+    checkpoint = tempfile.mkdtemp(prefix="mrs_sro_ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(180)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "stream_join_right_outer: availableNow drain did not finish in "
+            "180s; memory sink would be partial — failing loudly instead"
+        )
+    return spark.table(sink_name)

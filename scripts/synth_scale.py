@@ -131,6 +131,7 @@ HEAVY = [
     "agg_ttest",
     "agg_chi2",
     "sample_split",
+    "stream_join_right_outer",
 ]
 
 #: ``--check`` regression gate (round-5, r4 verdict #6): pinned ceilings
@@ -266,6 +267,8 @@ RATIO_BUDGETS = {
     "agg_chi2": 6,
     # codegen split projection + one partial-aggregated manifest groupBy
     "sample_split": 6,
+    # dual-stream state like its siblings; micro-batch overhead dominates
+    "stream_join_right_outer": 8,
 }
 
 #: floor for the sf0.1 denominator: sub-0.3 s timings are scheduler
