@@ -752,7 +752,8 @@ _SPLIT_EXPR_DUCK = """
     The split every training pipeline needs, done the only way that
     survives re-runs and incremental corpus growth: split membership is
     a pure function of a keyed content hash (md5 over release-id +
-    doc_id, first nibble thresholded 13/1/2 ≈ 81/6/13%), so adding
+    doc_id, first nibble thresholded 13:1:2 sixteenths = exactly
+    81.25/6.25/12.5%), so adding
     documents NEVER reshuffles existing assignments (the holdout stays
     clean) and both engines derive identical membership. The manifest
     aggregates per (split, lang) — a partial-aggregated groupBy whose
@@ -763,7 +764,8 @@ _SPLIT_EXPR_DUCK = """
     """,
 )
 def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 81/6/13 train/val/test manifest per language."""
+    """Deterministic 81.25/6.25/12.5% train/val/test manifest per
+    language (13:1:2 of 16 first-nibble values)."""
     docs = table(spark, sf_dir, "documents")
     pos = (
         F.conv(

@@ -239,14 +239,160 @@ class MockParallelJob:
         return min(dataset._tasks_done / len(dataset._tasks), 0.99)
 
 
+class BypassDataset:
+    """Eagerly-computed pair collection — Bypass mode's dataset.
+
+    API parity with :class:`~.mapreduce.Dataset` / :class:`MockDataset`
+    (``collect``, ``close``, ``splits``); there is exactly one logical
+    split and nothing is lazy — bypass computed the pairs at the call
+    that produced this object.
+    """
+
+    def __init__(self, pairs: list[tuple]):
+        self.pairs = list(pairs)
+        self.splits = 1
+        self.parter = hash_partition
+
+    def collect(self) -> list[tuple]:
+        return list(self.pairs)
+
+    def close(self) -> None:
+        self.pairs = []
+
+
+class BypassJob:
+    """A16's fourth run mode: run map/reduce generators INLINE, no tasks.
+
+    The reference's *Bypass* mode [upstream-UNVERIFIED, public knowledge
+    of byu-aml-lab/mrs-mapreduce: ``mrs/main.py`` run-implementation
+    switch] skips the framework entirely — no splits, no parters, no
+    shuffle buckets, no task scheduling; each operation applies the
+    user's generators to the whole dataset immediately. That makes it
+    the fastest way to sanity-check PROGRAM LOGIC (is my mapper/reducer
+    arithmetic right?) with zero machinery in the stack trace, while
+    :class:`MockParallelJob` remains the mode that debugs the MACHINERY
+    interactions (split boundaries, parter placement, combiner runs).
+
+    Same ``Job`` API surface, so user programs and
+    :class:`~.mapreduce.IterativeMR` drivers run unmodified. ``splits``
+    and ``parter`` arguments are accepted and ignored — there is one
+    inline "split" by definition. Everything is EAGER: ``wait`` has
+    nothing to do and ``progress`` is always 1.0.
+
+    Output equality with :class:`~.mapreduce.Job` (Spark) and
+    :class:`MockParallelJob` is pinned three-way in
+    ``tests/test_mapreduce.py::TestMockParallelParity``.
+
+    Scale note: debugging only, like MockParallel — the whole dataset
+    lives in one Python list. Production is the Spark ``Job``.
+    """
+
+    def __init__(self, default_splits: int = 1):
+        self.default_splits = default_splits
+
+    # -- sources ----------------------------------------------------------
+
+    def local_data(self, pairs: Iterable[tuple], splits: int = 1) -> BypassDataset:
+        return BypassDataset(pairs)
+
+    def file_data(self, paths: list[str]) -> BypassDataset:
+        return BypassDataset(
+            pair
+            for path in paths
+            for pair in enumerate(Path(path).read_text().splitlines())
+        )
+
+    # -- transforms (each computes inline, immediately) -------------------
+
+    def map_data(
+        self,
+        dataset: BypassDataset,
+        mapper: Callable,
+        splits: int | None = None,
+        parter: Callable = hash_partition,
+        combiner: Callable | None = None,
+    ) -> BypassDataset:
+        out = [pair for k, v in dataset.pairs for pair in mapper(k, v)]
+        if combiner is not None:
+            # one inline combine pass over the whole (sorted) output —
+            # the degenerate single-split case of the framework's
+            # map-side combine, output-equal because combiners are
+            # reduce-compatible by contract
+            out = [
+                (k, v)
+                for k, vals in _sorted_groups(out)
+                for v in combiner(k, vals)
+            ]
+        return BypassDataset(out)
+
+    def reduce_data(
+        self,
+        dataset: BypassDataset,
+        reducer: Callable,
+        splits: int | None = None,
+        parter: Callable = hash_partition,
+        outdir: str | None = None,
+    ) -> BypassDataset:
+        ds = BypassDataset(
+            (k, v)
+            for k, vals in _sorted_groups(dataset.pairs)
+            for v in reducer(k, vals)
+        )
+        if outdir is not None:
+            out = Path(outdir)
+            out.mkdir(parents=True, exist_ok=False)
+            (out / "part-00000").write_text(
+                "".join(f"{k}\t{v}\n" for k, v in ds.pairs)
+            )
+        return ds
+
+    def reduce_data_sorted(
+        self,
+        dataset: BypassDataset,
+        reducer: Callable,
+        splits: int | None = None,
+        parter: Callable = hash_partition,
+    ) -> BypassDataset:
+        ordered = sorted(dataset.pairs)
+        out = []
+        for key, group in itertools.groupby(ordered, key=lambda kv: kv[0]):
+            for v in reducer(key, (v for _, v in group)):
+                out.append((key, v))
+        return BypassDataset(out)
+
+    def reducemap_data(
+        self,
+        dataset: BypassDataset,
+        reducer: Callable,
+        mapper: Callable,
+        splits: int | None = None,
+        parter: Callable = hash_partition,
+    ) -> BypassDataset:
+        return BypassDataset(
+            pair
+            for k, vals in _sorted_groups(dataset.pairs)
+            for v in reducer(k, vals)
+            for pair in mapper(k, v)
+        )
+
+    # -- control (trivial: everything already ran) ------------------------
+
+    def wait(self, *datasets: BypassDataset, timeout: float | None = None):
+        return list(datasets)
+
+    def progress(self, dataset: BypassDataset) -> float:
+        return 1.0
+
+
 def make_job(mode: str = "spark", spark=None, **kwargs):
     """Run-mode switch (A16): the reference's CLI ``--mrs=<impl>`` flag.
 
     ``spark`` → the distributed :class:`~.mapreduce.Job` (requires a
     SparkSession); ``mock_parallel`` → :class:`MockParallelJob`, the
-    deterministic in-process debug mode. (A *Serial* mode would skip the
-    task machinery entirely; MockParallel supersedes it for debugging —
-    identical coverage, same determinism.)
+    deterministic full-machinery debug mode; ``bypass`` →
+    :class:`BypassJob`, generators applied inline with no task machinery
+    at all (the reference's fourth mode; Serial is subsumed by ``Job``'s
+    synchronous waits on ``local[1]``).
     """
     if mode == "spark":
         if spark is None:
@@ -256,4 +402,6 @@ def make_job(mode: str = "spark", spark=None, **kwargs):
         return Job(spark, **kwargs)
     if mode == "mock_parallel":
         return MockParallelJob(**kwargs)
+    if mode == "bypass":
+        return BypassJob(**kwargs)
     raise ValueError(f"unknown run mode {mode!r}")

@@ -796,16 +796,16 @@ def agg_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM customer c JOIN s ON c.c_mktsegment = s.c_mktsegment)
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(z), 6) AS mean_z,
-           round(var_samp(z), 6) AS var_z,
+           abs(avg(z)) < 1e-9 AS mean_zero_ok,
+           abs(var_samp(z) - 1) < 1e-9 AS var_one_ok,
            round(min(z), 4) AS min_z,
            round(max(z), 4) AS max_z
     FROM z GROUP BY c_mktsegment
     """,
     survey="B9 extension (per-group z-score standardization — the ML "
     "feature-scaling pass, stats via ONE aggregate + broadcast join "
-    "back, no window sort; post-transform moments witnessed in-plan: "
-    "mean 0, variance 1)",
+    "back, no window sort; post-transform moments witnessed in-plan as "
+    "sign-safe booleans: |mean|<1e-9, |var-1|<1e-9)",
     scale="""
     Standardization needs each row joined with its group's (mu, sd). The
     window formulation (avg OVER (PARTITION BY g)) forces a full sort
@@ -815,11 +815,16 @@ def agg_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-partitioned, and the transform is a codegen projection.
     At 100 TB that is the difference between a petabyte sort and a
     kilobyte broadcast. The declared output re-aggregates the
-    standardized column into per-group moments — mean_z = 0 and
-    var_z = 1 by construction, which the oracle equality verifies as an
-    end-to-end arithmetic witness (any drift in either engine's
-    mu/sd/transform breaks it); min_z/max_z expose the group's outlier
-    envelope (the winsorization knob's input).
+    standardized column into per-group moments — mean 0 and variance 1
+    by construction. Because the true values ARE 0/1, avg(z) is a
+    catastrophic-cancellation residual (~1e-13) whose SIGN depends on
+    partition summation order — round(·,6) of it flips between 0.0 and
+    -0.0 across runs/engines (the r8 red row). So the moments are
+    emitted as sign-safe boolean witnesses (|avg(z)| < 1e-9,
+    |var_samp(z)-1| < 1e-9) in BOTH engines; any drift in either
+    engine's mu/sd/transform still breaks them. min_z/max_z stay as the
+    informative floats: the group's outlier envelope (the winsorization
+    knob's input).
     """,
 )
 def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -838,8 +843,8 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return z.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
-        pround(F.avg("z"), 6).alias("mean_z"),
-        pround(F.var_samp("z"), 6).alias("var_z"),
+        (F.abs(F.avg("z")) < 1e-9).alias("mean_zero_ok"),
+        (F.abs(F.var_samp("z") - 1) < 1e-9).alias("var_one_ok"),
         pround(F.min("z"), 4).alias("min_z"),
         pround(F.max("z"), 4).alias("max_z"),
     )
@@ -849,10 +854,10 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_ttest",
     oracle="""
     WITH s AS (SELECT
-        count(*) FILTER (WHERE event_type = 'purchase') AS n_a,
+        count(value) FILTER (WHERE event_type = 'purchase') AS n_a,
         avg(value) FILTER (WHERE event_type = 'purchase') AS m_a,
         var_samp(value) FILTER (WHERE event_type = 'purchase') AS v_a,
-        count(*) FILTER (WHERE event_type = 'view') AS n_b,
+        count(value) FILTER (WHERE event_type = 'view') AS n_b,
         avg(value) FILTER (WHERE event_type = 'view') AS m_b,
         var_samp(value) FILTER (WHERE event_type = 'view') AS v_b
         FROM events)
@@ -877,7 +882,10 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many metrics/arms are added (more FILTER aggregates, same
     shuffle). Welch's form is deliberate: it never assumes equal
     variances, so skewed treatment groups don't silently bias the test
-    the way pooled-variance Student's t does.
+    the way pooled-variance Student's t does. n_a/n_b count NON-NULL
+    values on both sides (count(value) FILTER, matching the builder's
+    count(when(...))) — the statistically correct n for a mean/variance
+    that skip NULLs, and engine-consistent if value is ever NULL.
     """,
 )
 def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,8 +37,15 @@ def _canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 vs 0.0 and represent exactly
-        return v + 0.0
+        # The driver hashes repr-level values: repr(-0.0) != repr(0.0),
+        # so negative zero MUST stay distinct here (the r8
+        # feature_standardize red row proved the old `v + 0.0` collapse
+        # made this sim blinder than the driver). A distinct marker —
+        # not the float itself — because Python's -0.0 == 0.0 would
+        # erase the difference in tuple comparison.
+        if v == 0.0 and math.copysign(1.0, v) < 0.0:
+            return "\x00-0.0"
+        return v
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
@@ -101,6 +108,37 @@ def _driver_shape_issues(side: str, cols: list[str], rows: list[tuple]) -> list[
             "(array_join / string_agg discipline)"
         ]
     return []
+
+
+def _negzero_issues(side: str, cols: list[str], rows: list[tuple]) -> list[str]:
+    """Ban emitted ``-0.0`` registry-wide (the r8 feature_standardize class).
+
+    A cell that rounds to negative zero means the value is
+    indistinguishable from 0 at the declared precision while its SIGN is
+    partition-summation-order noise — the driver's repr-level hash
+    distinguishes ``-0.0`` from ``0.0``, so such a query is a coin-flip
+    red row across runs/engines. The discipline (SURVEY §7.4 rule 2):
+    emit a boolean witness (``abs(x) < eps AS x_zero_ok``) or normalize
+    with ``+ 0.0`` — NOT bare ``abs()``, which DuckDB defines as
+    sign-preserving on -0.0 while Spark clears it.
+    """
+    issues: list[str] = []
+    for r in rows:
+        for i, v in enumerate(r):
+            if (
+                isinstance(v, float)
+                and v == 0.0
+                and math.copysign(1.0, v) < 0.0
+            ):
+                issues.append(
+                    f"{side} result column {cols[i]!r} emits -0.0 — "
+                    "sign-unstable zero (r8 feature_standardize class); "
+                    "emit a boolean witness or `+ 0.0` instead"
+                )
+                break
+        if issues:
+            break
+    return issues
 
 
 def _cells_close(ra: tuple, rb: tuple, tol: float) -> bool:
@@ -272,6 +310,8 @@ def compare(
         issues.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
     if len(s_rows) != len(d_rows):
         issues.append("row counts differ")
+    issues.extend(_negzero_issues("spark", s_cols, s_rows))
+    issues.extend(_negzero_issues("duck", d_cols, d_rows))
     issues.extend(_driver_shape_issues("spark", s_cols, s_rows))
     issues.extend(_driver_shape_issues("duck", d_cols, d_rows))
 

@@ -46,6 +46,13 @@ BUILD_CONFS: dict[str, str] = {
     # is per-node spark.executor.memory instead.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Job.wait (A13) submits one concurrent action per dataset from
+    # pool threads. Under the default FIFO scheduler a large job
+    # submitted first starves every later job's tasks until its own
+    # stages drain; FAIR round-robins task slots across concurrent jobs,
+    # so independent datasets genuinely overlap — the reference's async
+    # dataset scheduling semantics. Context-static, so set at build.
+    "spark.scheduler.mode": "FAIR",
     "spark.ui.enabled": "false",
     "spark.sql.parquet.compression.codec": "zstd",
     # managed tables (bucketing demos/tests) land in tmp, not the repo

@@ -47,9 +47,13 @@ def cell(v):
         # driver hashes repr-level values — compare EXACTLY (ADVICE r4:
         # a round(v, 9) here would let binary-representation drift pass
         # the sim and fail the driver; the queries' pround discipline is
-        # what must make the two engines bit-identical). +0.0 collapses
-        # -0.0 vs 0.0 only.
-        return v + 0.0
+        # what must make the two engines bit-identical). repr-level also
+        # means -0.0 != 0.0 (r8 feature_standardize red: the old `v +
+        # 0.0` collapse made this sim blinder than the driver) — keep
+        # negative zero distinct via a marker, since Python -0.0 == 0.0.
+        if v == 0.0 and math.copysign(1.0, v) < 0.0:
+            return "\x00-0.0"
+        return v
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
@@ -90,7 +94,16 @@ for name, builder in qs.items():
         dcols = [d[0] for d in rel.description]; drows = rel.fetchall()
         cs = canon(srows, scols)
         cd = canon(drows, dcols)
-        ok = sorted(scols) == sorted(dcols) and cs == cd
+        # -0.0 on EITHER side is banned outright even when both sides
+        # agree: the sign of a rounds-to-zero value is summation-order
+        # noise, so agreement here is a coin-flip at the driver
+        # (r8 feature_standardize class).
+        negz = any("\x00-0.0" in r for r in cs) or any(
+            "\x00-0.0" in r for r in cd
+        )
+        ok = sorted(scols) == sorted(dcols) and cs == cd and not negz
+        if negz:
+            print(f"[NEGZERO] {name}: emits -0.0 — sign-unstable zero")
         if not ok:
             fails.append(name)
             print(f"[FAIL] {name} cols_eq={sorted(scols)==sorted(dcols)} rows {len(cs)}/{len(cd)}")

@@ -301,8 +301,11 @@ def rotation(report: dict[str, dict]) -> list[str]:
     fresh = sorted(
         (n for n in order if report[n]["status"] == "fresh"),
         key=lambda n: (
-            report[n]["deep"],          # deep-stale (False) first
-            report[n]["round"],         # then oldest evidence
+            report[n]["round"],         # oldest evidence first (r8
+            #                             verdict task 4: burn the
+            #                             r1-r3 evidence tail before
+            #                             anything else)
+            report[n]["deep"],          # then deep-stale (False) first
             order.index(n),
         ),
     )

@@ -247,30 +247,87 @@ def test_progress_reports_task_fractions_midflight(spark):
     assert midflight == sorted(midflight)  # task counts only grow
 
 
+def test_fair_scheduler_concurrent_wait_and_progress(spark):
+    """A13+A14 integration (r8 verdict task 6): two concurrent datasets
+    flow through Job.wait under the FAIR scheduler; each dataset's
+    progress readings are monotonic, both advance while in flight
+    (genuine overlap, not serialization), and wait(timeout) exposes the
+    ready subset — the fast dataset first, then everything."""
+    import time
+
+    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
+
+    job = Job(spark, default_splits=6)
+    job.wait(job.local_data([(0, 0)], splits=1), timeout=30)  # warm
+
+    def fast_map(key, value):
+        time.sleep(1.0)
+        yield (key, value)
+
+    def staggered_map(key, value):
+        time.sleep(2.0 + key * 1.4)  # completions spread over ~7s
+        yield (key, value)
+
+    fast = job.map_data(
+        job.local_data([(i, i) for i in range(6)], splits=6), fast_map
+    )
+    slow = job.map_data(
+        job.local_data([(i, i) for i in range(6)], splits=6), staggered_map
+    )
+    # kick both off async; don't block
+    job.wait(fast, slow, timeout=0.05)
+
+    seen_fast, seen_slow = [], []
+    deadline = time.time() + 90
+    ready: list = []
+    while time.time() < deadline and fast not in ready:
+        ready = job.wait(fast, slow, timeout=0.2)
+        seen_fast.append(job.progress(fast))
+        seen_slow.append(job.progress(slow))
+    # ready-subset semantics: the fast dataset finishes well inside the
+    # slow one's runtime, so the subset is exactly {fast} at this point
+    assert fast in ready and slow not in ready, ready
+    # keep polling the straggler to completion, recording its fractions
+    while time.time() < deadline and slow not in ready:
+        ready = job.wait(fast, slow, timeout=0.2)
+        seen_slow.append(job.progress(slow))
+    assert set(ready) == {fast, slow}, ready
+    # monotonic per dataset: completed-task counts only grow
+    assert seen_fast == sorted(seen_fast), seen_fast
+    assert seen_slow == sorted(seen_slow), seen_slow
+    # the staggered tasks guarantee genuinely partial readings: the slow
+    # dataset was observed mid-flight (neither 0 nor complete) — i.e.
+    # its tasks ran WHILE the already-finished fast dataset's results
+    # were available, the reference's async-scheduling contract
+    assert any(0.0 < p < 1.0 for p in seen_slow), seen_slow
+    assert job.progress(fast) == job.progress(slow) == 1.0
+
+
 class TestMockParallelParity:
     """A16: MockParallelJob must produce EXACTLY what the Spark-backed
     Job produces for the same program text — that equivalence is what
     makes it a debug mode rather than a second implementation to trust
     separately. Each test runs both modes and compares."""
 
-    def _both(self, spark):
+    def _modes(self, spark):
         from mrs_mapreduce_spark.mockparallel import make_job
 
         return (
             make_job("spark", spark, default_splits=4),
             make_job("mock_parallel", default_splits=4),
+            make_job("bypass"),
         )
 
     def test_wordcount_with_combiner_matches_spark(self, spark):
         program = WordCount()
         pairs = [(i, f"w{i % 5} w{i % 3} common") for i in range(40)]
         outs = []
-        for job in self._both(spark):
+        for job in self._modes(spark):
             ds0 = job.local_data(pairs, splits=3)
             ds1 = job.map_data(ds0, program.map, combiner=program.combine)
             ds2 = job.reduce_data(ds1, program.reduce, splits=4)
             outs.append(sorted(ds2.collect()))
-        assert outs[0] == outs[1]
+        assert outs[0] == outs[1] == outs[2]
 
     def test_secondary_sort_matches_spark(self, spark):
         import random as _random
@@ -285,17 +342,19 @@ class TestMockParallelParity:
             yield (vals[0], vals[-1], len(vals))
 
         outs = []
-        for job in self._both(spark):
+        for job in self._modes(spark):
             ds = job.local_data(list(pairs), splits=4)
             outs.append(
                 sorted(job.reduce_data_sorted(ds, first_last, splits=3).collect())
             )
-        assert outs[0] == outs[1] == [(k, (0, 24, 25)) for k in range(4)]
+        assert outs[0] == outs[1] == outs[2] == [
+            (k, (0, 24, 25)) for k in range(4)
+        ]
 
     def test_reducemap_and_mod_parter_match_spark(self, spark):
         program = WordCount()
         outs = []
-        for job in self._both(spark):
+        for job in self._modes(spark):
             ds0 = job.local_data([(0, "aa ab ba aa bb ab")], splits=2)
             ds1 = job.map_data(ds0, program.map, parter=mod_partition)
             ds2 = job.reducemap_data(
@@ -303,12 +362,12 @@ class TestMockParallelParity:
             )
             ds3 = job.reduce_data(ds2, program.reduce)
             outs.append(sorted(ds3.collect()))
-        assert outs[0] == outs[1] == [("a", 4), ("b", 2)]
+        assert outs[0] == outs[1] == outs[2] == [("a", 4), ("b", 2)]
 
     def test_text_sink_matches_spark(self, spark, tmp_path):
         program = WordCount()
         contents = []
-        for name, job in zip(("spark", "mock"), self._both(spark)):
+        for name, job in zip(("spark", "mock", "bypass"), self._modes(spark)):
             src = tmp_path / f"in_{name}.txt"
             src.write_text("hello world\nhello mock\n")
             outdir = tmp_path / f"out_{name}"
@@ -319,15 +378,16 @@ class TestMockParallelParity:
             for part in sorted(outdir.glob("part-*")):
                 lines += part.read_text().splitlines()
             contents.append(sorted(lines))
-        assert contents[0] == contents[1]
+        assert contents[0] == contents[1] == contents[2]
 
     def test_iterative_driver_runs_unmodified(self, spark):
-        from mrs_mapreduce_spark.mockparallel import MockParallelJob
+        from mrs_mapreduce_spark.mockparallel import BypassJob, MockParallelJob
 
-        program = ConvergingProgram()
-        iterations = IterativeMR(program).run(MockParallelJob())
-        assert program.seen[-1] == 128
-        assert iterations == 7
+        for job in (MockParallelJob(), BypassJob()):
+            program = ConvergingProgram()
+            iterations = IterativeMR(program).run(job)
+            assert program.seen[-1] == 128
+            assert iterations == 7
 
     def test_montecarlo_pi_bitwise_equal_across_modes(self, spark):
         # per-task seeded RNG: the SAME task grid must give the SAME
@@ -335,12 +395,12 @@ class TestMockParallelParity:
         program = MonteCarloPi()
         tasks = [(i, 2000) for i in range(8)]
         vals = []
-        for job in self._both(spark):
+        for job in self._modes(spark):
             ds0 = job.local_data(tasks, splits=4)
             ds1 = job.map_data(ds0, program.map)
             ds2 = job.reduce_data(ds1, program.reduce, splits=1)
             vals.append(ds2.collect()[0][1])
-        assert vals[0] == vals[1]
+        assert vals[0] == vals[1] == vals[2]
 
     def test_mock_runs_are_deterministic_and_progress_counts(self):
         from mrs_mapreduce_spark.mockparallel import MockParallelJob

@@ -101,3 +101,45 @@ def test_compare_flags_array_output_as_driver_incompatible(spark, sf_dir):
         " AS arr FROM (VALUES (0), (1)) t(x)",
     )
     assert good.ok, str(good)
+
+
+def test_compare_bans_negative_zero(spark, sf_dir):
+    """The r8 failure mode must be caught locally: a cell that rounds to
+    -0.0 is a sign-unstable zero (the sign is partition-summation-order
+    noise) and the driver's repr-level hash distinguishes -0.0 from 0.0,
+    so compare() must flag it EVEN WHEN both engines happen to agree —
+    agreement is a coin-flip across runs (feature_standardize, r8)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.oracle import compare
+
+    con = duckdb.connect()
+    # round(-1e-13, 6) = -0.0 on both engines: values match, still banned
+    spark_df = spark.range(1).select(
+        F.round(F.lit(-1e-13), 6).alias("mean_z")
+    )
+    bad = compare("negz", spark_df, con, "SELECT round(-1e-13, 6) AS mean_z")
+    assert not bad.ok
+    assert any("emits -0.0" in i for i in bad.issues), str(bad)
+    # the sign-safe form — a boolean witness — passes. (NOT abs():
+    # DuckDB's abs() PRESERVES -0.0, Spark's clears it, so abs() of a
+    # rounds-to-zero value is itself engine-divergent; witnesses or
+    # `+ 0.0` are the portable normalizations.)
+    good = compare(
+        "negz_witness",
+        spark.range(1).select(
+            (F.abs(F.round(F.lit(-1e-13), 6)) < 1e-9).alias("mean_zero_ok")
+        ),
+        con,
+        "SELECT abs(round(-1e-13, 6)) < 1e-9 AS mean_zero_ok",
+    )
+    assert good.ok, str(good)
+    # and the canonicalizer itself is repr-strict: -0.0 and 0.0 must NOT
+    # canonicalize equal (the driver hashes repr-level values, where
+    # repr(-0.0) != repr(0.0)), so a one-sided sign flip mismatches even
+    # without the ban
+    from mrs_mapreduce_spark.oracle import _canon_value
+
+    assert _canon_value(-0.0) != _canon_value(0.0)
