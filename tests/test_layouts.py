@@ -296,3 +296,47 @@ def test_lsh_index_probe_zero_index_exchange(spark, sf_dir):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_lsh_index_reinvocation_reuses_one_index(spark, sf_dir, tmp_path):
+    """_lsh_index_table's memo discipline (ADVICE r7, fixed r8): within
+    one session, (a) re-invocation on the same corpus returns the SAME
+    table and writes NO second on-disk index copy, (b) results from a
+    handle taken before the re-invocation stay valid (no table dropped
+    out from under a lazy DataFrame), and (c) a REBUILT fixture (new
+    mtime) evicts and rewrites — at most one index per corpus."""
+    import os
+    import shutil
+
+    from mrs_mapreduce_spark.llm.dedup import _lsh_index_table, sink_lsh_index
+
+    # private corpus copy: eviction must not touch the shared fixture
+    local = str(tmp_path / "corpus")
+    os.makedirs(local)
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{local}/documents.parquet")
+
+    tbl1 = _lsh_index_table(spark, local)
+    base1 = spark._mrs_lsh_index_memo[local][1]
+    first = sink_lsh_index(spark, local)  # handle over the first index
+    n1 = first.count()
+
+    tbl2 = _lsh_index_table(spark, local)
+    assert tbl2 == tbl1  # memo hit: same table...
+    assert spark._mrs_lsh_index_memo[local][1] == base1  # ...same dir
+    assert os.path.isdir(f"{base1}/{tbl1}")
+    assert sink_lsh_index(spark, local).count() == n1
+    assert first.count() == n1  # the earlier handle still resolves
+
+    # rebuild: bump mtime -> evict the superseded copy, rewrite once
+    os.utime(
+        f"{local}/documents.parquet",
+        ns=(2**31 * 10**9, 2**31 * 10**9),
+    )
+    tbl3 = _lsh_index_table(spark, local)
+    base3 = spark._mrs_lsh_index_memo[local][1]
+    assert tbl3 == tbl1  # name is corpus-derived, stable
+    assert base3 != base1
+    assert not os.path.isdir(base1), "superseded index copy must be removed"
+    assert os.path.isdir(f"{base3}/{tbl3}")
+    assert sink_lsh_index(spark, local).count() == n1
+    shutil.rmtree(base3, ignore_errors=True)

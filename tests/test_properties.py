@@ -901,3 +901,28 @@ def test_checksum_diff_finds_exactly_the_dirty_buckets(spark, base, touched):
         bkt for bkt in set(ma) | set(mb) if ma.get(bkt) != mb.get(bkt)
     }
     assert got == want
+
+
+def test_winnow_overflow_guard_raises_loudly(spark, tmp_path_factory):
+    """The pos >= 2^20 key-packing guard (ADVICE r7, fixed r8): a doc
+    with more than 2^20 grams would underflow the position field into
+    the hash field and corrupt the winnowing tie order IDENTICALLY in
+    both engines — silent wrongness the oracle can't catch. The builder
+    must therefore raise at runtime, not truncate."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from mrs_mapreduce_spark.llm.text import text_winnow_fingerprint
+
+    n_words = (1 << 20) + 2  # grams = n - 2 = 2^20 -> max pos = 2^20
+    rows = [(0, "a " * (n_words - 1) + "a", "en", "s", 0)]
+    path = str(tmp_path_factory.mktemp("winnow_big"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "length long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    with _pytest.raises(
+        SparkRuntimeException, match="winnow key packing overflow"
+    ):
+        text_winnow_fingerprint(spark, path).collect()

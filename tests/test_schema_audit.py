@@ -11,8 +11,8 @@ Two hard lessons from driver rounds 1 and 3, turned into permanent gates:
   ArrayType/MapType output column — flatten with the array_join /
   string_agg discipline (operators/aggregates.py ``agg_collect``).
 
-Schema resolution is analysis-only (no job runs), so this audit covers all
-223 queries in seconds.
+Schema resolution is analysis-only (no job runs), so this audit covers the
+whole declared registry in seconds.
 """
 
 from __future__ import annotations
