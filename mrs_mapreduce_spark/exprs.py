@@ -24,3 +24,17 @@ def pround(col: Column | str, n: int = 2) -> Column:
         col = F.col(col)
     scale = float(10**n)
     return F.round(col * scale, 0) / scale
+
+
+def pround0(col: Column | str, n: int = 2) -> Column:
+    """:func:`pround` with negative zero normalized to ``+0.0``.
+
+    A value in (-0.5 * 10^-n, 0) rounds to ``-0.0``, which the driver's
+    repr-level hash distinguishes from ``0.0`` and the local oracle gate
+    bans outright (the r8 ``feature_standardize`` class). ``+ 0.0`` is
+    the portable normalization — IEEE ``-0.0 + 0.0 = +0.0`` in both
+    engines (bare ``abs()`` is NOT portable: DuckDB's preserves the
+    sign). Oracles pair this with ``round(x, n) + 0.0``. Use for any
+    informative float column whose true value can be near zero.
+    """
+    return pround(col, n) + F.lit(0.0)

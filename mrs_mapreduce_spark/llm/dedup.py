@@ -2432,3 +2432,90 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5("p")).cast("long").alias("n_raw_variants"),
         F.min("doc_id").alias("keep_id"),
     )
+
+
+@register(
+    "dedup_paragraph",
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    idx AS (SELECT doc_id, w,
+                   unnest(range(0, (len(w) + 9) // 10)) AS b
+            FROM ws),
+    paras AS (SELECT doc_id, CAST(b AS BIGINT) AS b,
+                     md5(array_to_string(w[b*10+1 : b*10+10], ' ')) AS h
+              FROM idx),
+    own AS (SELECT h, min(doc_id * 1048576 + b) AS keep_key
+            FROM paras GROUP BY h)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN p.doc_id * 1048576 + p.b <> o.keep_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(sum(CASE WHEN p.doc_id * 1048576 + p.b = o.keep_key
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS kept_frac
+    FROM paras p JOIN own o ON p.h = o.h
+    GROUP BY p.doc_id
+    """,
+    survey="D1 extension (paragraph-level exact dedup — the C4/RefinedWeb "
+    "line-dedup pass: segment every document into fixed 10-word blocks, "
+    "keep each block's FIRST corpus occurrence, report per-doc survival; "
+    "sub-document granularity document-level dedup_exact cannot see)",
+    scale="""
+    The C4 recipe's most effective single step (Raffel et al. 2020
+    deduplicate three-sentence spans corpus-wide; RefinedWeb/Dolma keep
+    line-level variants): boilerplate repeats ACROSS documents that are
+    not themselves duplicates, so document-hash dedup misses it and
+    pair-based near-dup is overkill. Mechanism is pure hash grouping —
+    never pairs: explode to 10-word blocks (deterministic segmentation;
+    the fixture corpus has no newlines, so blocks stand in for lines),
+    md5 each block, ONE partial-aggregated groupBy(hash) electing the
+    canonical owner min(doc_id * 2^20 + block_idx) — a single BIGINT
+    min, portable, lexicographic by construction (block index < 2^20
+    == docs under ~10M words; same packing bound as the winnow guard) —
+    then ONE hash-keyed equi-join marks every other occurrence as a
+    duplicate and a per-doc re-aggregation emits survival stats. Two
+    shuffles on uniform md5 keys (no skew possible), zero Python, scans
+    never widen past (doc_id, hash). At 100 TB both shuffles carry
+    ~|blocks| narrow rows; the owner relation is the only state and it
+    partial-aggregates map-side. The declared output (per-doc block
+    count, shadowed-block count, kept fraction) is the curation signal:
+    kept_frac < threshold flags boilerplate-heavy documents for drop,
+    and the exact-duplicate doc families in the fixture show up as
+    kept_frac = 0 (every block shadowed by the family's first member),
+    which the oracle equality pins end to end.
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide 10-word-block dedup: per-doc survival after keeping
+    each block's first occurrence (min (doc_id, idx) owner)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    paras = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, (size(w) + 9) div 10 - 1),"
+                    " b -> concat_ws(' ', slice(w, b*10+1, 10)))"
+                )
+            ).alias("b", "para"),
+        )
+        .select("doc_id", "b", F.md5("para").alias("h"))
+    )
+    key = F.col("doc_id") * 1048576 + F.col("b")
+    own = paras.groupBy("h").agg(F.min(key).alias("keep_key"))
+    return (
+        paras.join(own, "h")
+        .select("doc_id", (key != F.col("keep_key")).alias("is_dup"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(F.col("is_dup").cast("int")).cast("long").alias("n_dup"),
+            pround(
+                F.sum((~F.col("is_dup")).cast("int")) * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("kept_frac"),
+        )
+    )
