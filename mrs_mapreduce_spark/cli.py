@@ -19,8 +19,10 @@ Usage (``python -m mrs_mapreduce_spark`` is the same entry point)::
 the reference's ``--mrs-reduce-tasks`` (reduce-task count == shuffle
 width). ``--oracle`` prints the query's DuckDB oracle SQL so a user can
 replay the correctness check themselves. The MockParallel DEBUG run
-mode (A16) is a programmatic switch, not a master URL:
-``mockparallel.make_job("mock_parallel")``.
+modes (A16) are programmatic switches, not master URLs:
+``mockparallel.make_job("mock_parallel")`` (full task machinery,
+deterministic) and ``make_job("bypass")`` (generators inline, no
+machinery).
 """
 
 from __future__ import annotations
