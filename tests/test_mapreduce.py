@@ -419,3 +419,88 @@ class TestMockParallelParity:
             runs.append(ds2.collect())  # UNsorted: order itself is pinned
         assert runs[0] == runs[1]
         assert dict(runs[0]) == {"a": 18, "b": 9, "c": 9}
+
+
+class TestBypassMockParity:
+    """Property-based closure of the A16 parity triangle: Spark<->Mock is
+    pinned above on fixed programs; Mock<->Bypass is pinned here over
+    RANDOM programs (no JVM involved, so hypothesis can afford many
+    examples). Both modes must agree on the full map(+combine)/
+    shuffle/reduce(+secondary-sort/reducemap) surface regardless of
+    split counts, parters, or key distributions."""
+
+    @staticmethod
+    def _run(job, pairs, splits_in, splits_out, mod_key, fused,
+             use_combiner):
+        from mrs_mapreduce_spark.mapreduce import mod_partition
+
+        def mapper(key, value):
+            yield (key % mod_key, value)
+            if value % 3 == 0:  # 1:n fan-out branch
+                yield ((key + 1) % mod_key, value * 2)
+
+        def combiner(key, vals):
+            yield sum(vals)
+
+        if use_combiner:
+            # combiner contract: reduce output must be independent of
+            # combining granularity, so the reducer is the same monoid
+            def reducer(key, vals):
+                yield sum(vals)
+        else:
+            # no combiner -> reduce sees the raw multiset; counts are
+            # granularity-safe here and exercise multi-valued groups
+            def reducer(key, vals):
+                vals = list(vals)
+                yield (sum(vals), len(vals))
+
+        ds = job.local_data(pairs, splits=splits_in)
+        mapped = job.map_data(
+            ds, mapper, splits=splits_out,
+            combiner=combiner if use_combiner else None,
+        )
+        if fused:
+            out = job.reducemap_data(
+                mapped,
+                lambda k, vs: iter([sum(vs)]),
+                lambda k, v: iter([(k % 2, v)]),
+                parter=mod_partition,
+            )
+            out = job.reduce_data(out, lambda k, vs: iter([sum(vs)]))
+        else:
+            out = job.reduce_data(mapped, reducer, splits=3)
+        return sorted(out.collect())
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(min_value=-50, max_value=50),
+                st.integers(min_value=-100, max_value=100),
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        splits_in=st.integers(min_value=1, max_value=5),
+        splits_out=st.integers(min_value=1, max_value=5),
+        mod_key=st.integers(min_value=1, max_value=7),
+        fused=st.booleans(),
+        use_combiner=st.booleans(),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_outputs_identical(
+        self, pairs, splits_in, splits_out, mod_key, fused, use_combiner
+    ):
+        from mrs_mapreduce_spark.mockparallel import make_job
+
+        mock = self._run(
+            make_job("mock_parallel", default_splits=3),
+            pairs, splits_in, splits_out, mod_key, fused, use_combiner,
+        )
+        bypass = self._run(
+            make_job("bypass"),
+            pairs, splits_in, splits_out, mod_key, fused, use_combiner,
+        )
+        assert mock == bypass
