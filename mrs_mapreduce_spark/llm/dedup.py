@@ -2503,7 +2503,25 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b", F.md5("para").alias("h"))
     )
-    key = F.col("doc_id") * 1048576 + F.col("b")
+    # Loud packing guard (same hazard + fix as text_winnow_fingerprint):
+    # a block index >= 2^20 (a ~10.5M-word document) would underflow
+    # into the doc_id field and elect a WRONG owner — identically in
+    # both engines, so the oracle could never catch it. assert_true
+    # raises on the first offending row; the coalesce folds its NULL
+    # into the key so the check can't be pruned as an unused column.
+    b_guard = F.coalesce(
+        F.assert_true(
+            F.col("b") < 1048576,
+            F.lit(
+                "paragraph key packing overflow: block_idx >= 2^20"
+                " collides with the next doc_id's key range; widen the"
+                " packing (key = doc_id * 2^B) before deduplicating"
+                " documents this long"
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    key = F.col("doc_id") * 1048576 + F.col("b") + b_guard
     own = paras.groupBy("h").agg(F.min(key).alias("keep_key"))
     return (
         paras.join(own, "h")

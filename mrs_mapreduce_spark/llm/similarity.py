@@ -2138,7 +2138,6 @@ def _rp_signs(k: int = 8, d: int = 64) -> list[list[int]]:
 
 
 _RP_SIGNS = _rp_signs()
-_RP_DIMS = (0, 3, 7)  # declared output dims (schema stays narrow)
 
 
 def _duck_rp(j: int) -> str:

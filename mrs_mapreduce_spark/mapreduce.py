@@ -341,12 +341,29 @@ class Job:
         PySpark job groups are thread-local, so tagging inside the worker
         thread scopes exactly this dataset's action — the handle
         ``progress`` uses to find its tasks in the status tracker.
+
+        The scheduler POOL is set per dataset too. Measured on this
+        stack (fresh JVMs, 2x16 one-second tasks on 8 slots, second job
+        submitted 50 ms later): scheduler.mode=FIFO completes ZERO
+        second-job tasks before the first drains (true starvation);
+        FAIR completes 4 — slots split evenly once the first wave
+        frees — with or without this pool property. The per-dataset
+        pool is still set because it is the documented contract for
+        fair sharing across concurrently-submitted jobs (equal-weight
+        pools, created on first reference); relying on the default
+        pool's measured-but-unspecified internal behavior would couple
+        Job.wait's semantics to a scheduler implementation detail.
+        tests/test_mapreduce.py::test_fair_scheduler_concurrent_wait_
+        and_progress pins the sharing with a threshold (>= 3/16) that
+        the measured FIFO behavior (0/16) cannot reach.
         """
         self.sc.setJobGroup(group, "mrs dataset materialization")
+        self.sc.setLocalProperty("spark.scheduler.pool", group)
         try:
             return rdd.count()
         finally:
             self.sc.setJobGroup("", "")
+            self.sc.setLocalProperty("spark.scheduler.pool", None)
 
     def progress(self, dataset: Dataset) -> float:
         """Progress fraction for an async dataset (A14).

@@ -257,7 +257,17 @@ class BypassDataset:
         return list(self.pairs)
 
     def close(self) -> None:
-        self.pairs = []
+        """No-op: bypass holds no lazy resources to free.
+
+        Dataset.close (Spark) unpersists but a later collect recomputes
+        from lineage; MockDataset.close drops partitions but a later
+        collect re-runs the tasks. Bypass has no lineage or tasks to
+        recompute from, so emptying ``pairs`` here would make a
+        close-then-collect sequence silently return [] in exactly one
+        run mode — an output-parity violation in the mode whose whole
+        contract is parity. Keeping the list is the only behavior where
+        all three modes agree.
+        """
 
 
 class BypassJob:

@@ -249,44 +249,56 @@ def test_progress_reports_task_fractions_midflight(spark):
 
 def test_fair_scheduler_concurrent_wait_and_progress(spark):
     """A13+A14 integration (r8 verdict task 6): two concurrent datasets
-    flow through Job.wait under the FAIR scheduler; each dataset's
-    progress readings are monotonic, both advance while in flight
-    (genuine overlap, not serialization), and wait(timeout) exposes the
-    ready subset — the fast dataset first, then everything."""
+    flow through Job.wait; per-dataset scheduler POOLS under FAIR mode
+    make them genuinely share task slots. The discriminating setup: two
+    jobs of 16 one-second tasks on 8 local slots — under default-pool
+    FIFO the first-submitted job holds EVERY slot for both of its waves
+    (the second job completes zero tasks until the first fully drains),
+    while per-pool FAIR splits the slots so the second job completes
+    tasks throughout. Also pins ready-subset semantics and per-dataset
+    progress monotonicity."""
     import time
 
     assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
 
-    job = Job(spark, default_splits=6)
+    job = Job(spark, default_splits=8)
     job.wait(job.local_data([(0, 0)], splits=1), timeout=30)  # warm
 
     def fast_map(key, value):
         time.sleep(1.0)
         yield (key, value)
 
-    def staggered_map(key, value):
-        time.sleep(2.0 + key * 1.4)  # completions spread over ~7s
+    def slow_map(key, value):
+        time.sleep(1.4)
         yield (key, value)
 
     fast = job.map_data(
-        job.local_data([(i, i) for i in range(6)], splits=6), fast_map
+        job.local_data([(i, i) for i in range(16)], splits=16), fast_map
     )
     slow = job.map_data(
-        job.local_data([(i, i) for i in range(6)], splits=6), staggered_map
+        job.local_data([(i, i) for i in range(16)], splits=16), slow_map
     )
-    # kick both off async; don't block
-    job.wait(fast, slow, timeout=0.05)
+    # submission order matters for the FIFO counterfactual: fast first
+    job.wait(fast, timeout=0.05)
+    job.wait(slow, timeout=0.05)
 
     seen_fast, seen_slow = [], []
-    deadline = time.time() + 90
+    deadline = time.time() + 120
     ready: list = []
     while time.time() < deadline and fast not in ready:
         ready = job.wait(fast, slow, timeout=0.2)
         seen_fast.append(job.progress(fast))
         seen_slow.append(job.progress(slow))
-    # ready-subset semantics: the fast dataset finishes well inside the
-    # slow one's runtime, so the subset is exactly {fast} at this point
+    # ready-subset semantics: equal shares + shorter tasks => fast
+    # finishes first; the ready subset at that moment is exactly {fast}
     assert fast in ready and slow not in ready, ready
+    # THE FAIR assertion: the later-submitted job completed a real share
+    # of its tasks before the earlier one drained. Under default-pool
+    # FIFO this is 0/16 (fast's two full waves monopolize all 8 slots);
+    # under per-dataset pools it is ~half. Threshold 3/16 leaves a wide
+    # scheduling-noise margin while staying impossible under FIFO.
+    slow_at_fast_done = job.progress(slow)
+    assert slow_at_fast_done >= 3 / 16, (slow_at_fast_done, seen_slow)
     # keep polling the straggler to completion, recording its fractions
     while time.time() < deadline and slow not in ready:
         ready = job.wait(fast, slow, timeout=0.2)
@@ -295,10 +307,8 @@ def test_fair_scheduler_concurrent_wait_and_progress(spark):
     # monotonic per dataset: completed-task counts only grow
     assert seen_fast == sorted(seen_fast), seen_fast
     assert seen_slow == sorted(seen_slow), seen_slow
-    # the staggered tasks guarantee genuinely partial readings: the slow
-    # dataset was observed mid-flight (neither 0 nor complete) — i.e.
-    # its tasks ran WHILE the already-finished fast dataset's results
-    # were available, the reference's async-scheduling contract
+    # genuinely partial mid-flight readings on both datasets
+    assert any(0.0 < p < 1.0 for p in seen_fast), seen_fast
     assert any(0.0 < p < 1.0 for p in seen_slow), seen_slow
     assert job.progress(fast) == job.progress(slow) == 1.0
 
@@ -428,6 +438,32 @@ class TestBypassMockParity:
     examples). Both modes must agree on the full map(+combine)/
     shuffle/reduce(+secondary-sort/reducemap) surface regardless of
     split counts, parters, or key distributions."""
+
+    def test_close_then_collect_agrees_across_modes(self, spark):
+        """close() frees resources but never changes what a later
+        collect() returns: Spark recomputes from lineage, MockParallel
+        re-runs its tasks, Bypass holds the list — all three must hand
+        back the same data after a close (the review-found bypass
+        divergence where close-then-collect returned [])."""
+        from mrs_mapreduce_spark.mockparallel import make_job
+
+        pairs = [(i % 3, i) for i in range(12)]
+        outs = []
+        for job in (
+            make_job("spark", spark, default_splits=2),
+            make_job("mock_parallel", default_splits=2),
+            make_job("bypass"),
+        ):
+            ds = job.map_data(
+                job.local_data(pairs, splits=2),
+                lambda k, v: iter([(k, v + 1)]),
+            )
+            before = sorted(ds.collect())
+            ds.close()
+            after = sorted(ds.collect())
+            assert before == after
+            outs.append(after)
+        assert outs[0] == outs[1] == outs[2]
 
     @staticmethod
     def _run(job, pairs, splits_in, splits_out, mod_key, fused,

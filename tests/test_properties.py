@@ -926,3 +926,27 @@ def test_winnow_overflow_guard_raises_loudly(spark, tmp_path_factory):
         SparkRuntimeException, match="winnow key packing overflow"
     ):
         text_winnow_fingerprint(spark, path).collect()
+
+
+def test_paragraph_overflow_guard_raises_loudly(spark, tmp_path_factory):
+    """dedup_paragraph's block_idx >= 2^20 packing guard (same hazard
+    class as the winnow guard): a ~10.5M-word document would collide
+    its ownership keys into the next doc_id's range identically in
+    both engines, so the builder must raise, not corrupt."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from mrs_mapreduce_spark.llm.dedup import dedup_paragraph
+
+    n_words = 10 * (1 << 20) + 11  # blocks = ceil(n/10) = 2^20 + 2
+    rows = [(0, "a " * (n_words - 1) + "a", "en", "s", 0)]
+    path = str(tmp_path_factory.mktemp("para_big"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "length long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    with _pytest.raises(
+        SparkRuntimeException, match="paragraph key packing overflow"
+    ):
+        dedup_paragraph(spark, path).collect()
