@@ -20,6 +20,115 @@ from ..exprs import pround
 from ..registry import register
 
 
+def _drain_memory_sink(
+    spark: SparkSession,
+    df: DataFrame,
+    sink_name: str,
+    ckpt_prefix: str,
+    output_mode: str = "append",
+    timeout: float = 180.0,
+) -> DataFrame:
+    """AvailableNow-drain ``df`` into a named memory sink, LOUDLY.
+
+    One shared drain for every streaming declared query: the timeout
+    check is mandatory (a timed-out ``awaitTermination`` returning
+    False while execution falls through reads a partial, still-mutating
+    sink — the silent-wrong-rows failure a review pass found in the one
+    builder whose copy of this block had dropped the check), and the
+    checkpoint directory is removed afterwards — the memory sink lives
+    in driver memory, so after a bounded drain the checkpoint is dead
+    state that would otherwise accumulate per invocation.
+    """
+    import shutil
+
+    checkpoint = tempfile.mkdtemp(prefix=ckpt_prefix)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError(
+                f"{sink_name}: availableNow drain did not finish in "
+                f"{timeout:.0f}s; memory sink would be partial — "
+                "failing loudly instead"
+            )
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.table(sink_name)
+
+
+def _dual_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    how: str,
+    sink_name: str,
+    ckpt_prefix: str,
+    coalesce_user: bool = False,
+) -> DataFrame:
+    """The purchases-vs-signups interval join topology, once.
+
+    All five join-mode queries (and the original ``stream_stream_join``
+    registration) share EXACTLY this plan — two watermarked file-source
+    streams, equi-key user_id, the 1h event-time interval in both
+    ts-space (sizes the state) and exact us-space (decides membership) —
+    differing only in the join mode and whether the right side's user
+    column must be coalesced in (outer modes emit right orphans with a
+    NULL left user_id). One implementation means a change to the
+    interval, watermark delay, or projections cannot desynchronize the
+    modes — the copy-paste drift a review pass flagged.
+    """
+    from .source import events_stream
+
+    p = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.expr("ts_ns div 1000").alias("p_us"),
+        )
+    )
+    s = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+            F.expr("ts_ns div 1000").alias("s_us"),
+        )
+    )
+    joined = p.join(
+        s,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        # exact us-space bounds: the ts interval above sizes state, these
+        # decide membership identically to the batch twin / oracle
+        & (F.col("s_us") <= F.col("p_us"))
+        & (F.col("s_us") > F.col("p_us") - 3_600_000_000),
+        how,
+    ).select(
+        "purchase_id",
+        "signup_id",
+        (
+            F.coalesce("user_id", "s_user") if coalesce_user
+            else F.col("user_id")
+        ).alias("user_id"),
+        (F.col("p_us") - F.col("s_us")).alias("gap_us"),
+    )
+    return _drain_memory_sink(spark, joined, sink_name, ckpt_prefix)
+
+
 @register(
     "stream_foreach_batch",
     oracle="""
@@ -81,6 +190,11 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.stop()
         raise RuntimeError("stream_foreach_batch: stream did not finish in 300 s")
     import os
+    import shutil
+
+    # the drained checkpoint is dead state (the TARGET parquet must stay:
+    # the returned DataFrame reads it lazily)
+    shutil.rmtree(checkpoint, ignore_errors=True)
 
     if not os.path.exists(target):
         raise RuntimeError(
@@ -123,65 +237,19 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(rate x interval), never O(history). Inner join + AvailableNow
     drain makes the result complete and deterministic, hence the EXACT
     oracle. On Kafka the same plan runs unbounded; the watermark delay
-    becomes the late-data tolerance and state TTL in one knob.
+    becomes the late-data tolerance and state TTL in one knob. The
+    implementation is the shared ``_dual_stream_join`` topology (this
+    registration is the r5 original; ``stream_join_inner`` is the same
+    mode's slot in the r8 join-mode matrix — one implementation, so the
+    modes can never drift apart).
     """,
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """purchases ⋈ signups within 1h, executed as a real dual-stream join."""
-    from .source import events_stream
-
-    def src():
-        return events_stream(spark, sf_dir)
-
-    p = (
-        src()
-        .filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "1 hour")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("p_ts"),
-            F.expr("ts_ns div 1000").alias("p_us"),
-        )
+    return _dual_stream_join(
+        spark, sf_dir, "inner",
+        "mrs_stream_stream_join_sink", "mrs_ssj_ckpt_",
     )
-    s = (
-        src()
-        .filter(F.col("event_type") == "signup")
-        .withWatermark("ts", "1 hour")
-        .select(
-            F.col("event_id").alias("signup_id"),
-            F.col("user_id").alias("s_user"),
-            F.col("ts").alias("s_ts"),
-            F.expr("ts_ns div 1000").alias("s_us"),
-        )
-    )
-    joined = p.join(
-        s,
-        (F.col("user_id") == F.col("s_user"))
-        & (F.col("s_ts") <= F.col("p_ts"))
-        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        # exact us-space bounds: the ts interval above sizes state, these
-        # decide membership identically to the batch twin / oracle
-        & (F.col("s_us") <= F.col("p_us"))
-        & (F.col("s_us") > F.col("p_us") - 3_600_000_000),
-    ).select(
-        "purchase_id",
-        "signup_id",
-        "user_id",
-        (F.col("p_us") - F.col("s_us")).alias("gap_us"),
-    )
-    sink_name = "mrs_stream_stream_join_sink"
-    checkpoint = tempfile.mkdtemp(prefix="mrs_ssj_ckpt_")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    return spark.table(sink_name)
 
 
 #: static enrichment dimension: event_type -> (category, weight). Inline
@@ -195,7 +263,6 @@ _EVENT_DIM: tuple[tuple[str, str, float], ...] = (
     ("purchase", "conversion", 5.0),
     ("error", "quality", 1.0),
 )
-
 
 @register(
     "stream_static_join",
@@ -240,21 +307,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.col("value") * F.col("weight"), 2).alias("weighted"),
         )
     )
-    sink_name = "mrs_stream_static_join_sink"
-    checkpoint = tempfile.mkdtemp(prefix="mrs_ssj_static_ckpt_")
-    query = (
-        enriched.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _drain_memory_sink(
+        spark, enriched, "mrs_stream_static_join_sink",
+        "mrs_ssj_static_ckpt_",
     )
-    finished = query.awaitTermination(180)
-    if not finished:
-        query.stop()
-        raise TimeoutError("stream_static_join: drain did not finish in 180s")
-    return spark.table(sink_name)
 
 
 @register(
@@ -302,66 +358,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """purchases LEFT OUTER signups within 1h as a real dual-stream join."""
-    from .source import events_stream
-
-    def src():
-        return events_stream(spark, sf_dir)
-
-    p = (
-        src()
-        .filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "1 hour")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("p_ts"),
-            F.expr("ts_ns div 1000").alias("p_us"),
-        )
+    return _dual_stream_join(
+        spark, sf_dir, "left_outer",
+        "mrs_stream_left_outer_sink", "mrs_slo_ckpt_",
     )
-    s = (
-        src()
-        .filter(F.col("event_type") == "signup")
-        .withWatermark("ts", "1 hour")
-        .select(
-            F.col("event_id").alias("signup_id"),
-            F.col("user_id").alias("s_user"),
-            F.col("ts").alias("s_ts"),
-            F.expr("ts_ns div 1000").alias("s_us"),
-        )
-    )
-    joined = p.join(
-        s,
-        (F.col("user_id") == F.col("s_user"))
-        & (F.col("s_ts") <= F.col("p_ts"))
-        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("s_us") <= F.col("p_us"))
-        & (F.col("s_us") > F.col("p_us") - 3_600_000_000),
-        "left_outer",
-    ).select(
-        "purchase_id",
-        "signup_id",
-        "user_id",
-        (F.col("p_us") - F.col("s_us")).alias("gap_us"),
-    )
-    sink_name = "mrs_stream_left_outer_sink"
-    checkpoint = tempfile.mkdtemp(prefix="mrs_slo_ckpt_")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(180)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            "stream_join_left_outer: availableNow drain did not finish in "
-            "180s; memory sink would be partial — failing loudly instead"
-        )
-    return spark.table(sink_name)
-
 
 @register(
     "stream_join_inner",
@@ -392,71 +392,18 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY (join_interval_events' relation, which is this query's
     oracle verbatim). The mode pair documents the production choice:
     inner when downstream tolerates missing matches, outer when it
-    must see every left row and can wait out the watermark.
+    must see every left row and can wait out the watermark. Shares the
+    single ``_dual_stream_join`` implementation with every other mode
+    (and with ``stream_stream_join``, the r5 original registration of
+    this same inner topology).
     """,
 )
 def stream_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """purchases INNER JOIN signups within 1h as a real dual-stream join."""
-    from .source import events_stream
-
-    def src():
-        return events_stream(spark, sf_dir)
-
-    p = (
-        src()
-        .filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "1 hour")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("p_ts"),
-            F.expr("ts_ns div 1000").alias("p_us"),
-        )
+    return _dual_stream_join(
+        spark, sf_dir, "inner",
+        "mrs_stream_inner_sink", "mrs_ssi_ckpt_",
     )
-    s = (
-        src()
-        .filter(F.col("event_type") == "signup")
-        .withWatermark("ts", "1 hour")
-        .select(
-            F.col("event_id").alias("signup_id"),
-            F.col("user_id").alias("s_user"),
-            F.col("ts").alias("s_ts"),
-            F.expr("ts_ns div 1000").alias("s_us"),
-        )
-    )
-    joined = p.join(
-        s,
-        (F.col("user_id") == F.col("s_user"))
-        & (F.col("s_ts") <= F.col("p_ts"))
-        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("s_us") <= F.col("p_us"))
-        & (F.col("s_us") > F.col("p_us") - 3_600_000_000),
-        "inner",
-    ).select(
-        "purchase_id",
-        "signup_id",
-        "user_id",
-        (F.col("p_us") - F.col("s_us")).alias("gap_us"),
-    )
-    sink_name = "mrs_stream_inner_sink"
-    checkpoint = tempfile.mkdtemp(prefix="mrs_ssi_ckpt_")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(180)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            "stream_join_inner: availableNow drain did not finish in "
-            "180s; memory sink would be partial — failing loudly instead"
-        )
-    return spark.table(sink_name)
-
 
 @register(
     "stream_join_full_outer",
@@ -517,66 +464,11 @@ def stream_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """purchases FULL OUTER signups within 1h as a real dual-stream join."""
-    from .source import events_stream
-
-    def src():
-        return events_stream(spark, sf_dir)
-
-    p = (
-        src()
-        .filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "1 hour")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("p_ts"),
-            F.expr("ts_ns div 1000").alias("p_us"),
-        )
+    return _dual_stream_join(
+        spark, sf_dir, "full_outer",
+        "mrs_stream_full_outer_sink", "mrs_sfo_ckpt_",
+        coalesce_user=True,
     )
-    s = (
-        src()
-        .filter(F.col("event_type") == "signup")
-        .withWatermark("ts", "1 hour")
-        .select(
-            F.col("event_id").alias("signup_id"),
-            F.col("user_id").alias("s_user"),
-            F.col("ts").alias("s_ts"),
-            F.expr("ts_ns div 1000").alias("s_us"),
-        )
-    )
-    joined = p.join(
-        s,
-        (F.col("user_id") == F.col("s_user"))
-        & (F.col("s_ts") <= F.col("p_ts"))
-        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("s_us") <= F.col("p_us"))
-        & (F.col("s_us") > F.col("p_us") - 3_600_000_000),
-        "full_outer",
-    ).select(
-        "purchase_id",
-        "signup_id",
-        F.coalesce("user_id", "s_user").alias("user_id"),
-        (F.col("p_us") - F.col("s_us")).alias("gap_us"),
-    )
-    sink_name = "mrs_stream_full_outer_sink"
-    checkpoint = tempfile.mkdtemp(prefix="mrs_sfo_ckpt_")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(180)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            "stream_join_full_outer: availableNow drain did not finish in "
-            "180s; memory sink would be partial — failing loudly instead"
-        )
-    return spark.table(sink_name)
-
 
 @register(
     "stream_join_right_outer",
@@ -624,62 +516,9 @@ def stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """purchases RIGHT OUTER signups within 1h as a real dual-stream join."""
-    from .source import events_stream
+    return _dual_stream_join(
+        spark, sf_dir, "right_outer",
+        "mrs_stream_right_outer_sink", "mrs_sro_ckpt_",
+        coalesce_user=True,
+    )
 
-    def src():
-        return events_stream(spark, sf_dir)
-
-    p = (
-        src()
-        .filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "1 hour")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("p_ts"),
-            F.expr("ts_ns div 1000").alias("p_us"),
-        )
-    )
-    s = (
-        src()
-        .filter(F.col("event_type") == "signup")
-        .withWatermark("ts", "1 hour")
-        .select(
-            F.col("event_id").alias("signup_id"),
-            F.col("user_id").alias("s_user"),
-            F.col("ts").alias("s_ts"),
-            F.expr("ts_ns div 1000").alias("s_us"),
-        )
-    )
-    joined = p.join(
-        s,
-        (F.col("user_id") == F.col("s_user"))
-        & (F.col("s_ts") <= F.col("p_ts"))
-        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("s_us") <= F.col("p_us"))
-        & (F.col("s_us") > F.col("p_us") - 3_600_000_000),
-        "right_outer",
-    ).select(
-        "purchase_id",
-        "signup_id",
-        F.coalesce("user_id", "s_user").alias("user_id"),
-        (F.col("p_us") - F.col("s_us")).alias("gap_us"),
-    )
-    sink_name = "mrs_stream_right_outer_sink"
-    checkpoint = tempfile.mkdtemp(prefix="mrs_sro_ckpt_")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(180)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            "stream_join_right_outer: availableNow drain did not finish in "
-            "180s; memory sink would be partial — failing loudly instead"
-        )
-    return spark.table(sink_name)

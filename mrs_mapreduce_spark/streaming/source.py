@@ -30,7 +30,24 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_runtime_confs(spark)
     path = f"{sf_dir}/events.parquet"
-    batch_schema = spark.read.parquet(path).schema
+    # (sf_dir, mtime)-keyed schema memo, same discipline as catalog.table:
+    # the batch read below costs ~95 ms of driver time per call, and the
+    # dual-stream join builders call this twice per query build — the
+    # fixture schema is immutable between mtimes, so probe it once
+    memo = getattr(spark, "_mrs_stream_schema_memo", None)
+    if memo is None:
+        memo = {}
+        spark._mrs_stream_schema_memo = memo
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    hit = memo.get(sf_dir)
+    if hit is not None and hit[0] == mtime:
+        batch_schema = hit[1]
+    else:
+        batch_schema = spark.read.parquet(path).schema
+        memo[sf_dir] = (mtime, batch_schema)
     # Two physical layouts exist: the driver fixtures ship events.parquet
     # as a single FILE (the streaming file source rejects a direct file
     # path, so glob down from the parent), while any Spark-written table

@@ -4,7 +4,9 @@ watermark.
 Declared through exact batch twins (window()/session_window() are
 batch-executable with identical semantics); ``stream_watermark`` runs a
 real Structured Streaming query (file source → watermark → tumbling agg →
-memory sink, Trigger.AvailableNow) and is rows-only by design.
+memory sink, Trigger.AvailableNow) with an EXACT oracle — the bounded
+fixture drains in one batch, so complete-mode output equals the batch
+aggregation (see its scale note).
 
 Timestamp discipline (SURVEY.md §7.4): event timestamps are nanos; windows
 are computed on the microsecond-shimmed ``ts`` and *reported as epoch
@@ -15,7 +17,6 @@ bucket.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -99,20 +100,24 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, epoch_ns(ts) AS tns, value,
+      SELECT user_id, event_id, epoch_ns(ts) AS tns, value,
              lag(epoch_ns(ts)) OVER (PARTITION BY user_id
                                      ORDER BY epoch_ns(ts), event_id)
                  AS prev_tns
       FROM events),
     flagged AS (
-      SELECT user_id, tns, value,
+      SELECT user_id, event_id, tns, value,
              CASE WHEN prev_tns IS NULL
                        OR tns - prev_tns >= 600000000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM ordered),
     sessioned AS (
       SELECT user_id, tns, value,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns
+             -- event_id tiebreak: without it, tied timestamps at a
+             -- session boundary make the running sum order-ambiguous
+             -- and a peer row can land in the WRONG session
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY tns, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                           AND CURRENT ROW) AS sess_id
       FROM flagged)
@@ -189,18 +194,12 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    sink_name = "mrs_stream_watermark_sink"
-    checkpoint = tempfile.mkdtemp(prefix="mrs_stream_ckpt_")
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    from .sinks import _drain_memory_sink
+
+    return _drain_memory_sink(
+        spark, agg, "mrs_stream_watermark_sink", "mrs_stream_ckpt_",
+        output_mode="complete",
     )
-    query.awaitTermination(120)
-    return spark.table(sink_name)
 
 
 @register(
@@ -221,13 +220,15 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS prev_reach
       FROM ordered),
     flagged AS (
-      SELECT user_id, value, tus,
+      SELECT user_id, event_id, value, tus,
              CASE WHEN prev_reach IS NULL OR tus >= prev_reach
                   THEN 1 ELSE 0 END AS new_sess
       FROM reach),
     sessioned AS (
       SELECT user_id, value, tus,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+             -- event_id tiebreak: see stream_session's sessioned CTE
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY tus, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                           AND CURRENT ROW) AS sess_id
       FROM flagged)
