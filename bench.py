@@ -100,8 +100,8 @@ def events_window(spark, sf_dir):
     )
 
 
-def timed(fn, *args, runs: int = 3, warmups: int = 1):
-    """Warm ``warmups`` times, then median of ``runs`` timed collect()s."""
+def timed_runs(fn, *args, runs: int = 3, warmups: int = 1):
+    """Warm ``warmups`` times, then ``runs`` timed collect()s (raw list)."""
     for _ in range(warmups):
         fn(*args).collect()
     times = []
@@ -109,10 +109,16 @@ def timed(fn, *args, runs: int = 3, warmups: int = 1):
         t0 = time.perf_counter()
         fn(*args).collect()
         times.append(time.perf_counter() - t0)
+    return times
+
+
+def timed(fn, *args, runs: int = 3, warmups: int = 1):
+    """Warm ``warmups`` times, then median of ``runs`` timed collect()s."""
+    times = timed_runs(fn, *args, runs=runs, warmups=warmups)
     return sorted(times)[len(times) // 2]
 
 
-def timed_wordcount_rdd(spark, sf_dir, runs: int = 3, warmups: int = 2):
+def timed_wordcount_rdd_runs(spark, sf_dir, runs: int = 3, warmups: int = 2):
     """RDD wordcount with in-mapper combining (the Mrs combiner done as a
     per-partition Counter): shuffles |vocab| pairs per partition instead
     of one pair per word occurrence — ~25% faster than the naive
@@ -145,7 +151,7 @@ def timed_wordcount_rdd(spark, sf_dir, runs: int = 3, warmups: int = 2):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2]
+    return times
 
 
 #: extra registry queries reported informationally (extension coverage)
@@ -247,38 +253,107 @@ BUDGETS = {
     "join_range_binned": 1.7,
 }
 
+#: r10 (verdict task #7): the 2x gate only watches sf0.1, so a
+#: scale-killer that stays flat at 600k lineitem rows but goes
+#: superlinear one decade up would first surface in a driver bench.
+#: These budgets cover the 4 gated shapes at the synthetic sf1 tier
+#: (scripts/synth_scale.py --out /tmp/sf1_synth, 10x-sf0.1 offset
+#: copies) with the same x1.5-headroom discipline over measured
+#: solo-run medians (BASELINE.md round-10). Selected automatically
+#: when SPARK_GRAFT_SF_DIR points at an sf >= 1 tier; run via
+#:   SPARK_GRAFT_SF_DIR=/tmp/sf1_synth SPARK_GRAFT_GATED_ONLY=1 \
+#:   python bench.py
+BUDGETS_SF1 = {
+    "q1_pricing_summary": 1.0,   # measured median 0.64 s (r10 solo run)
+    "q3_join_agg_topk": 1.75,    # measured median 1.15 s
+    "events_window": 1.0,        # measured median 0.67 s
+    "wordcount": 2.05,           # measured median 1.35 s
+}
+
+
+def _fingerprint(spark) -> dict:
+    """Run-environment fingerprint (r9 verdict task #4): enough context
+    to distinguish a uniform host-noise round from a code/config
+    regression without solo-run archaeology — scheduler mode, memory,
+    parallelism, and a hash over every session conf this engine sets."""
+    import hashlib
+
+    import pyspark
+
+    from mrs_mapreduce_spark.session import BUILD_CONFS, RUNTIME_CONFS
+
+    confs = {**BUILD_CONFS, **RUNTIME_CONFS}
+    blob = ";".join(f"{k}={v}" for k, v in sorted(confs.items()))
+    return {
+        "scheduler_mode": spark.conf.get("spark.scheduler.mode", "FIFO"),
+        "driver_memory": confs.get("spark.driver.memory"),
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "confs_sha256": hashlib.sha256(blob.encode()).hexdigest()[:16],
+        "pyspark": pyspark.__version__,
+        "python": ".".join(map(str, sys.version_info[:3])),
+    }
+
 
 def main() -> None:
     spark = get_session("mrs-bench")
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1].removesuffix("_synth"))
     registry = load_all()
 
     queries: dict[str, float] = {}
+    spreads: dict[str, dict] = {}
+
+    def gated(name: str, runs: list[float]) -> None:
+        """Record a gated shape's median plus its raw min/median spread
+        (task #4: a median sitting far above its own min flags an
+        unsettled host; a tight spread that is still high flags code)."""
+        srt = sorted(runs)
+        queries[name] = srt[len(srt) // 2]
+        spreads[name] = {
+            "min": round(srt[0], 4),
+            "median": round(srt[len(srt) // 2], 4),
+            "runs": [round(t, 4) for t in runs],
+        }
+
     # the four GATED shapes warm twice: q1 is the first query of a cold
     # JVM, and the round-5/6 drift investigation (BASELINE.md) showed
     # its single-warm median absorbs whatever JIT/host settle is left
     # over when the driver benches right after its correctness sweep —
     # a second untimed pass costs ~2 s total and removes that exposure
-    queries["q1_pricing_summary"] = timed(
-        q1_pricing_summary, spark, SF_DIR, warmups=2
+    # runs=5 (was 3) for the gated shapes only: the r9 driver bench
+    # inflated uniformly ~1.30x (host noise, BASELINE.md round-10
+    # attribution) and a median of 3 is one slow run away from a false
+    # over_budget; a median of 5 costs ~2 s and absorbs it.
+    gated(
+        "q1_pricing_summary",
+        timed_runs(q1_pricing_summary, spark, SF_DIR, runs=5, warmups=2),
     )
-    queries["q3_join_agg_topk"] = timed(
-        q3_join_agg_topk, spark, SF_DIR, warmups=2
+    gated(
+        "q3_join_agg_topk",
+        timed_runs(q3_join_agg_topk, spark, SF_DIR, runs=5, warmups=2),
     )
-    queries["events_window"] = timed(events_window, spark, SF_DIR, warmups=2)
-    queries["wordcount"] = timed_wordcount_rdd(spark, SF_DIR)
+    gated(
+        "events_window",
+        timed_runs(events_window, spark, SF_DIR, runs=5, warmups=2),
+    )
+    gated("wordcount", timed_wordcount_rdd_runs(spark, SF_DIR, runs=5))
 
     baseline_total = sum(queries.values())
 
-    for name in EXTRA:
-        try:
-            queries[name] = timed(registry[name].builder, spark, SF_DIR)
-        except Exception:
-            queries[name] = -1.0
+    # A/B + scale-tier runs time just the gated shapes (solo-JVM
+    # attribution protocol, BASELINE.md round-10)
+    if not os.environ.get("SPARK_GRAFT_GATED_ONLY"):
+        for name in EXTRA:
+            try:
+                queries[name] = timed(registry[name].builder, spark, SF_DIR)
+            except Exception:
+                queries[name] = -1.0
 
+    budgets = dict(BUDGETS) if sf < 1 else dict(BUDGETS_SF1)
     over_budget = sorted(
         k for k, v in queries.items()
-        if v >= 0 and k in BUDGETS and v > BUDGETS[k]
+        if v >= 0 and k in budgets and v > budgets[k]
     )
     print(
         json.dumps(
@@ -288,6 +363,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 4) for k, v in queries.items()},
                 "over_budget": over_budget,
+                "spreads": spreads,
+                "fingerprint": _fingerprint(spark),
                 "sf": sf,
             }
         )

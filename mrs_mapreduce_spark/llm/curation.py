@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import cached_count, table
-from ..exprs import pround
+from ..exprs import pround, pround0
 from ..registry import register
 
 #: context window length (tokens) for packing
@@ -791,4 +791,176 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_id"),
             F.max("doc_id").alias("last_id"),
         )
+    )
+
+
+def _raw_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize messy-but-deterministic document URLs (no url column in
+    the fixtures; same convention as ``fn_url``). The mess is the point:
+    uppercase scheme/host, explicit default port, ``www.`` prefix,
+    utm_* tracking params around a real ``id`` param, a fragment, and a
+    path id taken mod 40 so distinct docs collide onto one canonical
+    URL — the duplicate class host-level dedup exists to find."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.upper("source"),
+            F.lit(".Example.COM:443/docs/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("/?utm_source=feed&id="),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("&utm_campaign=c"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("#sec-"),
+            F.col("lang"),
+        ).alias("url_raw"),
+    )
+
+
+#: the oracle twin of ``_raw_urls`` + the canonicalization chain, shared
+#: by both URL queries below (DuckDB regexp_replace needs the explicit
+#: 'g' flag where Spark's replaces all matches by default)
+_URL_ORACLE_CTE = """
+    raw AS (
+      SELECT doc_id, lang,
+             'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs/'
+             || (doc_id % 40) || '/?utm_source=feed&id=' || (doc_id % 40)
+             || '&utm_campaign=c' || (doc_id % 3) || '#sec-' || lang
+                 AS url_raw
+      FROM documents),
+    step AS (
+      SELECT doc_id, lang, url_raw,
+             lower(regexp_extract(regexp_replace(url_raw, '#.*$', ''),
+                                  '^[^/]+//[^/]+', 0)) AS prefix,
+             regexp_replace(
+               substr(regexp_replace(url_raw, '#.*$', ''),
+                      length(regexp_extract(regexp_replace(url_raw,
+                             '#.*$', ''), '^[^/]+//[^/]+', 0)) + 1),
+               'utm_[a-z]+=[^&#]*&?', '', 'g') AS rest0
+      FROM raw),
+    canon AS (
+      SELECT doc_id, lang, url_raw,
+             regexp_replace(regexp_replace(prefix, ':443$', ''),
+                            '^https://www\\.', 'https://')
+             || regexp_replace(regexp_replace(rest0, '[?&]+$', ''),
+                               '/\\?', '?') AS url
+      FROM step),
+    urls AS (
+      SELECT doc_id, lang, url_raw, url,
+             regexp_extract(url, '^https://([^/]+)', 1) AS host,
+             regexp_extract(regexp_extract(url, '^https://([^/]+)', 1),
+                            '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM canon)
+"""
+
+
+def _canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize ``url_raw`` with pure codegen string/regex ops.
+
+    Steps (each a projection, no UDF, no shuffle): strip fragment;
+    lowercase the scheme://host:port prefix only (paths and query values
+    are case-significant); drop the https default port; drop the
+    ``www.`` alias; drop utm_* tracking params; trim dangling ``?``/
+    ``&``; collapse the ``/?`` seam. Host and registered domain (last
+    two labels — a real pass swaps in a public-suffix table as a
+    broadcast join) come off the canonical form.
+    """
+    no_frag = F.regexp_replace("url_raw", F.lit("#.*$"), F.lit(""))
+    prefix = F.lower(
+        F.regexp_extract(no_frag, "^[^/]+//[^/]+", 0)
+    )
+    rest0 = F.regexp_replace(
+        F.expr(
+            "substring(regexp_replace(url_raw, '#.*$', ''),"
+            " length(regexp_extract(regexp_replace(url_raw, '#.*$', ''),"
+            " '^[^/]+//[^/]+', 0)) + 1)"
+        ),
+        F.lit("utm_[a-z]+=[^&#]*&?"),
+        F.lit(""),
+    )
+    canon = F.concat(
+        F.regexp_replace(
+            F.regexp_replace(prefix, F.lit(":443$"), F.lit("")),
+            F.lit("^https://www\\."),
+            F.lit("https://"),
+        ),
+        F.regexp_replace(
+            F.regexp_replace(rest0, F.lit("[?&]+$"), F.lit("")),
+            F.lit("/\\?"),
+            F.lit("?"),
+        ),
+    )
+    urls = _raw_urls(spark, sf_dir).withColumn("url", canon)
+    host = F.regexp_extract("url", "^https://([^/]+)", 1)
+    return urls.withColumn("host", host).withColumn(
+        "domain", F.regexp_extract("host", "([^.]+\\.[^.]+)$", 1)
+    )
+
+
+@register(
+    "url_canonicalize",
+    oracle=f"""
+    WITH {_URL_ORACLE_CTE}
+    SELECT doc_id, url_raw, url, host, domain FROM urls
+    """,
+    survey="E107 (URL canonicalization — the CommonCrawl-style pass "
+    "upstream of document dedup)",
+    scale="""
+    Pure per-row regexp/string projection — whole-stage codegen, zero
+    exchanges, scan-bound at 100 TB (the same class as text_redact).
+    The canonical URL becomes the dedup key for the downstream
+    url_host_stats rollup and any exact-dedup pass; canonicalizing
+    BEFORE dedup is what makes http://WWW.X.com:443/a?utm_y=1 and
+    https://x.com/a the same document instead of two.
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document canonical URL + host + registered domain."""
+    return _canonical_urls(spark, sf_dir).select(
+        "doc_id", "url_raw", "url", "host", "domain"
+    )
+
+
+@register(
+    "url_host_stats",
+    oracle=f"""
+    WITH {_URL_ORACLE_CTE}
+    SELECT host, domain,
+           count(*) AS n_docs,
+           count(DISTINCT url) AS n_urls,
+           count(*) - count(DISTINCT url) AS n_dup_docs,
+           round((count(*) - count(DISTINCT url)) * 1.0 / count(*), 4)
+               + 0.0 AS dup_rate,
+           count(DISTINCT lang) AS n_langs
+    FROM urls
+    GROUP BY host, domain
+    """,
+    survey="E107 (host-level dedup statistics over canonical URLs)",
+    scale="""
+    One hash aggregation keyed on host after the codegen canonicalize
+    projection; count(DISTINCT url) expands to the standard two-level
+    partial-distinct plan, so the token stream never converges on one
+    task. Hosts are the canonical skew key at crawl scale (a head host
+    can be 1000x the median) — AQE skew-join handling plus the
+    partial-distinct first level keep the head host's work spread
+    across its input partitions; only (host, url)-distinct rows reach
+    the second exchange. Output is |hosts|-sized.
+    """,
+)
+def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs / distinct canonical URLs / duplicate rate per host."""
+    u = _canonical_urls(spark, sf_dir)
+    return u.groupBy("host", "domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("url").alias("n_urls"),
+        (F.count(F.lit(1)) - F.countDistinct("url")).alias("n_dup_docs"),
+        pround0(
+            (F.count(F.lit(1)) - F.countDistinct("url"))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_rate"),
+        F.countDistinct("lang").alias("n_langs"),
     )

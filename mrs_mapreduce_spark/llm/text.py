@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import fan_out, table
-from ..exprs import pround
+from ..exprs import pround, pround0
 from ..registry import register
 
 
@@ -1765,4 +1765,102 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("t", F.lit(_IP_RE)).cast("long").alias("n_ips"),
         F.length(red).cast("long").alias("redacted_len"),
         F.md5(red).alias("redacted_md5"),
+    )
+
+
+#: Hashed-ngram linear classifier constants (E106). The PRF weight table
+#: replays bit-exactly in DuckDB: bucket = (60-bit md5 int mod P) mod B,
+#: weight = LCG(bucket) mapped onto [-32768, 32767] — all int64 ops, so
+#: both engines agree exactly; the only float op is the final division.
+_QC_BUCKETS = 4096
+_QC_WEIGHT = (
+    "((1103515245 * ((cast(conv(substring(md5({f}),1,15),16,10) as bigint)"
+    " % 2147483647) % 4096) + 12345) % 65536) - 32768"
+)
+
+
+@register(
+    "text_quality_classifier",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    f AS (
+      SELECT doc_id,
+             list_concat(toks,
+               list_transform(toks[2:], (x, i) -> toks[i] || ' ' || x))
+                 AS feats
+      FROM d),
+    agg AS (
+      SELECT doc_id,
+             len(feats) AS n_features,
+             CAST(COALESCE(list_aggregate(list_transform(feats,
+                  f -> ((1103515245 *
+                         ((('0x' || substr(md5(f),1,15))::BIGINT
+                           % 2147483647) % 4096) + 12345) % 65536) - 32768),
+                  'sum'), 0) AS BIGINT) AS sum_w
+      FROM f)
+    SELECT doc_id, n_features,
+           round(sum_w / (n_features * 32768.0), 6) + 0.0 AS score,
+           sum_w > 0 AS keep
+    FROM agg
+    """,
+    survey="E106 (hashed-ngram linear quality classifier, fastText-style)",
+    scale="""
+    THE pretraining quality gate (fastText-style linear model over
+    hashed word uni+bigrams), expressed as a pure per-row projection:
+    tokens never explode, features never shuffle, the weight table is a
+    PRF evaluated inline — the whole classifier is ONE whole-stage-
+    codegen map over the scan, so at 100 TB it is scan-bound with zero
+    exchanges and zero Python. A production model swaps the PRF for a
+    broadcast int-array lookup (element_at on a 2^21 literal array or a
+    broadcast join on bucket id) — identical plan shape, still
+    shuffle-free. Demo weights are a PRF rather than trained values;
+    training the weights is a separate (offline, model-sized) concern.
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality score over hashed word uni+bigrams, zero-shuffle.
+
+    Capability parity: the quality-gate stage of a C4/RefinedWeb-style
+    curation pipeline (``text_quality``'s heuristics approximate it;
+    this is the learned-model form with feature hashing). Score =
+    mean PRF weight over 4096 hash buckets of unigrams + bigrams,
+    normalized to [-1, 1]; ``keep`` gates on the raw integer sum so the
+    decision is float-free.
+    """
+    docs = table(spark, sf_dir, "documents")
+    uni_w = _QC_WEIGHT.format(f="w")
+    big_w = _QC_WEIGHT.format(f="f")
+    sum_w = F.expr(
+        f"""
+        aggregate(
+          transform(toks, w -> {uni_w}),
+          0L, (acc, x) -> acc + x)
+        + aggregate(
+          transform(
+            zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+                     slice(toks, 2, greatest(size(toks) - 1, 0)),
+                     (a, b) -> concat(a, ' ', b)),
+            f -> {big_w}),
+          0L, (acc, x) -> acc + x)
+        """
+    )
+    n_feat = (
+        F.size("toks") + F.greatest(F.size("toks") - 1, F.lit(0))
+    ).cast("long")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            n_feat.alias("n_features"),
+            sum_w.alias("sum_w"),
+        )
+        .select(
+            "doc_id",
+            "n_features",
+            pround0(
+                F.col("sum_w") / (F.col("n_features") * F.lit(32768.0)), 6
+            ).alias("score"),
+            (F.col("sum_w") > 0).alias("keep"),
+        )
     )

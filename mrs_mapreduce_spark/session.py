@@ -52,7 +52,10 @@ BUILD_CONFS: dict[str, str] = {
     # stages drain; FAIR round-robins task slots across concurrent jobs,
     # so independent datasets genuinely overlap — the reference's async
     # dataset scheduling semantics. Context-static, so set at build.
-    "spark.scheduler.mode": "FAIR",
+    # The env override exists for drift attribution (BASELINE.md
+    # round-10 A/B: FAIR vs FIFO measured indistinguishable on the four
+    # gated shapes, so FAIR stays the default).
+    "spark.scheduler.mode": os.environ.get("SPARK_GRAFT_SCHEDULER", "FAIR"),
     "spark.ui.enabled": "false",
     "spark.sql.parquet.compression.codec": "zstd",
     # managed tables (bucketing demos/tests) land in tmp, not the repo

@@ -38,16 +38,33 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if memo is None:
         memo = {}
         spark._mrs_stream_schema_memo = memo
+    # Memo key: for a single file, its mtime; for a DIRECTORY layout, the
+    # sorted (name, mtime) of its entries — an in-place overwrite of a
+    # same-named part file bumps the file's mtime but not the directory's,
+    # so keying on the directory mtime could serve a stale schema (r9
+    # ADVICE). A failed stat probe is NOT memoized: key None always
+    # misses, so the next call re-probes instead of cache-hitting a
+    # previous failure.
     try:
-        mtime = os.stat(path).st_mtime_ns
+        if os.path.isdir(path):
+            key = tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns)
+                    for e in os.scandir(path)
+                    if not e.name.startswith((".", "_"))
+                )
+            )
+        else:
+            key = os.stat(path).st_mtime_ns
     except OSError:
-        mtime = None
+        key = None
     hit = memo.get(sf_dir)
-    if hit is not None and hit[0] == mtime:
+    if hit is not None and key is not None and hit[0] == key:
         batch_schema = hit[1]
     else:
         batch_schema = spark.read.parquet(path).schema
-        memo[sf_dir] = (mtime, batch_schema)
+        if key is not None:
+            memo[sf_dir] = (key, batch_schema)
     # Two physical layouts exist: the driver fixtures ship events.parquet
     # as a single FILE (the streaming file source rejects a direct file
     # path, so glob down from the parent), while any Spark-written table

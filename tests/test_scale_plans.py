@@ -453,3 +453,28 @@ def test_corpus_shuffle_topk_not_global_window(spark, sf_dir):
     (SCALE.md rule 7)."""
     plan = _plan(spark, sf_dir, "corpus_shuffle")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quality_classifier_zero_shuffle_codegen(spark, sf_dir):
+    """E106: the hashed-ngram classifier is ONE codegen projection —
+    tokens never explode, features never shuffle, no Python stage."""
+    plan = _plan(spark, sf_dir, "text_quality_classifier")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan  # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_url_canonicalize_zero_shuffle(spark, sf_dir):
+    """E107: canonicalization is a pure per-row regexp projection."""
+    plan = _plan(spark, sf_dir, "url_canonicalize")
+    assert "Exchange" not in plan, plan
+
+
+def test_url_host_stats_partial_distinct(spark, sf_dir):
+    """E107: the host rollup uses the two-level partial-distinct plan —
+    (host, url)-distinct rows are reduced map-side before any exchange,
+    so a head host's duplicates never converge raw onto one task."""
+    plan = _plan(spark, sf_dir, "url_host_stats")
+    # count(distinct) expands to >= 2 aggregation levels around exchanges
+    assert plan.count("HashAggregate") >= 3, plan
+    assert "partial" in plan
