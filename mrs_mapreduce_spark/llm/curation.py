@@ -964,3 +964,107 @@ def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_rate"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@register(
+    "corpus_dedup_url_keepbest",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, lang,
+             'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs/'
+             || (doc_id % 40) || '/?utm_source=feed&id=' || (doc_id % 40)
+             || '&utm_campaign=c' || (doc_id % 3) || '#sec-' || lang
+                 AS url_raw
+      FROM documents),
+    step AS (
+      SELECT doc_id,
+             lower(regexp_extract(regexp_replace(url_raw, '#.*$', ''),
+                                  '^[^/]+//[^/]+', 0)) AS prefix,
+             regexp_replace(
+               substr(regexp_replace(url_raw, '#.*$', ''),
+                      length(regexp_extract(regexp_replace(url_raw,
+                             '#.*$', ''), '^[^/]+//[^/]+', 0)) + 1),
+               'utm_[a-z]+=[^&#]*&?', '', 'g') AS rest0
+      FROM raw),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(prefix, ':443$', ''),
+                            '^https://www\\.', 'https://')
+             || regexp_replace(regexp_replace(rest0, '[?&]+$', ''),
+                               '/\\?', '?') AS url
+      FROM step),
+    scored AS (
+      SELECT c.url, d.doc_id,
+             CAST(COALESCE(list_aggregate(list_transform(
+                  list_concat(string_split(d.text, ' '),
+                    list_transform(string_split(d.text, ' ')[2:],
+                      (x, i) -> string_split(d.text, ' ')[i] || ' ' || x)),
+                  f -> ((1103515245 *
+                         ((('0x' || substr(md5(f),1,15))::BIGINT
+                           % 2147483647) % 4096) + 12345) % 65536) - 32768),
+                  'sum'), 0) AS BIGINT) AS sum_w
+      FROM canon c JOIN documents d USING (doc_id)),
+    ranked AS (
+      SELECT url, doc_id, sum_w,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY sum_w DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY url) AS n_dups
+      FROM scored)
+    SELECT url, doc_id AS kept_doc_id, CAST(n_dups AS BIGINT) AS n_dups,
+           sum_w AS kept_sum_w
+    FROM ranked WHERE rk = 1
+    """,
+    survey="E110 (URL-level keep-best dedup — E107's canonical key x "
+    "E106's quality score, composed)",
+    scale="""
+    The registry's curation ops COMPOSE: canonical URL (E107, codegen
+    projection) becomes the dedup key, the hashed-ngram classifier
+    score (E106, codegen projection) becomes the survivorship rule,
+    and the keep-best reduction is max_by(struct) — ONE hash
+    aggregation with map-side partials, the dedup_keep_best monoid.
+    No window, no sort, no pair stage; at 100 TB this is a single
+    exchange on the canonical-url key (uniform unless one URL truly
+    dominates — and a URL-keyed head is exactly what the E107 host
+    stats surface first). Ties break on doc_id for determinism.
+    """,
+)
+def corpus_dedup_url_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One survivor per canonical URL: highest classifier score wins."""
+    from .text import _QC_WEIGHT
+
+    urls = _canonical_urls(spark, sf_dir).select("doc_id", "url")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    uni_w = _QC_WEIGHT.format(f="w")
+    big_w = _QC_WEIGHT.format(f="f")
+    sum_w = F.expr(
+        f"""
+        aggregate(
+          transform(toks, w -> {uni_w}),
+          0L, (acc, x) -> acc + x)
+        + aggregate(
+          transform(
+            zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+                     slice(toks, 2, greatest(size(toks) - 1, 0)),
+                     (a, b) -> concat(a, ' ', b)),
+            f -> {big_w}),
+          0L, (acc, x) -> acc + x)
+        """
+    )
+    scored = (
+        urls.join(docs, "doc_id")
+        .select("url", "doc_id", F.split("text", " ").alias("toks"))
+        .select("url", "doc_id", sum_w.alias("sum_w"))
+    )
+    # keep-best monoid: max_by on (score, -doc_id) — deterministic ties
+    best = scored.groupBy("url").agg(
+        F.expr(
+            "max_by(struct(doc_id, sum_w),"
+            " struct(sum_w, -doc_id)).doc_id"
+        ).alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+        F.expr(
+            "max_by(struct(doc_id, sum_w),"
+            " struct(sum_w, -doc_id)).sum_w"
+        ).alias("kept_sum_w"),
+    )
+    return best.select("url", "kept_doc_id", "n_dups", "kept_sum_w")

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..exprs import pround
+from ..exprs import pround, pround0
 from ..registry import register
 
 _NS_PER_DAY = 86_400_000_000_000
@@ -1296,3 +1296,77 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("delta") == 1).alias("n_active_sessions"),
         F.max("conc").alias("peak_concurrent"),
     ).select("day", "n_active_sessions", "peak_concurrent")
+
+
+_NS_PER_WEEK = 7 * _NS_PER_DAY
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=f"""
+    WITH uw AS (SELECT DISTINCT
+                    CAST(epoch_ns(ts) // {_NS_PER_WEEK} AS BIGINT) AS week,
+                    user_id
+                FROM events),
+    first AS (SELECT user_id, min(week) AS cohort_week
+              FROM uw GROUP BY user_id),
+    sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY cohort_week),
+    ret AS (SELECT f.cohort_week,
+                   u.week - f.cohort_week AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_active
+            FROM uw u JOIN first f ON u.user_id = f.user_id
+            GROUP BY f.cohort_week, u.week - f.cohort_week)
+    SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_size,
+           round(r.n_active * 1.0 / s.cohort_size, 4) + 0.0 AS retention
+    FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+    """,
+    survey="E108 (cohort retention matrix — the classic product-analytics "
+    "triangle over D6's event stream)",
+    scale="""
+    The only corpus-sized stage is the (week, user) dedup — ONE
+    exchange whose output is bounded by |users| x |weeks|, the same
+    identity events_dau_wau pins. Everything after runs on user-sized
+    relations: first-week is a groupBy over the deduped pairs, the
+    cohort join re-keys them by user_id, and each (user, week) pair is
+    already distinct so the retention cell count is a plain count, not
+    a count-distinct. Cohort sizes are |weeks|-sized and the final join
+    broadcasts. At 100 TB the (week, user) relation is the artifact to
+    persist incrementally (append the current week, never rescan
+    history) — retention backfills then never touch raw events.
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = first active epoch-week."""
+    ev = table(spark, sf_dir, "events")
+    uw = (
+        ev.select(
+            # integer division on exact int64 nanos (the dau_wau rule:
+            # float division misbuckets near boundaries)
+            F.expr(f"ts_ns div {_NS_PER_WEEK}").alias("week"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # corpus-sized stage runs once
+    )
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = (
+        uw.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        pround0(
+            F.col("n_active") / F.col("cohort_size").cast("double"), 4
+        ).alias("retention"),
+    )

@@ -950,3 +950,57 @@ def test_paragraph_overflow_guard_raises_loudly(spark, tmp_path_factory):
         SparkRuntimeException, match="paragraph key packing overflow"
     ):
         dedup_paragraph(spark, path).collect()
+
+
+def test_retention_offset_zero_is_always_full(spark, sf_dir):
+    """E108 invariant: every cohort's week_offset=0 cell contains the
+    whole cohort (the first active week is, by construction, active)."""
+    from mrs_mapreduce_spark.registry import load_all
+
+    df = load_all()["events_retention_cohorts"].builder(spark, sf_dir)
+    zero = df.filter(F.col("week_offset") == 0).collect()
+    assert zero, "no cohorts produced"
+    for r in zero:
+        assert r["n_active"] == r["cohort_size"], r
+        assert r["retention"] == 1.0, r
+    # offsets never negative; n_active never exceeds the cohort
+    bad = df.filter(
+        (F.col("week_offset") < 0)
+        | (F.col("n_active") > F.col("cohort_size"))
+    ).count()
+    assert bad == 0
+
+
+def test_bootstrap_ci_brackets_point_mean_and_is_deterministic(
+    spark, sf_dir
+):
+    """E109 invariants: ci_lo <= point_mean <= ci_hi for every group
+    (Poisson(1) weights preserve the mean in expectation and 32
+    replicates bracket it comfortably at fixture scale), and two
+    independent builds are bit-identical (PRF weights, no RNG state)."""
+    from mrs_mapreduce_spark.registry import load_all
+
+    b = load_all()["agg_bootstrap_ci"].builder
+    rows1 = sorted(map(tuple, b(spark, sf_dir).collect()))
+    rows2 = sorted(map(tuple, b(spark, sf_dir).collect()))
+    assert rows1 == rows2
+    for et, n, mean, lo, hi in rows1:
+        assert lo <= mean <= hi, (et, lo, mean, hi)
+        assert lo < hi
+        assert n > 0
+
+
+def test_url_keepbest_survivor_really_is_best(spark, sf_dir):
+    """E110 invariant: per canonical URL, the kept doc's score equals
+    the group max and survivors partition the corpus (sum of n_dups =
+    total docs; one survivor per distinct canonical URL)."""
+    from mrs_mapreduce_spark.registry import load_all
+
+    reg = load_all()
+    best = reg["corpus_dedup_url_keepbest"].builder(spark, sf_dir)
+    urls = reg["url_canonicalize"].builder(spark, sf_dir)
+    rows = best.collect()
+    n_urls = urls.select("url").distinct().count()
+    n_docs = urls.count()
+    assert len(rows) == n_urls
+    assert sum(r["n_dups"] for r in rows) == n_docs

@@ -478,3 +478,32 @@ def test_url_host_stats_partial_distinct(spark, sf_dir):
     # count(distinct) expands to >= 2 aggregation levels around exchanges
     assert plan.count("HashAggregate") >= 3, plan
     assert "partial" in plan
+
+
+def test_bootstrap_ci_single_pass_no_explode(spark, sf_dir):
+    """E109: all 32 Poisson replicates ride ONE partial-aggregated
+    groupBy — no Generate (explode), no Python, one exchange."""
+    plan = _plan(spark, sf_dir, "agg_bootstrap_ci")
+    assert "Generate" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_retention_cohorts_dedup_first(spark, sf_dir):
+    """E108: the corpus-sized stage is the (week, user) dedup; the
+    cohort-size join broadcasts."""
+    plan = _plan(spark, sf_dir, "events_retention_cohorts")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_url_keepbest_single_aggregation(spark, sf_dir):
+    """E110: keep-best is the max_by monoid — one aggregation with
+    map-side partials (SortAggregate: max_by over a struct ordering is
+    not hash-aggregable, but partial_max_by still combines before the
+    exchange); no window, no pair stage, no Python."""
+    plan = _plan(spark, sf_dir, "corpus_dedup_url_keepbest")
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "partial_max_by" in plan, plan  # map-side combine
+    assert plan.count("Exchange hashpartitioning") == 1, plan
