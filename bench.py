@@ -350,7 +350,16 @@ def main() -> None:
             except Exception:
                 queries[name] = -1.0
 
-    budgets = dict(BUDGETS) if sf < 1 else dict(BUDGETS_SF1)
+    # budgets are calibrated per tier: sf0.1 (the driver's bench tier)
+    # and the synthetic sf1 tier. Any OTHER tier runs unbudgeted —
+    # gating sf10 against sf1 numbers would report a spurious
+    # regression for every shape (review finding r10).
+    if sf == 0.1:
+        budgets = dict(BUDGETS)
+    elif sf == 1.0:
+        budgets = dict(BUDGETS_SF1)
+    else:
+        budgets = {}
     over_budget = sorted(
         k for k, v in queries.items()
         if v >= 0 and k in budgets and v > budgets[k]

@@ -800,11 +800,18 @@ def _raw_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     uppercase scheme/host, explicit default port, ``www.`` prefix,
     utm_* tracking params around a real ``id`` param, a fragment, and a
     path id taken mod 40 so distinct docs collide onto one canonical
-    URL — the duplicate class host-level dedup exists to find."""
+    URL — the duplicate class host-level dedup exists to find.
+
+    ``text`` rides along so E110's keep-best score needs NO join back
+    to documents (review finding: the join was a broadcast only while
+    the fixture sat under the 10 MB threshold — at scale it became two
+    corpus shuffles); consumers that don't select it get it pruned out
+    of the scan by Catalyst (plan-pinned in test_scale_plans)."""
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         "lang",
+        "text",
         F.concat(
             F.lit("HTTPS://WWW."),
             F.upper("source"),
@@ -968,31 +975,8 @@ def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_dedup_url_keepbest",
-    oracle="""
-    WITH raw AS (
-      SELECT doc_id, lang,
-             'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs/'
-             || (doc_id % 40) || '/?utm_source=feed&id=' || (doc_id % 40)
-             || '&utm_campaign=c' || (doc_id % 3) || '#sec-' || lang
-                 AS url_raw
-      FROM documents),
-    step AS (
-      SELECT doc_id,
-             lower(regexp_extract(regexp_replace(url_raw, '#.*$', ''),
-                                  '^[^/]+//[^/]+', 0)) AS prefix,
-             regexp_replace(
-               substr(regexp_replace(url_raw, '#.*$', ''),
-                      length(regexp_extract(regexp_replace(url_raw,
-                             '#.*$', ''), '^[^/]+//[^/]+', 0)) + 1),
-               'utm_[a-z]+=[^&#]*&?', '', 'g') AS rest0
-      FROM raw),
-    canon AS (
-      SELECT doc_id,
-             regexp_replace(regexp_replace(prefix, ':443$', ''),
-                            '^https://www\\.', 'https://')
-             || regexp_replace(regexp_replace(rest0, '[?&]+$', ''),
-                               '/\\?', '?') AS url
-      FROM step),
+    oracle=f"""
+    WITH {_URL_ORACLE_CTE},
     scored AS (
       SELECT c.url, d.doc_id,
              CAST(COALESCE(list_aggregate(list_transform(
@@ -1003,7 +987,7 @@ def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ((('0x' || substr(md5(f),1,15))::BIGINT
                            % 2147483647) % 4096) + 12345) % 65536) - 32768),
                   'sum'), 0) AS BIGINT) AS sum_w
-      FROM canon c JOIN documents d USING (doc_id)),
+      FROM urls c JOIN documents d USING (doc_id)),
     ranked AS (
       SELECT url, doc_id, sum_w,
              row_number() OVER (PARTITION BY url
@@ -1029,31 +1013,24 @@ def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_dedup_url_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One survivor per canonical URL: highest classifier score wins."""
-    from .text import _QC_WEIGHT
+    """One survivor per canonical URL: highest classifier score wins.
 
-    urls = _canonical_urls(spark, sf_dir).select("doc_id", "url")
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    uni_w = _QC_WEIGHT.format(f="w")
-    big_w = _QC_WEIGHT.format(f="f")
-    sum_w = F.expr(
-        f"""
-        aggregate(
-          transform(toks, w -> {uni_w}),
-          0L, (acc, x) -> acc + x)
-        + aggregate(
-          transform(
-            zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
-                     slice(toks, 2, greatest(size(toks) - 1, 0)),
-                     (a, b) -> concat(a, ' ', b)),
-            f -> {big_w}),
-          0L, (acc, x) -> acc + x)
-        """
-    )
+    The score expression is :func:`..llm.text.qc_sum_w` — the SAME
+    definition ``text_quality_classifier`` reports, so survivorship
+    can't desynchronize from the reported quality score. URL and score
+    are both per-row projections of one documents row (``_raw_urls``
+    carries ``text``), so there is NO join: scan → project → one
+    max_by aggregation. (Review finding: the first version joined
+    ``_canonical_urls`` back to documents on doc_id — a broadcast only
+    while the fixture sat under the 10 MB threshold, two corpus-sized
+    shuffles beyond it.)
+    """
+    from .text import qc_sum_w
+
     scored = (
-        urls.join(docs, "doc_id")
+        _canonical_urls(spark, sf_dir)
         .select("url", "doc_id", F.split("text", " ").alias("toks"))
-        .select("url", "doc_id", sum_w.alias("sum_w"))
+        .select("url", "doc_id", qc_sum_w().alias("sum_w"))
     )
     # keep-best monoid: max_by on (score, -doc_id) — deterministic ties
     best = scored.groupBy("url").agg(

@@ -1779,6 +1779,33 @@ _QC_WEIGHT = (
 )
 
 
+def qc_sum_w(toks: str = "toks"):
+    """Integer classifier score: sum of PRF weights over word uni+bigrams.
+
+    THE one definition of the E106 feature/score expression — the
+    classifier (``text_quality_classifier``) reports it and the E110
+    URL dedup (``corpus_dedup_url_keepbest``) ranks survivors by it, so
+    they cannot desynchronize. Operates on an array column ``toks``
+    (``split(text, ' ')``); one codegen expression, zero shuffle.
+    """
+    uni_w = _QC_WEIGHT.format(f="w")
+    big_w = _QC_WEIGHT.format(f="f")
+    return F.expr(
+        f"""
+        aggregate(
+          transform({toks}, w -> {uni_w}),
+          0L, (acc, x) -> acc + x)
+        + aggregate(
+          transform(
+            zip_with(slice({toks}, 1, greatest(size({toks}) - 1, 0)),
+                     slice({toks}, 2, greatest(size({toks}) - 1, 0)),
+                     (a, b) -> concat(a, ' ', b)),
+            f -> {big_w}),
+          0L, (acc, x) -> acc + x)
+        """
+    )
+
+
 @register(
     "text_quality_classifier",
     oracle="""
@@ -1829,22 +1856,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision is float-free.
     """
     docs = table(spark, sf_dir, "documents")
-    uni_w = _QC_WEIGHT.format(f="w")
-    big_w = _QC_WEIGHT.format(f="f")
-    sum_w = F.expr(
-        f"""
-        aggregate(
-          transform(toks, w -> {uni_w}),
-          0L, (acc, x) -> acc + x)
-        + aggregate(
-          transform(
-            zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
-                     slice(toks, 2, greatest(size(toks) - 1, 0)),
-                     (a, b) -> concat(a, ' ', b)),
-            f -> {big_w}),
-          0L, (acc, x) -> acc + x)
-        """
-    )
+    sum_w = qc_sum_w()
     n_feat = (
         F.size("toks") + F.greatest(F.size("toks") - 1, F.lit(0))
     ).cast("long")

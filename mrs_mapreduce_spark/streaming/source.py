@@ -39,21 +39,27 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         memo = {}
         spark._mrs_stream_schema_memo = memo
     # Memo key: for a single file, its mtime; for a DIRECTORY layout, the
-    # sorted (name, mtime) of its entries — an in-place overwrite of a
-    # same-named part file bumps the file's mtime but not the directory's,
-    # so keying on the directory mtime could serve a stale schema (r9
-    # ADVICE). A failed stat probe is NOT memoized: key None always
-    # misses, so the next call re-probes instead of cache-hitting a
-    # previous failure.
+    # sorted (relpath, mtime) of every file in the RECURSIVE walk — an
+    # in-place overwrite of a same-named part file bumps the file's
+    # mtime but not its parent directory's, and with partitioned layouts
+    # (day=.../part-0.parquet) the stale file sits a level down, so a
+    # top-level scandir is not enough (r9 ADVICE + r10 review). A failed
+    # stat probe is NOT memoized: key None always misses, so the next
+    # call re-probes instead of cache-hitting a previous failure.
     try:
         if os.path.isdir(path):
-            key = tuple(
-                sorted(
-                    (e.name, e.stat().st_mtime_ns)
-                    for e in os.scandir(path)
-                    if not e.name.startswith((".", "_"))
-                )
-            )
+            entries = []
+            for root, dirs, files in os.walk(path):
+                dirs[:] = [x for x in dirs if not x.startswith((".", "_"))]
+                for fname in files:
+                    if fname.startswith((".", "_")):
+                        continue
+                    full = os.path.join(root, fname)
+                    entries.append(
+                        (os.path.relpath(full, path),
+                         os.stat(full).st_mtime_ns)
+                    )
+            key = tuple(sorted(entries))
         else:
             key = os.stat(path).st_mtime_ns
     except OSError:

@@ -465,9 +465,12 @@ def test_quality_classifier_zero_shuffle_codegen(spark, sf_dir):
 
 
 def test_url_canonicalize_zero_shuffle(spark, sf_dir):
-    """E107: canonicalization is a pure per-row regexp projection."""
+    """E107: canonicalization is a pure per-row regexp projection, and
+    the ``text`` column _raw_urls carries for E110's score is pruned
+    out of this query's scan by Catalyst (it never selects it)."""
     plan = _plan(spark, sf_dir, "url_canonicalize")
     assert "Exchange" not in plan, plan
+    assert not re.search(r"ReadSchema: [^\n]*text", plan), plan
 
 
 def test_url_host_stats_partial_distinct(spark, sf_dir):
