@@ -2225,3 +2225,164 @@ def embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(ratio, 3).alias("norm_ratio"),
         ((ratio >= 0.05) & (ratio <= 4.0)).alias("jl_ok"),
     )
+
+
+#: E111 adaptive-refinement constants: buckets larger than _KNN_CAP are
+#: split by 4 EXTRA SRP bits (planes 8..11 of the same LCG stream —
+#: _srp_planes(12) reproduces _PLANES as its first 8 rows, so the base
+#: signature is unchanged). Refined key = b8*16 + x4; an unrefined
+#: bucket keys at b8*16, and since refinement is decided per-b8 the two
+#: forms never coexist within one b8 — no collisions across b8 by
+#: construction.
+_KNN_CAP = 128
+_PLANES12 = _srp_planes(12)
+
+
+def _spark_srp_bits(lo: int, hi: int) -> Column:
+    """SRP signature over planes [lo, hi) as an integer (bit p-lo)."""
+    total = F.lit(0)
+    for p in range(lo, hi):
+        lit = F.array(*[F.lit(v) for v in _PLANES12[p]])
+        d = dot("embedding", lit)
+        total = total + F.when(d >= 0, F.lit(2 ** (p - lo))).otherwise(
+            F.lit(0)
+        )
+    return total
+
+
+def _duck_srp_bits(lo: int, hi: int) -> str:
+    terms = []
+    for p in range(lo, hi):
+        lit = "[" + ", ".join(repr(v) for v in _PLANES12[p]) + "]"
+        d = (
+            "list_aggregate(list_transform(range(1, 65),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ({lit}[i])), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {2 ** (p - lo)} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "similarity_knn_graph",
+    oracle=f"""
+    WITH sig AS (SELECT vec_id, embedding,
+                        {_duck_srp_bits(0, 8)} AS b8,
+                        {_duck_srp_bits(8, 12)} AS x4
+                 FROM embeddings),
+    sz AS (SELECT b8, count(*) AS n FROM sig GROUP BY b8),
+    keyed AS (SELECT s.vec_id, s.embedding,
+                     s.b8 * 16 + CASE WHEN z.n > {_KNN_CAP} THEN s.x4
+                                      ELSE 0 END AS bucket
+              FROM sig s JOIN sz z ON s.b8 = z.b8),
+    pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     {_duck_cos('a.embedding', 'b.embedding')} AS cos
+              FROM keyed a JOIN keyed b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    edges AS (SELECT a_id AS src, b_id AS dst, cos FROM pairs
+              UNION ALL
+              SELECT b_id AS src, a_id AS dst, cos FROM pairs),
+    ranked AS (SELECT src, dst, cos,
+                      row_number() OVER (PARTITION BY src
+                                         ORDER BY cos DESC, dst) AS rk
+               FROM edges),
+    topk AS (SELECT src, dst, cos FROM ranked WHERE rk <= 3)
+    SELECT t1.src AS a, t1.dst AS b, round(t1.cos, 6) AS cos_sim
+    FROM topk t1 JOIN topk t2 ON t1.src = t2.dst AND t1.dst = t2.src
+    WHERE t1.src < t1.dst
+    """,
+    survey="E111 (mutual k-NN graph — the clustering/semantic-dedup "
+    "substrate over LSH-bucketed candidates)",
+    scale=f"""
+    The k-NN graph every embedding-space clustering, semdedup variant
+    and label-propagation pass starts from. Candidate pairs come ONLY
+    from shared SRP-LSH buckets (the package rule: no all-pairs path
+    exists), and buckets are ADAPTIVELY refined: any base-8-bit bucket
+    larger than {_KNN_CAP} members is split by 4 extra SRP bits into 16
+    sub-buckets, bounding per-bucket quadratic work without dropping
+    dense regions (the dedup_minhash_capped tradeoff inverted: dense
+    regions are exactly where the neighbors are, so refine rather than
+    drop). Measured on the 100-copy sf10 synthetic worst case: 80 s
+    flat-bucketed -> 15.4 s refined (5.2x), identical output at the
+    tiers where no bucket exceeds the cap (sf0.1/sf1 edge sets
+    unchanged; they pay ~1 s for the bucket-size probe). The
+    bucket-size relation is |buckets| <= 256 rows at any corpus size —
+    model-sized, broadcast. Directed top-3 is a WindowGroupLimit-pushed
+    rank; mutuality is a self-join of the k*n top-k edge relation, NOT
+    the candidate set; each undirected edge is emitted once (a < b).
+    EXACT duplicates share every SRP bit at any depth, so a corpus with
+    heavy exact replication should run dedup_exact/collapse first (the
+    dedup_components discipline) — top-3 of a replicated vector is its
+    own copies. Oracle replays identical bucketing/refinement, so the
+    check is exact, not recall-based (recall vs true kNN is witnessed
+    separately by similarity_recall_witness E81).
+    """,
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual top-3 cosine graph over adaptively-refined LSH buckets."""
+    e = (
+        with_norm(fan_out(table(spark, sf_dir, "embeddings")))
+        .withColumn("b8", _spark_srp_bits(0, 8))
+        .withColumn("x4", _spark_srp_bits(8, 12))
+    )
+    sizes = e.groupBy("b8").agg(F.count(F.lit(1)).alias("n"))
+    keyed = e.join(F.broadcast(sizes), "b8").select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        (
+            F.col("b8") * 16
+            + F.when(F.col("n") > _KNN_CAP, F.col("x4")).otherwise(F.lit(0))
+        ).alias("bucket"),
+    )
+    a = keyed.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("av"),
+        F.col("nrm").alias("a_nrm"),
+        "bucket",
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("bv"),
+        F.col("nrm").alias("b_nrm"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (dot("av", "bv") / (F.col("a_nrm") * F.col("b_nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "cos"
+    ).unionAll(
+        pairs.select(
+            F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "cos"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    topk = (
+        edges.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst", "cos")
+    )
+    t2 = topk.select(
+        F.col("src").alias("r_src"), F.col("dst").alias("r_dst")
+    )
+    return (
+        topk.join(
+            t2,
+            (F.col("src") == F.col("r_dst"))
+            & (F.col("dst") == F.col("r_src")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            pround("cos", 6).alias("cos_sim"),
+        )
+    )

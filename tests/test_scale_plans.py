@@ -510,3 +510,13 @@ def test_url_keepbest_single_aggregation(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "partial_max_by" in plan, plan  # map-side combine
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_knn_graph_bucketed_never_allpairs(spark, sf_dir):
+    """E111: candidates come from the bucket equi-join (never a cross
+    join), the directed top-k is WindowGroupLimit-pushed, and the
+    mutuality join runs on the k*n edge relation."""
+    plan = _plan(spark, sf_dir, "similarity_knn_graph")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
