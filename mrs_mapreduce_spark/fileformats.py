@@ -51,11 +51,23 @@ def hex_encode_pair(key, value) -> str:
     )
 
 
-def hex_decode_line(line: str) -> tuple:
+def hex_split_line(line: str) -> tuple[str, str]:
+    """Split one wire line into (key_hex, value_hex) — THE one place the
+    separator convention lives (pairsource's reader shares it, so the
+    custom source cannot drift from the canonical codec; r10 review)."""
     k_hex, v_hex = line.strip().split(" ", 1)
+    return k_hex, v_hex
+
+
+def hex_decode_hexes(k_hex: str, v_hex: str) -> tuple:
+    """Decode the two hex-pickle cells back to (key, value) objects."""
     return pickle.loads(bytes.fromhex(k_hex)), pickle.loads(
         bytes.fromhex(v_hex)
     )
+
+
+def hex_decode_line(line: str) -> tuple:
+    return hex_decode_hexes(*hex_split_line(line))
 
 
 def write_hex(rdd: RDD, outdir: str) -> None:

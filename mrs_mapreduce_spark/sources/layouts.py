@@ -43,13 +43,28 @@ def _minmax_struct(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def _scale_expr(col: str) -> Column:
-    """Normalize ``col`` into [0, 2^ZBITS) using the joined min/max bounds."""
+    """Normalize ``col`` into [0, 2^ZBITS) using the joined min/max bounds.
+
+    NULLs map DELIBERATELY to bucket 0 (nulls-first): without the
+    coalesce, ``F.least(lit(max), NULL)`` would return the max (Spark's
+    least/greatest skip nulls rather than propagate) and silently
+    cluster every null row into the TOP stripe next to legitimate max
+    values (r10 sources review). Cast is LONG, not int: the interleaved
+    key uses bit positions up to len(cols)*ZBITS-1 and Spark's shiftleft
+    on a 32-bit int masks the shift amount mod 32, which would wrap and
+    collide bits for 3+ dimensions.
+    """
     lo, hi = F.col(f"__min_{col}"), F.col(f"__max_{col}")
     span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
     frac = (F.col(col).cast("double") - lo) / span
-    return F.least(
-        F.lit((1 << ZBITS) - 1),
-        F.floor(frac * (1 << ZBITS)).cast("int"),
+    # the null guard must run BEFORE least(): least SKIPS nulls, so
+    # least(max_lit, NULL) is already the max and a coalesce after the
+    # fact would never see the null
+    return F.when(F.col(col).isNull(), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit((1 << ZBITS) - 1).cast("long"),
+            F.floor(frac * (1 << ZBITS)).cast("long"),
+        )
     )
 
 
@@ -57,13 +72,22 @@ def zorder_key(cols: list[str]) -> Column:
     """Bit-interleave ZBITS-normalized columns ``__z_<col>`` into one key.
 
     Pure shift/mask arithmetic — Catalyst folds it into whole-stage
-    codegen; no Python executes per row.
+    codegen; no Python executes per row. Long arithmetic throughout:
+    5 dims x 12 bits = 60 bit positions fit a BIGINT; more than that
+    would wrap (Java long shifts mask mod 64), so refuse loudly.
     """
-    parts: list[Column] = []
     ndim = len(cols)
+    if ndim * ZBITS > 63:
+        raise ValueError(
+            f"z-order key needs {ndim * ZBITS} bits; max 63 "
+            f"({63 // ZBITS} dims at ZBITS={ZBITS})"
+        )
+    parts: list[Column] = []
     for bit in range(ZBITS):
         for d, c in enumerate(cols):
-            src = F.shiftright(F.col(f"__z_{c}"), bit).bitwiseAND(F.lit(1))
+            src = F.shiftright(F.col(f"__z_{c}"), bit).bitwiseAND(
+                F.lit(1).cast("long")
+            )
             parts.append(F.shiftleft(src, bit * ndim + d))
     return reduce(lambda a, b: a.bitwiseOR(b), parts).alias("__zkey")
 

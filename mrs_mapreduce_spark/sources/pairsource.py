@@ -8,6 +8,14 @@ part-file, matching the reference's one-bucket-per-file layout).
 
 The lossless schema is ``key_hex/value_hex`` (hex-encoded pickles);
 :func:`decode_pairs` bridges back to a pair RDD for the parity layer.
+
+Filesystem contract (r10 sources review): this source plans with
+``pathlib`` and reads with builtin ``open``, so the path must be a
+LOCAL filesystem visible to driver AND executors (local mode, NFS, or
+a fuse mount). For HDFS/object stores use ``fileformats.read_hex``
+(``sc.textFile`` — Hadoop FS planning, no driver-side listing); the
+two share one codec, so the choice is purely about where the bytes
+live.
 """
 
 from __future__ import annotations
@@ -50,15 +58,26 @@ class PairFileReader(DataSourceReader):
             for p in Path(self.path).glob("part-*")
             if not p.name.endswith(".crc")
         )
+        if not files:
+            # Fail fast and loud: an empty partition list makes Spark
+            # substitute [None], and read(None) would die executor-side
+            # with an opaque AttributeError that never mentions the bad
+            # path (r10 sources review — the 'every drain loud' rule).
+            raise FileNotFoundError(
+                f"mrs_pairs: no part-* files under {self.path!r} "
+                "(missing directory, empty dataset, or a non-local "
+                "path — this source reads the LOCAL filesystem; use "
+                "fileformats.read_hex for HDFS/object stores)"
+            )
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
+        from ..fileformats import hex_split_line
+
         with open(partition.value, encoding="ascii") as fh:
             for line in fh:
-                line = line.strip()
-                if line:
-                    key_hex, value_hex = line.split(" ", 1)
-                    yield (key_hex, value_hex)
+                if line.strip():
+                    yield hex_split_line(line)
 
 
 def register_source(spark: SparkSession) -> None:
@@ -70,14 +89,9 @@ def register_source(spark: SparkSession) -> None:
 
 def decode_pairs(df: DataFrame):
     """Hex-pickle columns → pair RDD (back into the parity layer)."""
-    import pickle
+    from ..fileformats import hex_decode_hexes
 
-    return df.rdd.map(
-        lambda r: (
-            pickle.loads(bytes.fromhex(r.key_hex)),
-            pickle.loads(bytes.fromhex(r.value_hex)),
-        )
-    )
+    return df.rdd.map(lambda r: hex_decode_hexes(r.key_hex, r.value_hex))
 
 
 @register(

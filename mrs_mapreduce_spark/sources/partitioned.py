@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,14 +82,27 @@ def write_bucketed(
     """
     spark = df.sparkSession
     # the in-memory catalog forgets tables between sessions but their
-    # warehouse directories persist; clear both for idempotency
+    # warehouse directories persist; drop the catalog entry (metadata
+    # only — the path option makes these EXTERNAL, so files survive)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     if location is None:
+        # fresh unique directory per write, NEVER rmtree the previous
+        # one: a DataFrame handle from spark.table() pins the old file
+        # listing, and deleting those files in place fails the handle's
+        # next action with FileNotFoundException — the ADVICE-r7 class
+        # llm/dedup.py's _lsh_index_table memo exists to avoid (r10
+        # sources review). Old dirs leak into the tmp warehouse until
+        # the OS cleans it — bounded by session lifetime, and the only
+        # behavior where a rewrite can't break a live reader.
         warehouse = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
         )
-        location = str(Path(warehouse.removeprefix("file:")) / table_name)
-    if Path(location).exists():
+        location = str(
+            Path(warehouse.removeprefix("file:"))
+            / f"{table_name}_{uuid.uuid4().hex[:8]}"
+        )
+    elif Path(location).exists():
+        # explicit location = explicit caller contract: replace in place
         shutil.rmtree(location)
     writer = (
         df.write.mode("overwrite")

@@ -340,3 +340,113 @@ def test_lsh_index_reinvocation_reuses_one_index(spark, sf_dir, tmp_path):
     assert os.path.isdir(f"{base3}/{tbl3}")
     assert sink_lsh_index(spark, local).count() == n1
     shutil.rmtree(base3, ignore_errors=True)
+
+
+def test_zorder_three_columns_key_is_injective(spark):
+    """r10 sources review: with int32 math, 3 dims x 12 bits wrapped the
+    shift mod 32 and collided bits across dimensions. Long math keeps
+    every (bucket-level) coordinate recoverable from the key."""
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.sources.layouts import (
+        ZBITS,
+        _minmax_struct,
+        _scale_expr,
+        zorder_key,
+    )
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 16).alias("a"),
+        (F.floor(F.col("id") / 16) % 16).alias("b"),
+        (F.floor(F.col("id") / 256) % 16).alias("c"),
+    )
+    cols = ["a", "b", "c"]
+    bounds = _minmax_struct(df, cols)
+    keyed = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            df["*"], *[_scale_expr(x).alias(f"__z_{x}") for x in cols]
+        )
+        .withColumn("__zkey", zorder_key(cols))
+    )
+    rows = keyed.select("a", "b", "c", "__zkey").collect()
+    # distinct (a,b,c) -> distinct keys (injective at bucket granularity
+    # since each dim takes 16 distinct normalized values here)
+    assert len({r["__zkey"] for r in rows}) == len(
+        {(r["a"], r["b"], r["c"]) for r in rows}
+    )
+    # bit budget respected: max key < 2^(3*ZBITS)
+    assert max(r["__zkey"] for r in rows) < 1 << (3 * ZBITS)
+    # and >= 2^(2*ZBITS) occupied (the third dimension really contributes)
+    assert max(r["__zkey"] for r in rows) >= 1 << (2 * ZBITS)
+
+
+def test_zorder_six_columns_refused(spark):
+    import pytest as _pytest
+
+    from mrs_mapreduce_spark.sources.layouts import zorder_key
+
+    with _pytest.raises(ValueError, match="bits"):
+        zorder_key(["a", "b", "c", "d", "e", "f"])
+
+
+def test_zorder_nulls_go_to_bucket_zero(spark):
+    """NULL dimension values cluster deliberately at bucket 0, not at
+    the max stripe (F.least skips nulls — r10 sources review)."""
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.sources.layouts import (
+        _minmax_struct,
+        _scale_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (100.0,), (None,)], "v double"
+    )
+    bounds = _minmax_struct(df, ["v"])
+    out = (
+        df.crossJoin(F.broadcast(bounds))
+        .select("v", _scale_expr("v").alias("z"))
+        .collect()
+    )
+    by_v = {r["v"]: r["z"] for r in out}
+    assert by_v[None] == 0
+    assert by_v[100.0] > by_v[1.0]
+
+
+def test_write_bucketed_rewrite_keeps_live_handle_valid(spark, tmp_path):
+    """r10 sources review: a rewrite of the same table name must not
+    delete the files under a previously obtained spark.table() handle
+    (the ADVICE-r7 FileNotFoundException class)."""
+    from mrs_mapreduce_spark.sources.partitioned import write_bucketed
+
+    df1 = spark.range(0, 100).withColumnRenamed("id", "k")
+    write_bucketed(df1, "t_live_handle", ["k"], n_buckets=2)
+    handle = spark.table("t_live_handle")
+    assert handle.count() == 100
+
+    df2 = spark.range(0, 50).withColumnRenamed("id", "k")
+    write_bucketed(df2, "t_live_handle", ["k"], n_buckets=2)
+    # the old handle still reads the OLD files (not FileNotFoundException)
+    assert handle.count() == 100
+    # and the catalog serves the new data
+    assert spark.table("t_live_handle").count() == 50
+    spark.sql("DROP TABLE IF EXISTS t_live_handle")
+
+
+def test_mrs_pairs_missing_path_fails_loud(spark, tmp_path):
+    """r10 sources review: an empty/missing dataset raises a clear
+    FileNotFoundError at planning instead of an executor-side
+    AttributeError on a [None] partition."""
+    import pytest as _pytest
+
+    from mrs_mapreduce_spark.sources.pairsource import register_source
+
+    register_source(spark)
+    df = (
+        spark.read.format("mrs_pairs")
+        .option("path", str(tmp_path / "nope"))
+        .load()
+    )
+    with _pytest.raises(Exception, match="no part-"):
+        df.collect()
