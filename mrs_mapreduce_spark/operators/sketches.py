@@ -53,6 +53,53 @@ def words_of(docs: DataFrame) -> DataFrame:
     ).filter(F.col("w") != "")
 
 
+def cm_pairs(
+    df: DataFrame, key: str = "w", carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Fan each row to its d (seed, bucket) count-min coordinates.
+
+    THE one definition of the sketch's hash-family fan-out (r10 review:
+    it was pasted four times with drifting casts — build, two probe
+    sites, and the shard-merge cells; a missed copy would silently
+    break sketch/probe agreement). ``carry`` columns ride along.
+    """
+    n = _n(key)
+    return df.select(
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("seed"),
+                        ((F.lit(_A[i]) * n + F.lit(_B[i])) % _P % _W)
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for i in range(_D)
+                ]
+            )
+        ).alias("sb"),
+    ).select(*carry, "sb.seed", "sb.bucket")
+
+
+def bloom_bits(
+    df: DataFrame, key: str = "w", carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Fan each row to its k bloom bit positions (shared build/probe)."""
+    n = _n(key)
+    return df.select(
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    ((F.lit(_A[i]) * n + F.lit(_B[i])) % _P % _M)
+                    for i in range(_K)
+                ]
+            )
+        ).alias("bit"),
+    )
+
+
 def countmin_sketch(
     occurrences: DataFrame, key: str = "w", weight: str | None = None
 ) -> DataFrame:
@@ -70,28 +117,14 @@ def countmin_sketch(
     |occurrences| (the ``sketch_countmin`` query uses this: its truth
     branch needs the per-word counts anyway).
     """
-    n = _n(key)
     inc = F.col(weight) if weight else F.lit(1)
-    pairs = occurrences.select(
-        inc.alias("__inc"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seed"),
-                        ((F.lit(_A[i]) * n + F.lit(_B[i])) % _P % _W).alias(
-                            "bucket"
-                        ),
-                    )
-                    for i in range(_D)
-                ]
-            )
-        ).alias("sb"),
+    pairs = cm_pairs(
+        occurrences.select(inc.alias("__inc"), F.col(key)),
+        key=key,
+        carry=("__inc",),
     )
-    return (
-        pairs.select("__inc", "sb.seed", "sb.bucket")
-        .groupBy("seed", "bucket")
-        .agg(F.sum("__inc").cast("long").alias("cnt"))
+    return pairs.groupBy("seed", "bucket").agg(
+        F.sum("__inc").cast("long").alias("cnt")
     )
 
 
@@ -155,24 +188,7 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = countmin_sketch(wc, weight="true_cnt")
     truth = wc.filter(F.col("true_cnt") >= 50)
-    n = _n("w")
-    probes = truth.select(
-        "w",
-        "true_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seed"),
-                        ((F.lit(_A[i]) * n + F.lit(_B[i])) % _P % _W).alias(
-                            "bucket"
-                        ),
-                    )
-                    for i in range(_D)
-                ]
-            )
-        ).alias("sb"),
-    ).select("w", "true_cnt", "sb.seed", "sb.bucket")
+    probes = cm_pairs(truth, carry=("w", "true_cnt"))
     return (
         probes.join(F.broadcast(sketch), ["seed", "bucket"])
         .groupBy("w", "true_cnt")
@@ -231,47 +247,26 @@ def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom membership of urgent-order custkeys probed by all customers."""
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
-    keys = (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_custkey").cast("string").alias("w"))
-        .distinct()
-    )
-    n = _n("w")
-    bits = keys.select(
-        F.explode(
-            F.array(
-                *[
-                    ((F.lit(_A[i]) * n + F.lit(_B[i])) % _P % _M)
-                    for i in range(_K)
-                ]
-            )
-        ).alias("bit")
-    ).distinct()
-
-    cn = cust.select(
-        "c_custkey", F.col("c_custkey").cast("string").alias("w")
-    )
-    n_c = _n("w")
-    probed = (
-        cn.select(
-            "c_custkey",
-            F.explode(
-                F.array(
-                    *[
-                        ((F.lit(_A[i]) * n_c + F.lit(_B[i])) % _P % _M)
-                        for i in range(_K)
-                    ]
-                )
-            ).alias("bit"),
-        )
-        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
-        .groupBy("c_custkey")
-        .agg((F.count("hit") == _K).alias("maybe"))
-    )
+    # the urgent key set is computed ONCE (checkpointed) — it is both
+    # the bloom build input and the exact-membership truth; the old
+    # form ran the filter+distinct twice (r10 review)
     actual = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
         .distinct()
+        .localCheckpoint(eager=True)
+    )
+    keys = actual.select(F.col("o_custkey").cast("string").alias("w"))
+    bits = bloom_bits(keys).distinct()
+
+    cn = cust.select(
+        "c_custkey", F.col("c_custkey").cast("string").alias("w")
+    )
+    probed = (
+        bloom_bits(cn, carry=("c_custkey",))
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("c_custkey")
+        .agg((F.count("hit") == _K).alias("maybe"))
     )
     flagged = probed.join(
         actual, probed.c_custkey == actual.o_custkey, "left"
@@ -370,6 +365,61 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_M = 64
 
 
+def _hll_full_n(col: str = "w"):
+    """Unreduced 60-bit md5 integer (HLL keeps all bits; count-min's
+    ``_n`` reduces mod P — deliberately different)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hll_rho(keys: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(carry..., bucket, rho) — one HLL observation per key row.
+
+    THE one definition of the register math (r10 review: it was pasted
+    three times — sketch_hll, sketch_hll_merge with hardcoded 64s, and
+    sketch_hll_intersection — so widening _HLL_M would have silently
+    desynchronized the merge query). Integer div keeps the 60-bit value
+    exact; rho = 55 - bitlength(remainder), 55 for remainder 0.
+    """
+    parts = keys.select(*carry, _hll_full_n().alias("full_n")).select(
+        *carry,
+        (F.col("full_n") % _HLL_M).alias("bucket"),
+        F.expr(f"full_n div {_HLL_M}").alias("rem"),
+    )
+    return parts.select(
+        *carry,
+        "bucket",
+        F.when(F.col("rem") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin("rem")))
+        .alias("rho"),
+    )
+
+
+def hll_registers(keys: DataFrame) -> DataFrame:
+    """(bucket, m) — the HLL register relation of a key set."""
+    return hll_rho(keys).groupBy("bucket").agg(F.max("rho").alias("m"))
+
+
+def hll_state(mx: DataFrame) -> DataFrame:
+    """1-row (s_ne, n_buckets): exact-integer harmonic-sum state."""
+    return mx.agg(
+        F.sum(F.expr("shiftleft(1L, cast(55 - m as int))")).alias("s_ne"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+def hll_estimate_expr():
+    """Estimate from (s_ne, n_buckets): the only float op in the chain."""
+    two55 = 1 << 55
+    return (
+        F.lit(0.709 * _HLL_M * _HLL_M)
+        * F.lit(float(two55))
+        / (
+            F.col("s_ne")
+            + (F.lit(_HLL_M) - F.col("n_buckets")) * F.lit(two55)
+        )
+    )
+
+
 @register(
     "sketch_hll",
     oracle="""
@@ -413,24 +463,7 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = orders.select(
         F.col("o_custkey").cast("string").alias("w")
     ).distinct()
-    n = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
-    # integer div for the 60-bit value: double division would lose
-    # precision above 2^53 and shift rho near power-of-two boundaries
-    parts = keys.select(n.alias("full_n")).select(
-        (F.col("full_n") % _HLL_M).alias("bucket"),
-        F.expr(f"full_n div {_HLL_M}").alias("rem"),
-    )
-    rho = parts.select(
-        "bucket",
-        F.when(F.col("rem") == 0, F.lit(55))
-        .otherwise(F.lit(55) - F.length(F.bin("rem")))
-        .alias("rho"),
-    )
-    mx = rho.groupBy("bucket").agg(F.max("rho").alias("m"))
-    s = mx.agg(
-        F.sum(F.expr("shiftleft(1L, cast(55 - m as int))")).alias("s_ne"),
-        F.count(F.lit(1)).alias("n_buckets"),
-    )
+    s = hll_state(hll_registers(keys))
     truth = orders.agg(
         F.countDistinct("o_custkey").alias("exact_distinct")
     )
@@ -443,15 +476,7 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s_ne")
                 + (F.lit(_HLL_M) - F.col("n_buckets")) * F.lit(two55)
             ).alias("harmonic_denom"),
-            pround(
-                F.lit(0.709 * _HLL_M * _HLL_M)
-                * F.lit(float(two55))
-                / (
-                    F.col("s_ne")
-                    + (F.lit(_HLL_M) - F.col("n_buckets")) * F.lit(two55)
-                ),
-                4,
-            ).alias("hll_estimate"),
+            pround(hll_estimate_expr(), 4).alias("hll_estimate"),
         )
     )
 
@@ -616,31 +641,25 @@ def sketch_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("w") != "")
     )
-    n = _n("w")
-    cells = occs.select(
-        "shard",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seed"),
-                        ((F.lit(_A[i]) * n + F.lit(_B[i])) % _P % _W)
-                        .cast("int")
-                        .alias("bucket"),
-                    )
-                    for i in range(_D)
-                ]
-            )
-        ).alias("c"),
-    ).select("shard", "c.seed", "c.bucket")
+    # ONE corpus scan: per-(shard, word) counts checkpointed, then every
+    # branch (per-shard build, direct build, top-word truth) works from
+    # the |vocab x shards|-sized relation by the weighted-monoid
+    # property — the r10 review found the old form exploding the corpus
+    # three times
+    wc = (
+        occs.groupBy("shard", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    cells = cm_pairs(wc, carry=("shard", "cnt"))
     per_shard = cells.groupBy("shard", "seed", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+        F.sum("cnt").cast("long").alias("cnt")
     )
     merged = per_shard.groupBy("seed", "bucket").agg(
         F.sum("cnt").cast("long").alias("m_cnt")
     )
     direct = cells.groupBy("seed", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("d_cnt")
+        F.sum("cnt").cast("long").alias("d_cnt")
     )
     mism = (
         merged.join(direct, ["seed", "bucket"], "full")
@@ -656,28 +675,12 @@ def sketch_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("diff").cast("long").alias("n_cell_mismatches"))
     )
     topw = (
-        occs.groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        wc.groupBy("w")
+        .agg(F.sum("cnt").cast("long").alias("true_cnt"))
         .orderBy(F.desc("true_cnt"), "w")
         .limit(1)
     )
-    probes = topw.select(
-        "w",
-        "true_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seed"),
-                        ((F.lit(_A[i]) * n + F.lit(_B[i])) % _P % _W)
-                        .cast("int")
-                        .alias("bucket"),
-                    )
-                    for i in range(_D)
-                ]
-            )
-        ).alias("c"),
-    ).select("w", "true_cnt", "c.seed", "c.bucket")
+    probes = cm_pairs(topw, carry=("w", "true_cnt"))
     est = (
         probes.join(merged, ["seed", "bucket"])
         .groupBy("w", "true_cnt")
@@ -737,25 +740,20 @@ def sketch_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge per-shard HLL sketches; prove equality with the direct build."""
     orders = table(spark, sf_dir, "orders")
-    keys = orders.select(
-        F.col("o_custkey").cast("string").alias("w"),
-        F.pmod("o_custkey", F.lit(2)).cast("int").alias("shard"),
-    ).distinct()
-    n = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
-    parts = keys.select(
-        "shard", n.alias("full_n")
-    ).select(
-        "shard",
-        (F.col("full_n") % 64).alias("bucket"),
-        F.expr("full_n div 64").alias("rem"),
+    # checkpointed: the per-shard and direct builds both derive from the
+    # same distinct-keys+hash pipeline — without this, Spark plans the
+    # scan + distinct + md5 twice (no common-subplan dedup; r10 review).
+    # Register math via the shared hll_rho: the old copy hardcoded 64
+    # where the siblings use _HLL_M, a silent drift trap.
+    keys = (
+        orders.select(
+            F.col("o_custkey").cast("string").alias("w"),
+            F.pmod("o_custkey", F.lit(2)).cast("int").alias("shard"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    rho = parts.select(
-        "shard",
-        "bucket",
-        F.when(F.col("rem") == 0, F.lit(55))
-        .otherwise(F.lit(55) - F.length(F.bin("rem")))
-        .alias("rho"),
-    )
+    rho = hll_rho(keys, carry=("shard",))
     per_shard = rho.groupBy("shard", "bucket").agg(F.max("rho").alias("m"))
     merged = per_shard.groupBy("bucket").agg(F.max("m").alias("m"))
     direct = rho.groupBy("bucket").agg(F.max("rho").alias("m"))
@@ -768,18 +766,10 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_bucket_mismatches"))
     )
-    est = merged.agg(
-        F.sum(F.expr("cast(1 as bigint) << (55 - m)")).alias("s_ne"),
-        F.count(F.lit(1)).alias("n_buckets"),
-    )
-    denom = F.col("s_ne") + (64 - F.col("n_buckets")) * F.expr(
-        "cast(1 as bigint) << 55"
-    )
+    est = hll_state(merged)
     return n_diff.crossJoin(est).select(
         "n_bucket_mismatches",
-        pround(
-            0.709 * 64 * 64 * F.expr("cast(1 as bigint) << 55") / denom, 4
-        ).alias("merged_estimate"),
+        pround(hll_estimate_expr(), 4).alias("merged_estimate"),
     )
 
 
@@ -1076,49 +1066,35 @@ def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """|A∩B| of two customer populations from merged HLL registers."""
     orders = table(spark, sf_dir, "orders")
+    # ONE scan + distinct feeds both register builds AND the exact
+    # truth (the old form planned four independent orders scans; r10
+    # review); |statuses x custkeys|-sized, checkpointed
+    base = (
+        orders.filter(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_orderstatus", "o_custkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     def mx_of(status: str) -> DataFrame:
-        keys = (
-            orders.filter(F.col("o_orderstatus") == status)
-            .select(F.col("o_custkey").cast("string").alias("w"))
-            .distinct()
-        )
-        n = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
-        parts = keys.select(n.alias("full_n")).select(
-            (F.col("full_n") % _HLL_M).alias("bucket"),
-            F.expr(f"full_n div {_HLL_M}").alias("rem"),
-        )
-        return (
-            parts.select(
-                "bucket",
-                F.when(F.col("rem") == 0, F.lit(55))
-                .otherwise(F.lit(55) - F.length(F.bin("rem")))
-                .alias("rho"),
+        return hll_registers(
+            base.filter(F.col("o_orderstatus") == status).select(
+                F.col("o_custkey").cast("string").alias("w")
             )
-            .groupBy("bucket")
-            .agg(F.max("rho").alias("m"))
         )
 
     def est_of(mx: DataFrame, alias: str) -> DataFrame:
-        two55 = 1 << 55
-        return mx.agg(
-            (
-                F.lit(0.709 * _HLL_M * _HLL_M)
-                * F.lit(float(two55))
-                / (
-                    F.sum(F.expr("shiftleft(1L, cast(55 - m as int))"))
-                    + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(two55)
-                )
-            ).alias(alias)
-        )
+        return hll_state(mx).select(hll_estimate_expr().alias(alias))
 
     ma, mb = mx_of("F"), mx_of("O")
     mu = ma.unionByName(mb).groupBy("bucket").agg(F.max("m").alias("m"))
     ea, eb, eu = est_of(ma, "ea"), est_of(mb, "eb"), est_of(mu, "eu")
-    f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    o_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     truth = (
-        f_keys.intersect(o_keys)
+        base.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(
+            base.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+        )
         .agg(F.count(F.lit(1)).alias("exact_intersection"))
     )
     return (

@@ -520,3 +520,19 @@ def test_knn_graph_bucketed_never_allpairs(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_sketch_merge_queries_scan_once(spark, sf_dir):
+    """r10 sketches review: the merge/intersection proofs used to plan
+    3-4 independent corpus scans (Spark has no common-subplan dedup);
+    each now builds ONE checkpointed base relation at build time, so
+    the final plan re-reads only the small checkpoint — at most one
+    parquet FileScan remains (sketch_bloom's customer probe side)."""
+    for name, max_scans in [
+        ("sketch_countmin_merge", 0),
+        ("sketch_hll_intersection", 0),
+        ("sketch_hll_merge", 0),
+        ("sketch_bloom", 1),
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("FileScan") <= max_scans, (name, plan)
