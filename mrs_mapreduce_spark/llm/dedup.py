@@ -259,6 +259,118 @@ def _band_keys(sig: DataFrame) -> DataFrame:
     )
 
 
+
+def _lsh_candidates(bands_a: DataFrame, bands_b: DataFrame | None = None):
+    """Distinct (doc_a, doc_b) candidates from band-key agreement.
+
+    THE one definition of the LSH candidate join (r10 review: it was
+    pasted in the pairs, probe, and eval pipelines — a banding or
+    inequality change in one copy would silently decalibrate the
+    others). Self-join form (``bands_b`` None) emits each unordered
+    pair once via doc_a < doc_b; the two-relation form (batch vs
+    corpus index) emits every cross agreement.
+    """
+    if bands_b is None:
+        b = bands_a.alias("b")
+        extra = F.col("a.doc_id") < F.col("b.doc_id")
+    else:
+        b = bands_b.alias("b")
+        extra = F.lit(True)
+    return (
+        bands_a.alias("a")
+        .join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & extra,
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    docs_a: DataFrame,
+    docs_b: DataFrame | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (shared stage).
+
+    One definition of the verify discipline (r10 review: pairs and
+    probe each carried a ~35-line copy): shingle TEXT never enters the
+    verify shuffles — hash to md5 at the scan (the dedup_substring
+    discipline) so every consumer moves 16-byte keys; counts are
+    unchanged (same md5 on both engines, and the oracle's text-keyed
+    join counts the identical pairs). The ssets/sizes join inputs carry
+    MERGE hints — the dual of the bounded-only broadcast policy
+    (SCALE.md): these relations scale with the corpus, and on a
+    heavily-compressed corpus (boilerplate, replicas — zstd hits
+    ~1000:1 on the 1000-copy synthetic tier) the STATIC size estimate,
+    derived from parquet file bytes, is small enough that the planner
+    picks a broadcast build of a corpus-scaled relation and funnels GBs
+    through the driver (measured: heap OOM / maxResultSize aborts at
+    that tier). A merge hint pins the strategy that is correct at every
+    size; eagerly checkpointing ssets for honest stats was tried first
+    and OOM'd outright — it materializes a corpus x shingles relation
+    to fix a stats lie.
+
+    ``docs_b`` None = self-join form (both pair sides from ``docs_a``).
+    """
+    ssets_a = (
+        shingles(docs_a).select("doc_id", F.md5("sh").alias("h")).distinct()
+    )
+    ssets_b = (
+        ssets_a
+        if docs_b is None
+        else shingles(docs_b)
+        .select("doc_id", F.md5("sh").alias("h"))
+        .distinct()
+    )
+    sizes_a = ssets_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes_b = (
+        sizes_a
+        if docs_b is None
+        else ssets_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    inter = (
+        cand.join(
+            ssets_a.alias("sa").hint("merge"),
+            F.col("sa.doc_id") == F.col("doc_a"),
+        )
+        .join(
+            ssets_b.alias("sb").hint("merge"),
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.h") == F.col("sa.h")),
+            "left",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.col("sb.h")).alias("inter_n"))
+    )
+    verified = (
+        inter.join(
+            sizes_a.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+            ).hint("merge"),
+            "doc_a",
+        )
+        .join(
+            sizes_b.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+            ).hint("merge"),
+            "doc_b",
+        )
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter_n"))
+        .withColumn("jac", F.col("inter_n") * 1.0 / F.col("union_n"))
+    )
+    return verified.filter(F.col("jac") >= threshold).select(
+        "doc_a", "doc_b", pround("jac", 4).alias("jaccard")
+    )
+
+
 def _minhash_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -287,69 +399,8 @@ def _minhash_pairs(
             .filter(F.col("_bc") <= cap)
             .drop("_bc")
         )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    # shingle TEXT never enters the verify shuffles: hash to md5 at the
-    # scan (the dedup_substring discipline) so the three consumers below
-    # move 16-byte keys; counts are unchanged (same md5 on both engines,
-    # and the oracle's text-keyed join counts the identical pairs).
-    # The ssets/sizes join inputs carry MERGE hints — the dual of the
-    # bounded-only broadcast policy (SCALE.md): these relations scale
-    # with the corpus, and on a heavily-compressed corpus (boilerplate,
-    # replicas — zstd hits ~1000:1 on the 1000-copy synthetic tier) the
-    # STATIC size estimate, derived from parquet file bytes, is small
-    # enough that the planner picks a broadcast build of a corpus-
-    # scaled relation and funnels GBs through the driver (measured:
-    # heap OOM / maxResultSize aborts at that tier). A merge hint pins
-    # the strategy that is correct at every size; eagerly checkpointing
-    # ssets for honest stats was tried first and OOM'd outright — it
-    # materializes a corpus x shingles relation to fix a stats lie.
-    ssets = shingles(d).select("doc_id", F.md5("sh").alias("h")).distinct()
-    sizes = ssets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(
-            ssets.alias("sa").hint("merge"),
-            F.col("sa.doc_id") == F.col("doc_a"),
-        )
-        .join(
-            ssets.alias("sb").hint("merge"),
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.h") == F.col("sa.h")),
-            "left",
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.col("sb.h")).alias("inter_n"))
-    )
-    verified = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-            .hint("merge"),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-            .hint("merge"),
-            "doc_b",
-        )
-        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter_n"))
-        .withColumn("jac", F.col("inter_n") * 1.0 / F.col("union_n"))
-    )
-    return verified.filter(F.col("jac") >= 0.5).select(
-        "doc_a", "doc_b", pround("jac", 4).alias("jaccard")
-    )
+    cand = _lsh_candidates(bands)
+    return _verify_pairs(cand, d)
 
 
 @register(
@@ -717,6 +768,36 @@ def propagate_min_labels(
 
 
 
+
+def _component_rollup(pairs: DataFrame, label_fn) -> DataFrame:
+    """Symmetrize pair edges, label components, roll up per label.
+
+    One definition of the component-output discipline (r10 review: both
+    component builders carried a copy): numeric sort FIRST, then
+    stringify — a lexicographic sort of stringified ids disagrees with
+    the oracle's ORDER BY (the r3 red-row class). ``label_fn`` is the
+    labeling algorithm (min-label propagation or alternating star).
+    """
+    sym = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    labels = label_fn(sym)
+    out = labels.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda c: c.cast("string"),
+            ),
+            ",",
+        ).alias("members"),
+    )
+    sym.unpersist()
+    return out
+
+
 @register(
     "dedup_components",
     oracle=None,  # set below: needs the pairs CTE assembled at import time
@@ -754,27 +835,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the duplicate mass instead of quadratic.
     """
     pairs = _collapsed_pair_edges(spark, sf_dir)
-    sym = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).cache()
-    labels = propagate_min_labels(sym)
-    out = (
-        labels.groupBy(F.col("lbl").alias("component"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            # numeric sort FIRST, then stringify — lexicographic sort of
-            # stringified ids would disagree with the oracle's ORDER BY
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
-                    lambda c: c.cast("string"),
-                ),
-                ",",
-            ).alias("members"),
-        )
-    )
-    sym.unpersist()
-    return out
+    return _component_rollup(pairs, propagate_min_labels)
 
 
 REGISTRY["dedup_components"] = REGISTRY["dedup_components"].__class__(
@@ -858,10 +919,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_against_corpus",
     oracle="""
-    WITH hist AS (SELECT md5(lower(trim(text))) AS h FROM documents
-                  WHERE doc_id < 250 GROUP BY 1),
-    batch AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
-              WHERE doc_id >= 250)
+    WITH hist AS (SELECT coalesce(md5(lower(trim(text))),
+                                  '__null__' || doc_id) AS h
+                  FROM documents WHERE doc_id < 250 GROUP BY 1),
+    batch AS (SELECT doc_id, coalesce(md5(lower(trim(text))),
+                                      '__null__' || doc_id) AS h
+              FROM documents WHERE doc_id >= 250)
     SELECT b.doc_id
     FROM batch b LEFT JOIN hist ON hist.h = b.h
     WHERE hist.h IS NULL
@@ -887,7 +950,16 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """New-batch doc_ids surviving exact dedup vs the historical corpus."""
     d = table(spark, sf_dir, "documents")
-    h = F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    # NULL discipline (the _content_families rule): a NULL-text doc is a
+    # SINGLETON — it never matches history and never collapses with
+    # other NULL docs. Without the coalesce, Spark's groupBy treats all
+    # NULL hashes as ONE group (keeping min doc_id) while SQL equality
+    # never matches NULL (keeping every one) — a latent builder/oracle
+    # divergence on any NULL-bearing fixture (r10 dedup review).
+    h = F.coalesce(
+        F.md5(F.lower(F.trim(F.col("text")))),
+        F.concat(F.lit("__null__"), F.col("doc_id").cast("string")),
+    ).alias("h")
     hist = d.filter(F.col("doc_id") < 250).select(h).distinct()
     batch = d.filter(F.col("doc_id") >= 250).select("doc_id", h)
     survivors = batch.join(hist, "h", "left_anti")
@@ -1002,62 +1074,10 @@ def _minhash_probe(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     """
     b_bands = _band_keys(_minhash_sig(batch)).localCheckpoint(eager=True)
     c_bands = _band_keys(_minhash_sig(corpus)).localCheckpoint(eager=True)
-    cand = (
-        b_bands.alias("a")
-        .join(
-            c_bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    # verify on md5'd shingle sets, merge-hinted: the same
-    # corpus-scaled-relation discipline as _minhash_pairs (see there)
-    ssets_a = (
-        shingles(batch).select("doc_id", F.md5("sh").alias("h")).distinct()
-    )
-    ssets_b = (
-        shingles(corpus).select("doc_id", F.md5("sh").alias("h")).distinct()
-    )
-    sizes_a = ssets_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sizes_b = ssets_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(
-            ssets_a.alias("sa").hint("merge"),
-            F.col("sa.doc_id") == F.col("doc_a"),
-        )
-        .join(
-            ssets_b.alias("sb").hint("merge"),
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.h") == F.col("sa.h")),
-            "left",
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.col("sb.h")).alias("inter_n"))
-    )
-    verified = (
-        inter.join(
-            sizes_a.select(
-                F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
-            ).hint("merge"),
-            "doc_a",
-        )
-        .join(
-            sizes_b.select(
-                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
-            ).hint("merge"),
-            "doc_b",
-        )
-        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter_n"))
-        .withColumn("jac", F.col("inter_n") * 1.0 / F.col("union_n"))
-    )
-    return verified.filter(F.col("jac") >= 0.5).select(
-        "doc_a", "doc_b", pround("jac", 4).alias("jaccard")
-    )
+    cand = _lsh_candidates(b_bands, c_bands)
+    # verify via the shared stage (same merge-hint discipline; see
+    # _verify_pairs)
+    return _verify_pairs(cand, batch, corpus)
 
 
 def _lsh_index_table(spark: SparkSession, sf_dir: str) -> str:
@@ -1285,20 +1305,7 @@ def _minhash_eval_pairs(docs: DataFrame) -> DataFrame:
     _minhash_pairs: 3 corpus scans -> 1)."""
     sig = _minhash_sig(docs).localCheckpoint(eager=True)
     bands = _band_keys(sig)
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    cand = _lsh_candidates(bands)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), "seed",
         F.col("minhash").alias("mh_a"),
@@ -1478,23 +1485,7 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_components (exact-dup mass as stars, not quadratic pairs).
     """
     pairs = _collapsed_pair_edges(spark, sf_dir)
-    sym = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))
-    ).cache()
-    labels = star_components(sym)
-    out = labels.groupBy(F.col("lbl").alias("component")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list("doc_id")),
-                lambda c: c.cast("string"),
-            ),
-            ",",
-        ).alias("members"),
-    )
-    sym.unpersist()
-    return out
+    return _component_rollup(pairs, star_components)
 
 
 REGISTRY["dedup_components_star"] = REGISTRY["dedup_components_star"].__class__(

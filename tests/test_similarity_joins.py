@@ -447,3 +447,43 @@ def test_minhash_eval_collapse_equals_uncollapsed(spark, corpus_dir):
     # a true near-dup (not exact-copy) candidate keeps its real values
     near = [p for p in got if p[:2] == (0, 1)]
     assert near and near[0][3] == 0.8889         # jac(0,1) = 8/9 3-shingles
+
+
+def test_against_corpus_null_text_docs_all_survive(
+    spark, tmp_path_factory
+):
+    """r10 dedup review: dedup_against_corpus must treat each NULL-text
+    batch doc as a singleton survivor (the _content_families rule). The
+    pre-fix builder groupBy'd the NULL hash into ONE survivor while the
+    SQL oracle (null-unsafe equality) kept them all — this pins the
+    agreed semantics on a NULL-bearing fixture the driver tier lacks."""
+    import duckdb
+
+    from mrs_mapreduce_spark.registry import load_all
+
+    text = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, text, "en", "srcA", len(text)),        # history
+        (1, None, "en", "srcA", 0),                # history NULL
+        (250, text, "en", "srcA", len(text)),      # dup of history: drop
+        (251, None, "en", "srcA", 0),              # NULL batch: survives
+        (252, None, "en", "srcA", 0),              # NULL batch: survives
+        (253, "zeta eta", "en", "srcA", 8),        # new: survives
+        (254, "zeta eta", "en", "srcA", 8),        # within-batch dup: drop
+    ]
+    path = str(tmp_path_factory.mktemp("nullcorp"))
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    q = load_all()["dedup_against_corpus"]
+    got = sorted(r["doc_id"] for r in q.builder(spark, path).collect())
+    assert got == [251, 252, 253]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{path}/documents.parquet/*.parquet')"
+    )
+    oracle = sorted(r[0] for r in con.execute(q.oracle).fetchall())
+    assert oracle == got
