@@ -159,12 +159,17 @@ _NS_PER_HOUR = 3_600_000_000_000
 def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event counts with empty hours zero-filled."""
     ev = table(spark, sf_dir, "events")
+    # eager checkpoint: the bounds agg and the left join both consume
+    # hourly, and Catalyst plans no common-subplan dedup — without it
+    # raw events were scanned and shuffled once PER consumer, falsifying
+    # the "touched exactly once" scale claim (r10 events review)
     hourly = (
         ev.groupBy(F.expr(f"ts_ns div {_NS_PER_HOUR}").alias("hr"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             pround(F.sum("value"), 2).alias("total"),
         )
+        .localCheckpoint(eager=True)
     )
     grid = (
         hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
@@ -228,9 +233,10 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_transitions",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, event_type, ts,
+        SELECT user_id, event_type,
                lead(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_type) AS next_type
+                                      ORDER BY epoch_ns(ts), event_type)
+                   AS next_type
         FROM events)
     SELECT event_type AS from_type, next_type AS to_type,
            count(*) AS n_transitions
@@ -250,7 +256,12 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from->to event-type transition counts per user timeline."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    # order on exact int64 nanos, NOT the derived ts column: on the
+    # round-1 TIMESTAMP(NANOS) layout Spark's ts is truncated to micros
+    # while DuckDB reads full nanos, so sub-microsecond neighbors could
+    # order differently per engine (r10 events review; the file-wide
+    # ts_ns convention exists for exactly this)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_type")
     return (
         ev.select(
             F.col("event_type").alias("from_type"),
@@ -263,6 +274,29 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NS_PER_30MIN = 1_800_000_000_000
+
+
+def _session_flags(ev: DataFrame) -> DataFrame:
+    """(user_id, event_id, ts_ns, is_start): 30-min gaps-and-islands
+    session-start flags — ONE definition of the sessionization rule
+    (r10 review: events_session_ids and events_concurrency carried
+    verbatim copies; a gap or tiebreak change applied to one would
+    silently desynchronize the other). Ordering is the file-wide
+    (ts_ns, event_id) convention.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | (F.col("ts_ns") - F.lag("ts_ns").over(w) > _NS_PER_30MIN),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
 
 
 @register(
@@ -306,26 +340,16 @@ _NS_PER_30MIN = 1_800_000_000_000
 def events_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign 30-min-gap session ordinals per user; report session sizes."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    flagged = ev.select(
-        "user_id",
-        "event_id",
-        "ts_ns",
-        F.when(
-            F.lag("ts_ns").over(w).isNull()
-            | (F.col("ts_ns") - F.lag("ts_ns").over(w) > _NS_PER_30MIN),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_start"),
+    flagged = _session_flags(ev)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ids = flagged.select(
         "user_id",
         "event_id",
-        F.sum("is_start")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long")
-        .alias("session_no"),
+        F.sum("is_start").over(w_run).cast("long").alias("session_no"),
     )
     return ids.groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events")
@@ -640,8 +664,7 @@ def events_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events),
     per_user AS (
         SELECT user_id,
-               CAST(quantile_cont(gap_ns, 0.5) AS DOUBLE) AS med_gap_ns,
-               CAST(count(gap_ns) AS BIGINT) AS n_gaps
+               CAST(quantile_cont(gap_ns, 0.5) AS DOUBLE) AS med_gap_ns
         FROM gaps WHERE gap_ns IS NOT NULL
         GROUP BY user_id)
     SELECT CAST(count(*) AS BIGINT) AS n_users,
@@ -676,7 +699,6 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("gap_ns").isNotNull())
     per_user = gaps.groupBy("user_id").agg(
         F.expr("percentile(gap_ns, 0.5)").alias("med_gap_ns"),
-        F.count(F.lit(1)).alias("n_gaps"),
     )
     # cross-user quartiles WITHOUT a global percentile buffer: exact
     # interpolated quantile = order statistics at positions
@@ -711,8 +733,11 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac = F.max(p - F.floor(p))
         return vlo + frac * (vhi - vlo)
 
+    # coalesce: with no user having >= 2 events the cand relation is
+    # EMPTY and max(_n) is NULL, while the oracle's count(*) is 0
+    # (r10 events review — degenerate-input parity)
     return cand.agg(
-        F.max("_n").alias("n_users"),
+        F.coalesce(F.max("_n"), F.lit(0).cast("long")).alias("n_users"),
         pround(interp(0.25) / 1e9, 2).alias("p25_s"),
         pround(interp(0.5) / 1e9, 2).alias("p50_s"),
         pround(interp(0.75) / 1e9, 2).alias("p75_s"),
@@ -1132,9 +1157,17 @@ def events_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-type averages on a dense grid, forward-filled."""
     ev = table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.expr(f"ts_ns div {_NS_PER_HOUR}").alias("hr")
-    ).agg(pround(F.avg("value"), 4).alias("avg_val"))
+    # eager checkpoint: hourly feeds THREE subtrees (bounds agg, the
+    # distinct type list, the left join) and Catalyst plans no
+    # common-subplan dedup — raw events were scanned per consumer
+    # (r10 events review; same fix as events_gapfill)
+    hourly = (
+        ev.groupBy(
+            "event_type", F.expr(f"ts_ns div {_NS_PER_HOUR}").alias("hr")
+        )
+        .agg(pround(F.avg("value"), 4).alias("avg_val"))
+        .localCheckpoint(eager=True)
+    )
     hours = (
         hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
         .select(F.explode(F.sequence("lo", "hi")).alias("hr"))
@@ -1228,19 +1261,7 @@ def events_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak simultaneous sessions per day (sweep-line over intervals)."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    flagged = ev.select(
-        "user_id",
-        "event_id",
-        "ts_ns",
-        F.when(
-            F.lag("ts_ns").over(w).isNull()
-            | (F.col("ts_ns") - F.lag("ts_ns").over(w) > _NS_PER_30MIN),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_start"),
-    )
+    flagged = _session_flags(ev)
     w_run = Window.partitionBy("user_id").orderBy(
         "ts_ns", "event_id"
     ).rowsBetween(Window.unboundedPreceding, 0)
@@ -1297,8 +1318,6 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").alias("peak_concurrent"),
     ).select("day", "n_active_sessions", "peak_concurrent")
 
-
-_NS_PER_WEEK = 7 * _NS_PER_DAY
 
 
 @register(

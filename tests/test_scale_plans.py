@@ -536,3 +536,13 @@ def test_sketch_merge_queries_scan_once(spark, sf_dir):
     ]:
         plan = _plan(spark, sf_dir, name)
         assert plan.count("FileScan") <= max_scans, (name, plan)
+
+
+def test_gapfill_queries_scan_events_once(spark, sf_dir):
+    """r10 events review: the hourly rollup feeds 2-3 subtrees (bounds,
+    type list, join) and Spark plans no common-subplan dedup — the
+    checkpointed rollup keeps raw events to ONE scan, making the
+    registered 'touched exactly once' claim true."""
+    for name in ("events_gapfill", "events_fill_forward"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("FileScan") == 0, (name, plan)
