@@ -107,12 +107,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     Memoized per (session, sf_dir): re-planning ten parquet reads per
     call costs more than the queries themselves at test scale.
     """
-    registered = getattr(spark, "_mrs_views_sf_dir", None)
-    if registered == sf_dir:
+    # Memo key includes the DataFrame identities table() currently
+    # serves: table() evicts on fixture mtime change, so an in-place
+    # rebuild mid-session produces NEW DataFrame objects — the views
+    # must rebind or spark.sql paths would keep reading the
+    # pre-rebuild file listing while DataFrame paths see fresh data
+    # (r10 gate review).
+    dfs = [table(spark, sf_dir, name) for name in TABLES]
+    key = (sf_dir, tuple(id(df) for df in dfs))
+    if getattr(spark, "_mrs_views_key", None) == key:
         return
-    for name in TABLES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
-    spark._mrs_views_sf_dir = sf_dir
+    for name, df in zip(TABLES, dfs):
+        df.createOrReplaceTempView(name)
+    spark._mrs_views_key = key
 
 
 def cached_count(df: DataFrame) -> int:
@@ -155,6 +162,8 @@ def fan_out(df: DataFrame) -> DataFrame:
         n = df.rdd.getNumPartitions()
         df._mrs_scan_parts = n
     target = df.sparkSession.sparkContext.defaultParallelism
-    if n >= max(2, target // 2):
+    # target <= n can't add parallelism — repartitioning to it would be
+    # a pure-cost shuffle (local[1]: a 1->1 round-robin; r10 review)
+    if target <= n or n >= max(2, target // 2):
         return df
     return df.repartition(target)

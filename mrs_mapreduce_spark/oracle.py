@@ -20,13 +20,34 @@ from .catalog import TABLES
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """In-memory DuckDB with the fixture views registered (driver-style)."""
+    """In-memory DuckDB with the fixture views registered (driver-style).
+
+    r10 gate review hardening:
+    - ``TimeZone`` pinned UTC: Spark's session zone is pinned UTC
+      (session.RUNTIME_CONFS), and _canon_value strips tzinfo — on a
+      non-UTC host an unpinned DuckDB would localize TIMESTAMPTZ cells
+      to a different wall clock before the strip, failing (or worse,
+      coincidentally passing) every timestamp comparison.
+    - Directory-layout parquet (Spark-written tables, the synth tiers)
+      binds via a glob; DuckDB's read_parquet validates at CREATE VIEW
+      and cannot read a bare directory path.
+    - A missing table skips its view instead of aborting the whole
+      sweep (queries that touch it fail individually; the rest run).
+    """
+    import os
+
     con = duckdb.connect()
+    con.execute("SET TimeZone = 'UTC'")
     for name in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {name} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
-        )
+        path = f"{sf_dir}/{name}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        try:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS "
+                f"SELECT * FROM read_parquet({src})"
+            )
+        except Exception:  # missing/unreadable: surface per-query
+            pass
     return con
 
 
@@ -47,6 +68,12 @@ def _canon_value(v):
             return "\x00-0.0"
         return v
     if isinstance(v, _dt.datetime):
+        # aware values convert to UTC BEFORE the strip: Spark's session
+        # zone is pinned UTC, so the naive twin of an instant is its
+        # UTC wall clock — stripping a localized datetime on a non-UTC
+        # host would compare different wall clocks (r10 gate review)
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc)
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
@@ -162,10 +189,15 @@ def _cells_close(ra: tuple, rb: tuple, tol: float) -> bool:
 def _rows_close(a: list[tuple], b: list[tuple], tol: float) -> bool:
     """Cell-wise comparison allowing ``tol`` absolute error on numerics.
 
-    Rows are matched on their NON-numeric cells first, then greedily
-    within each group — a positional zip after repr-sorting would
+    Rows are matched on their NON-numeric cells first, then IN SORTED
+    ORDER within each group — a positional zip after repr-sorting would
     misalign genuinely-close rows whenever a within-tolerance float
-    delta flips the canonical sort order between engines.
+    delta flips the canonical sort order between engines, and matching
+    each row against an UNSORTED pool greedily can reject sets that
+    have a valid pairing (r10 gate review: a=[1.0, 2.0] vs
+    b=[1.5, 0.5] at tol=0.5 — greedy pairs 1.0->1.5 then strands 2.0;
+    sorting both sides numerically makes in-order pairing the optimal
+    matching for interval tolerance on scalars).
     """
     if len(a) != len(b):
         return False
@@ -178,17 +210,31 @@ def _rows_close(a: list[tuple], b: list[tuple], tol: float) -> bool:
             for x in r
         )
 
-    pool: dict[tuple, list[tuple]] = {}
+    def num_key(r: tuple) -> tuple:
+        return tuple(
+            float(x)
+            if isinstance(x, (int, float)) and not isinstance(x, bool)
+            else 0.0
+            for x in r
+        )
+
+    pool_a: dict[tuple, list[tuple]] = {}
+    pool_b: dict[tuple, list[tuple]] = {}
+    for r in a:
+        pool_a.setdefault(key_of(r), []).append(r)
     for r in b:
-        pool.setdefault(key_of(r), []).append(r)
-    for ra in a:
-        cands = pool.get(key_of(ra), [])
-        for i, rb in enumerate(cands):
-            if _cells_close(ra, rb, tol):
-                cands.pop(i)
-                break
-        else:
+        pool_b.setdefault(key_of(r), []).append(r)
+    if set(pool_a) != set(pool_b):
+        return False
+    for k, rows_a in pool_a.items():
+        rows_b = pool_b[k]
+        if len(rows_a) != len(rows_b):
             return False
+        for ra, rb in zip(
+            sorted(rows_a, key=num_key), sorted(rows_b, key=num_key)
+        ):
+            if not _cells_close(ra, rb, tol):
+                return False
     return True
 
 
@@ -338,6 +384,10 @@ def check_queries(
     from .registry import load_all
 
     registry = load_all()
+    if names:
+        unknown = sorted(set(names) - set(registry))
+        if unknown:  # a typo must not read as a 0/0 green sweep
+            raise KeyError(f"not in the registry: {unknown}")
     con = duck_connect(sf_dir)
     results = []
     for name, q in registry.items():
