@@ -57,15 +57,23 @@ class MockDataset:
         self._tasks = tasks
         self._partitions: list[list] | None = None
         self._tasks_done = 0
+        self._completed = False  # once-materialized: progress stays 1.0
+        # parity of SURFACE with mapreduce.Dataset: the parter declared
+        # at map_data is recorded but — exactly like the Spark twin
+        # (mapreduce.py:213) — never consulted downstream; partitioning
+        # is declared at the CONSUMING reduce via its parter parameter
+        # (r10 review: documented so nobody relies on it taking effect)
         self.parter = hash_partition
 
     def _materialize(self) -> list[list]:
         if self._partitions is None:
+            self._tasks_done = 0  # close() recompute restarts the count
             parts = []
             for task in self._tasks:  # deterministic: index order
                 parts.append(list(task()))
                 self._tasks_done += 1
             self._partitions = parts
+            self._completed = True
         return self._partitions
 
     def collect(self) -> list[tuple]:
@@ -77,11 +85,52 @@ class MockDataset:
 
 
 def _chunk(pairs: list, splits: int) -> list[list]:
-    """Contiguous split like ``SparkContext.parallelize``'s slicing."""
+    """Contiguous split like ``SparkContext.parallelize``'s slicing.
+
+    splits <= 0 raises exactly like Spark's parallelize ("Positive
+    number of slices required") — the old silent range(0) produced an
+    EMPTY dataset from non-empty input in the parity mode (r10 review).
+    """
+    if splits <= 0:
+        raise ValueError(f"Positive number of splits required, got {splits}")
     n = len(pairs)
     return [
         pairs[n * i // splits : n * (i + 1) // splits] for i in range(splits)
     ]
+
+
+def _read_lines(path: str) -> list[str]:
+    """File lines with Spark-textFile parity (r10 review).
+
+    Hadoop's LineRecordReader splits ONLY on \n / \r\n and decodes
+    UTF-8 regardless of locale; Python's splitlines() additionally
+    splits on \x0b/\x0c/\x1c-\x1e/\x85/\u2028/\u2029 and bare
+    read_text() decodes with the locale encoding — either difference
+    silently diverges mock/bypass line pairs from the Spark Job on the
+    same file.
+    """
+    text = Path(path).read_text(encoding="utf-8")
+    lines = [ln[:-1] if ln.endswith("\r") else ln for ln in text.split("\n")]
+    if lines and lines[-1] == "":
+        lines.pop()  # trailing newline is a terminator, not an empty line
+    return lines
+
+
+def _combine_pass(pairs: list[tuple], fn: Callable) -> list[tuple]:
+    """One sorted-group combine/reduce pass (shared by both debug modes;
+    was pasted 4x across map_data/reduce_data in the two classes)."""
+    return [(k, v) for k, vals in _sorted_groups(pairs) for v in fn(k, vals)]
+
+
+def _value_sorted_reduce(pairs: list[tuple], reducer: Callable) -> list[tuple]:
+    """Secondary-sort reduce: keys grouped contiguously, values ascending
+    (shared by MockParallelJob.reduce_data_sorted and BypassJob's twin)."""
+    ordered = sorted(pairs)
+    out = []
+    for key, group in itertools.groupby(ordered, key=lambda kv: kv[0]):
+        for v in reducer(key, (v for _, v in group)):
+            out.append((key, v))
+    return out
 
 
 class MockParallelJob:
@@ -107,12 +156,9 @@ class MockParallelJob:
         )
 
     def file_data(self, paths: list[str]) -> MockDataset:
-        def read(path: str) -> list[tuple]:
-            lines = Path(path).read_text().splitlines()
-            return list(enumerate(lines))
-
         return MockDataset(
-            len(paths), [lambda p=p: read(p) for p in paths]
+            len(paths),
+            [lambda p=p: list(enumerate(_read_lines(p))) for p in paths],
         )
 
     # -- transforms ---------------------------------------------------------
@@ -132,11 +178,7 @@ class MockParallelJob:
                 for pair in mapper(k, v)
             ]
             if combiner is not None:
-                out = [
-                    (k, v)
-                    for k, vals in _sorted_groups(out)
-                    for v in combiner(k, vals)
-                ]
+                out = _combine_pass(out, combiner)
             return out
 
         ds = MockDataset(
@@ -146,16 +188,26 @@ class MockParallelJob:
         ds.parter = parter
         return ds
 
-    def _bucket(
-        self, dataset: MockDataset, bucket: int, n: int, parter: Callable
-    ) -> list[tuple]:
-        """One shuffle bucket: upstream splits concatenated in order."""
-        return [
-            (k, v)
-            for part in dataset._materialize()
-            for k, v in part
-            if parter(k, n) == bucket
-        ]
+    def _bucketizer(
+        self, dataset: MockDataset, n: int, parter: Callable
+    ) -> Callable[[int], list[tuple]]:
+        """Lazy ONE-PASS shuffle: first bucket request materializes the
+        upstream once and routes every pair to its bucket (upstream
+        split order preserved within each bucket). The old per-bucket
+        rescan evaluated parter n_buckets times per pair — O(n x pairs)
+        with an md5 per evaluation (r10 review)."""
+        state: dict[str, list[list[tuple]]] = {}
+
+        def get(b: int) -> list[tuple]:
+            if not state:
+                buckets: list[list[tuple]] = [[] for _ in range(n)]
+                for part in dataset._materialize():
+                    for k, v in part:
+                        buckets[parter(k, n)].append((k, v))
+                state["buckets"] = buckets
+            return state["buckets"][b]
+
+        return get
 
     def reduce_data(
         self,
@@ -166,13 +218,10 @@ class MockParallelJob:
         outdir: str | None = None,
     ) -> MockDataset:
         n = splits or self.default_splits
+        bucket = self._bucketizer(dataset, n, parter)
 
         def reduce_task(b: int) -> list[tuple]:
-            return [
-                (k, v)
-                for k, vals in _sorted_groups(self._bucket(dataset, b, n, parter))
-                for v in reducer(k, vals)
-            ]
+            return _combine_pass(bucket(b), reducer)
 
         ds = MockDataset(n, [lambda b=b: reduce_task(b) for b in range(n)])
         if outdir is not None:
@@ -193,16 +242,14 @@ class MockParallelJob:
         parter: Callable = hash_partition,
     ) -> MockDataset:
         n = splits or self.default_splits
-
-        def reduce_task(b: int) -> list[tuple]:
-            ordered = sorted(self._bucket(dataset, b, n, parter))
-            out = []
-            for key, group in itertools.groupby(ordered, key=lambda kv: kv[0]):
-                for v in reducer(key, (v for _, v in group)):
-                    out.append((key, v))
-            return out
-
-        return MockDataset(n, [lambda b=b: reduce_task(b) for b in range(n)])
+        bucket = self._bucketizer(dataset, n, parter)
+        return MockDataset(
+            n,
+            [
+                lambda b=b: _value_sorted_reduce(bucket(b), reducer)
+                for b in range(n)
+            ],
+        )
 
     def reducemap_data(
         self,
@@ -213,11 +260,12 @@ class MockParallelJob:
         parter: Callable = hash_partition,
     ) -> MockDataset:
         n = splits or self.default_splits
+        bucket = self._bucketizer(dataset, n, parter)
 
         def task(b: int) -> list[tuple]:
             return [
                 pair
-                for k, vals in _sorted_groups(self._bucket(dataset, b, n, parter))
+                for k, vals in _sorted_groups(bucket(b))
                 for v in reducer(k, vals)
                 for pair in mapper(k, v)
             ]
@@ -232,7 +280,10 @@ class MockParallelJob:
         return list(datasets)
 
     def progress(self, dataset: MockDataset) -> float:
-        if dataset._partitions is not None:
+        # _completed, not _partitions: a closed-then-polled dataset
+        # reports 1.0 exactly like the Spark twin (whose _materialized
+        # flag survives close) instead of sticking at 0.99 (r10 review)
+        if dataset._completed or dataset._partitions is not None:
             return 1.0
         if not dataset._tasks:
             return 0.0
@@ -309,7 +360,7 @@ class BypassJob:
         return BypassDataset(
             pair
             for path in paths
-            for pair in enumerate(Path(path).read_text().splitlines())
+            for pair in enumerate(_read_lines(path))
         )
 
     # -- transforms (each computes inline, immediately) -------------------
@@ -328,11 +379,7 @@ class BypassJob:
             # the degenerate single-split case of the framework's
             # map-side combine, output-equal because combiners are
             # reduce-compatible by contract
-            out = [
-                (k, v)
-                for k, vals in _sorted_groups(out)
-                for v in combiner(k, vals)
-            ]
+            out = _combine_pass(out, combiner)
         return BypassDataset(out)
 
     def reduce_data(
@@ -343,11 +390,7 @@ class BypassJob:
         parter: Callable = hash_partition,
         outdir: str | None = None,
     ) -> BypassDataset:
-        ds = BypassDataset(
-            (k, v)
-            for k, vals in _sorted_groups(dataset.pairs)
-            for v in reducer(k, vals)
-        )
+        ds = BypassDataset(_combine_pass(dataset.pairs, reducer))
         if outdir is not None:
             out = Path(outdir)
             out.mkdir(parents=True, exist_ok=False)
@@ -363,12 +406,7 @@ class BypassJob:
         splits: int | None = None,
         parter: Callable = hash_partition,
     ) -> BypassDataset:
-        ordered = sorted(dataset.pairs)
-        out = []
-        for key, group in itertools.groupby(ordered, key=lambda kv: kv[0]):
-            for v in reducer(key, (v for _, v in group)):
-                out.append((key, v))
-        return BypassDataset(out)
+        return BypassDataset(_value_sorted_reduce(dataset.pairs, reducer))
 
     def reducemap_data(
         self,

@@ -75,6 +75,9 @@ def canon(rows, cols):
     return [tuple(cell(v) for v in row) for row in pdf.itertuples(index=False)]
 
 only = set(sys.argv[1:])  # optional: restrict to named queries
+unknown = sorted(only - set(qs))
+if unknown:  # a typo'd name must not read as an N/N green run
+    raise SystemExit(f"not in the registry: {unknown}")
 fails = []
 t0 = time.time()
 for name, builder in qs.items():

@@ -587,3 +587,49 @@ def test_contract_violating_combiner_divergence_is_visible():
     assert outs["mock_parallel"] == [("k", 42)]
     # bypass: one global combine over all four pairs -> 40+1=41
     assert outs["bypass"] == [("k", 41)]
+
+
+def test_mock_progress_after_close_matches_spark(spark):
+    """r10 review: a materialized-then-closed MockDataset must report
+    progress 1.0 (like the Spark twin, whose flag survives close) —
+    not stick at 0.99 forever."""
+    from mrs_mapreduce_spark.mockparallel import make_job
+
+    mock = make_job("mock_parallel", default_splits=2)
+    ds = mock.local_data([(i, i) for i in range(4)], splits=2)
+    mock.wait(ds)
+    assert mock.progress(ds) == 1.0
+    ds.close()
+    assert mock.progress(ds) == 1.0
+    # recompute after close still works and the counter stays sane
+    assert sorted(ds.collect()) == [(i, i) for i in range(4)]
+    assert mock.progress(ds) == 1.0
+
+
+def test_mock_zero_splits_raises_like_spark(spark):
+    """r10 review: splits=0 raised in the Spark Job (parallelize) but
+    silently produced an EMPTY dataset in MockParallel."""
+    from mrs_mapreduce_spark.mockparallel import make_job
+
+    mock = make_job("mock_parallel")
+    with pytest.raises(ValueError, match="Positive number"):
+        mock.local_data([(1, 1)], splits=0)
+
+
+def test_file_data_line_parity_formfeed_and_utf8(spark, tmp_path):
+    """r10 review: Python splitlines() splits on form feed / U+2028
+    where Spark's textFile (Hadoop LineRecordReader) does not, and bare
+    read_text() decodes with the locale. All three modes must yield the
+    same (line_no, line) pairs for such a file."""
+    from mrs_mapreduce_spark.mockparallel import make_job
+
+    src = tmp_path / "tricky.txt"
+    # one \n-terminated line CONTAINING a form feed and a non-ASCII char
+    src.write_bytes("alpha\x0cbeta café\nsecond line\n".encode("utf-8"))
+
+    outs = []
+    for mode in ("spark", "mock_parallel", "bypass"):
+        job = make_job(mode, spark if mode == "spark" else None)
+        outs.append(sorted(job.file_data([str(src)]).collect()))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 2  # the form feed did NOT split the line
