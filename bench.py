@@ -364,16 +364,39 @@ def main() -> None:
         k for k, v in queries.items()
         if v >= 0 and k in budgets and v > budgets[k]
     )
+    # r11 (verdict task #1): BENCH_r10 recorded "parsed": null because the
+    # single JSON line outgrew the driver's tail-capture window once
+    # spreads+fingerprint were added — the front of the dict got sliced
+    # off. Emit the full detail (EXTRA per-query map, spreads,
+    # fingerprint) on a PRECEDING line and mirror it to a side file, and
+    # keep the FINAL stdout line a compact driver-gated object (<~1.5 KB):
+    # metric / value / gated-shape times / over_budget / sf.
+    detail = {
+        "detail": "bench_extra",
+        "queries": {k: round(v, 4) for k, v in queries.items()},
+        "spreads": spreads,
+        "fingerprint": _fingerprint(spark),
+        "sf": sf,
+    }
+    print(json.dumps(detail))
+    try:
+        side = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+        side.write_text(json.dumps(detail, indent=1) + "\n")
+    except OSError:
+        pass  # read-only checkout: the stdout detail line still has it
+    gated_names = ("q1_pricing_summary", "q3_join_agg_topk",
+                   "events_window", "wordcount")
     print(
         json.dumps(
             {
                 "metric": "suite_total",
                 "value": round(baseline_total, 4),
                 "unit": "sec",
-                "queries": {k: round(v, 4) for k, v in queries.items()},
+                "queries": {
+                    k: round(queries[k], 4)
+                    for k in gated_names if k in queries
+                },
                 "over_budget": over_budget,
-                "spreads": spreads,
-                "fingerprint": _fingerprint(spark),
                 "sf": sf,
             }
         )

@@ -1787,11 +1787,18 @@ def qc_sum_w(toks: str = "toks"):
     URL dedup (``corpus_dedup_url_keepbest``) ranks survivors by it, so
     they cannot desynchronize. Operates on an array column ``toks``
     (``split(text, ' ')``); one codegen expression, zero shuffle.
+
+    NULL text scores 0 (the outer ``coalesce``), matching the oracles'
+    ``COALESCE(list_aggregate(...), 0)`` — without it a NULL-text doc
+    yields ``keep = NULL`` here vs ``false`` in DuckDB and a NULL
+    ``kept_sum_w`` in the E110 keep-best ranking (ADVICE r10, the same
+    NULL class ``dedup_against_corpus`` fixed in r10).
     """
     uni_w = _QC_WEIGHT.format(f="w")
     big_w = _QC_WEIGHT.format(f="f")
     return F.expr(
         f"""
+        coalesce(
         aggregate(
           transform({toks}, w -> {uni_w}),
           0L, (acc, x) -> acc + x)
@@ -1801,7 +1808,8 @@ def qc_sum_w(toks: str = "toks"):
                      slice({toks}, 2, greatest(size({toks}) - 1, 0)),
                      (a, b) -> concat(a, ' ', b)),
             f -> {big_w}),
-          0L, (acc, x) -> acc + x)
+          0L, (acc, x) -> acc + x),
+        0L)
         """
     )
 
@@ -1819,7 +1827,7 @@ def qc_sum_w(toks: str = "toks"):
       FROM d),
     agg AS (
       SELECT doc_id,
-             len(feats) AS n_features,
+             COALESCE(len(feats), 0) AS n_features,
              CAST(COALESCE(list_aggregate(list_transform(feats,
                   f -> ((1103515245 *
                          ((('0x' || substr(md5(f),1,15))::BIGINT
@@ -1857,9 +1865,13 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     sum_w = qc_sum_w()
-    n_feat = (
-        F.size("toks") + F.greatest(F.size("toks") - 1, F.lit(0))
-    ).cast("long")
+    # NULL text -> 0 features (size(NULL) is NULL since Spark 3), matching
+    # the oracle's COALESCE(len(feats), 0); score stays NULL via 0/0.
+    n_feat = F.coalesce(
+        (F.size("toks") + F.greatest(F.size("toks") - 1, F.lit(0)))
+        .cast("long"),
+        F.lit(0).cast("long"),
+    )
     return (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .select(
@@ -1870,8 +1882,13 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_features",
+            # try_divide: n_features=0 (NULL text) -> NULL score under
+            # ANSI mode, matching DuckDB's NULL for 0/0.0
             pround0(
-                F.col("sum_w") / (F.col("n_features") * F.lit(32768.0)), 6
+                F.try_divide(
+                    F.col("sum_w"), F.col("n_features") * F.lit(32768.0)
+                ),
+                6,
             ).alias("score"),
             (F.col("sum_w") > 0).alias("keep"),
         )

@@ -54,7 +54,12 @@ def main() -> int:
     ap.add_argument("--iterations", type=int, default=3,
                     help="interleaved rounds per arm (default 3)")
     args = ap.parse_args()
+    for a in args.arms:
+        if "=" not in a:
+            ap.error(f"arm {a!r} is not NAME=VALUE")
     arms = dict(a.split("=", 1) for a in args.arms)
+    if len(arms) != 2:  # dict() silently collapsed duplicate arm names
+        ap.error(f"arm names must be distinct, got {args.arms}")
     results: dict[str, list[dict]] = {name: [] for name in arms}
 
     for i in range(args.iterations):

@@ -1004,3 +1004,67 @@ def test_url_keepbest_survivor_really_is_best(spark, sf_dir):
     n_docs = urls.count()
     assert len(rows) == n_urls
     assert sum(r["n_dups"] for r in rows) == n_docs
+
+
+def test_quality_score_null_text_matches_oracle(spark, tmp_path_factory):
+    """ADVICE r10: NULL text must score sum_w=0 / keep=false (not NULL)
+    in BOTH the E106 classifier and the E110 keep-best ranking, matching
+    the oracles' COALESCE(..., 0). Pre-fix, qc_sum_w yielded NULL for
+    NULL toks -> keep=NULL in Spark vs false in DuckDB, and a NULL
+    kept_sum_w in max_by ordering. The driver fixtures carry no NULL
+    text, so this pins the semantics on a NULL-bearing fixture."""
+    import duckdb
+    from pyspark.sql import types as T
+
+    from mrs_mapreduce_spark.registry import load_all
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+    rows = [
+        (0, "alpha beta gamma", "en", "srcA", 16),
+        (40, None, "en", "srcA", 0),     # NULL text, same canonical URL
+        (1, None, "en", "srcB", 0),      # NULL text, alone on its URL
+        (2, "zeta", "en", "srcB", 4),
+    ]
+    path = str(tmp_path_factory.mktemp("nullqc"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+    reg = load_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{path}/documents.parquet/*.parquet')"
+    )
+
+    q = reg["text_quality_classifier"]
+    got = {r["doc_id"]: r.asDict() for r in q.builder(spark, path).collect()}
+    assert got[1]["n_features"] == 0 and got[1]["keep"] is False
+    assert got[1]["score"] is None
+    want = {
+        r[0]: dict(zip(("doc_id", "n_features", "score", "keep"), r))
+        for r in con.execute(q.oracle).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k]["n_features"] == want[k]["n_features"], k
+        assert got[k]["keep"] == want[k]["keep"], k
+        assert (got[k]["score"] is None) == (want[k]["score"] is None), k
+
+    q = reg["corpus_dedup_url_keepbest"]
+    got = sorted(map(tuple, q.builder(spark, path).collect()))
+    want = sorted(map(tuple, con.execute(q.oracle).fetchall()))
+    assert got == want
+    # doc 0 (real text, positive-or-negative score but non-NULL) and
+    # doc 40 (NULL text -> sum_w 0) share a canonical URL; the survivor
+    # must be chosen by the same rule in both engines and kept_sum_w is
+    # never NULL
+    assert all(r[3] is not None for r in got)
