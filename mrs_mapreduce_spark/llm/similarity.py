@@ -221,25 +221,38 @@ def cosine_topk_numpy(
     (q_id, cand_id, cos_sim, rk) like similarity_topk.
     """
     import numpy as np
-    from pyspark.sql.window import Window as _W
+
+    def _safe_norm(m):
+        # zero-norm guard: a 0/0 division yields NaN, and NaN sorts
+        # GREATEST under F.desc — one all-zeros vector would become the
+        # rank-1 neighbor of every query (r11 similarity review finding
+        # #2). Dividing by 1 instead leaves the zero vector's cos at 0,
+        # ranking it last, which is the right answer for "no direction".
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return np.where(n == 0.0, 1.0, n)
 
     spark = candidates.sparkSession
     q_rows = queries.collect()
     q_ids = [r.q_id for r in q_rows]
     q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat /= _safe_norm(q_mat)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        def safe_norm(m):
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            return np.where(n == 0.0, 1.0, n)
+
         ids, qm = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             cand = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
-            cand /= np.linalg.norm(cand, axis=1, keepdims=True)
+            cand /= safe_norm(cand)
             sims = cand @ qm.T  # (batch, nq)
-            import pandas as pd
-
             out = {
                 "q_id": np.repeat(ids, len(pdf)),
                 "cand_id": np.tile(pdf["vec_id"].to_numpy(), len(ids)),
@@ -250,7 +263,7 @@ def cosine_topk_numpy(
     scored = candidates.mapInPandas(
         score, schema="q_id long, cand_id long, cos_sim double"
     ).filter(F.col("q_id") != F.col("cand_id"))
-    w = _W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "cand_id")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "cand_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
@@ -334,37 +347,46 @@ def _srp_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     return planes
 
 
-_PLANES = _srp_planes()
+#: 12 planes from ONE LCG stream: rows 0..7 are the classic 8-bit SRP
+#: signature every LSH query keys on; rows 8..11 are E111's refinement
+#: bits. _srp_planes(12)[:8] == _srp_planes(8) by construction (the LCG
+#: runs row-by-row), asserted in tests — so there is exactly ONE source
+#: of truth for the signature (r11 review finding #6: the old fixed
+#: 8-plane _spark/_duck_srp_bucket pair duplicated _srp_bits(0, 8) and
+#: had to be kept sign-threshold-identical by hand).
+_PLANES12 = _srp_planes(12)
 
 
-def _duck_srp_bucket() -> str:
-    """DuckDB expression: 8-bit SRP signature of ``embedding`` as an int."""
+def _spark_srp_bits(lo: int, hi: int) -> Column:
+    """SRP signature over planes [lo, hi) as an integer (bit p-lo)."""
+    total = F.lit(0)
+    for p in range(lo, hi):
+        lit = F.array(*[F.lit(v) for v in _PLANES12[p]])
+        d = dot("embedding", lit)
+        total = total + F.when(d >= 0, F.lit(2 ** (p - lo))).otherwise(
+            F.lit(0)
+        )
+    return total
+
+
+def _duck_srp_bits(lo: int, hi: int) -> str:
+    """DuckDB twin of :func:`_spark_srp_bits` — same planes, same order."""
     terms = []
-    for p, plane in enumerate(_PLANES):
-        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+    for p in range(lo, hi):
+        lit = "[" + ", ".join(repr(v) for v in _PLANES12[p]) + "]"
         d = (
             "list_aggregate(list_transform(range(1, 65),"
             f" i -> CAST(embedding[i] AS DOUBLE) * ({lit}[i])), 'sum')"
         )
-        terms.append(f"(CASE WHEN {d} >= 0 THEN {2 ** p} ELSE 0 END)")
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {2 ** (p - lo)} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
-
-
-def _spark_srp_bucket() -> Column:
-    """Spark twin of :func:`_duck_srp_bucket` — same planes, same order."""
-    total = F.lit(0)
-    for p, plane in enumerate(_PLANES):
-        lit = F.array(*[F.lit(v) for v in plane])
-        d = dot("embedding", lit)
-        total = total + F.when(d >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
-    return total
 
 
 @register(
     "similarity_lsh",
     oracle=f"""
     WITH sig AS (SELECT vec_id, embedding,
-                        {_duck_srp_bucket()} AS bucket
+                        {_duck_srp_bits(0, 8)} AS bucket
                  FROM embeddings),
     q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
           FROM sig WHERE vec_id < 10),
@@ -395,7 +417,7 @@ def _spark_srp_bucket() -> Column:
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors within the query's SRP-LSH bucket."""
     e = with_norm(fan_out(table(spark, sf_dir, "embeddings"))).withColumn(
-        "bucket", _spark_srp_bucket()
+        "bucket", _spark_srp_bits(0, 8)
     )
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
@@ -488,10 +510,15 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = d.groupBy("label").agg(
         F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sd")
     )
+    # try_divide: a degenerate label (all members identical -> sd = 0,
+    # numerator exactly 0 since dist is pre-rounded) must yield NULL z
+    # and drop out of the > 2.0 filter, matching DuckDB's NULL for 0/0;
+    # a plain division THROWS under ANSI mode (r11 review finding #3)
+    z = F.try_divide(F.col("dist") - F.col("mu"), F.col("sd"))
     return (
         d.join(F.broadcast(stats), "label")
-        .withColumn("z", pround((F.col("dist") - F.col("mu")) / F.col("sd"), 4))
-        .filter((F.col("dist") - F.col("mu")) / F.col("sd") > 2.0)
+        .withColumn("z", pround(z, 4))
+        .filter(z > 2.0)
         .select("vec_id", "label", "dist", "z")
     )
 
@@ -577,7 +604,76 @@ def _ivf_trained(
         )
         .localCheckpoint(eager=True)  # k-row codebook, lineage cut
     )
-    return assign(trained), trained
+    # materialize the assignment WITH per-vector norms: every consumer
+    # reads assigned 2-4 times (query block, candidate side, exact
+    # witness side) and Spark has no common-subplan dedup, so an
+    # uncheckpointed assigned re-runs the broadcast argmin per consumer;
+    # nrm once per vector restores the with_norm discipline (measured 3x
+    # on dedup_embedding) to the whole trained-IVF family (r11 review
+    # finding #4). sqrt here is bit-identical to the oracles' per-pair
+    # spelling, so declared results are unchanged.
+    assigned = (
+        assign(trained)
+        .withColumn("nrm", norm("a"))
+        .localCheckpoint(eager=True)
+    )
+    return assigned, trained
+
+
+def _nprobe_candidates(
+    assigned: DataFrame,
+    trained: DataFrame,
+    n_queries: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(q_id, qv, q_nrm, cid): each query x its nprobe nearest cells.
+
+    THE one definition of the probe pipeline — similarity_ivf_nprobe
+    runs it and similarity_recall_ivf witnesses its recall; sharing the
+    helper is what guarantees the witness measures the exact pipeline
+    it certifies (r11 review finding #5: the block was copy-pasted
+    between the two, so an edit to one could silently diverge the
+    other). The codebook ranking is a per-query window over a
+    |queries| x k broadcast crossJoin — k rows per query, never
+    corpus-sized.
+    """
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("a").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    qd = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("q_id").orderBy("qdist", "cid")
+    return (
+        q.crossJoin(F.broadcast(trained))
+        .select("q_id", "qv", "q_nrm", "cid", qd.alias("qdist"))
+        .withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= nprobe)
+        .select("q_id", "qv", "q_nrm", "cid")
+    )
+
+
+def _ivf_cell_scored(assigned: DataFrame, qprobe: DataFrame) -> DataFrame:
+    """(q_id, cand_id, cos): probed-cell candidates scored by cosine.
+
+    ``qprobe`` is (q_id, qv, q_nrm, cid) — one row per (query, probed
+    cell). Norms come precomputed from ``_ivf_trained``'s checkpoint
+    (once per vector, not per pair); the equijoin on cid is the only
+    corpus-sized stage.
+    """
+    return (
+        assigned.join(F.broadcast(qprobe), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            (dot("qv", "a") / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
 
 
 @register(
@@ -627,20 +723,15 @@ def _ivf_trained(
 def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-3 search over a k-means-trained (1 Lloyd round) codebook."""
     assigned, _ = _ivf_trained(spark, sf_dir)
+    # nprobe=1: each query probes exactly its OWN trained cell, which
+    # is its assigned cid — the probe relation needs no codebook rank
     q = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
-        F.col("cid").alias("q_cid"),
         F.col("a").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+        "cid",
     )
-    scored = (
-        assigned.join(F.broadcast(q), F.col("cid") == F.col("q_cid"))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("cand_id"),
-            cosine("qv", "a").alias("cos"),
-        )
-    )
+    scored = _ivf_cell_scored(assigned, q)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -708,30 +799,8 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 per query probing the 2 nearest trained IVF cells."""
     assigned, trained = _ivf_trained(spark, sf_dir)
-    q = assigned.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("a").alias("qv")
-    )
-    qd = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wp = Window.partitionBy("q_id").orderBy("qdist", "cid")
-    qprobe = (
-        q.crossJoin(F.broadcast(trained))
-        .select("q_id", "qv", "cid", qd.alias("qdist"))
-        .withColumn("prk", F.row_number().over(wp))
-        .filter(F.col("prk") <= 2)
-        .select("q_id", "qv", "cid")
-    )
-    scored = (
-        assigned.join(F.broadcast(qprobe), "cid")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("cand_id"),
-            cosine("qv", "a").alias("cos"),
-        )
+    scored = _ivf_cell_scored(
+        assigned, _nprobe_candidates(assigned, trained)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
     return (
@@ -810,36 +879,24 @@ def similarity_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@5 of trained-IVF nprobe=2 vs the exact top-5."""
+    """Per-query recall@5 of trained-IVF nprobe=2 vs the exact top-5.
+
+    The approx side is the SHARED _nprobe_candidates/_ivf_cell_scored
+    pipeline — the witness certifies the exact code path
+    similarity_ivf_nprobe runs, by construction.
+    """
     assigned, trained = _ivf_trained(spark, sf_dir)
-    q = assigned.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("a").alias("qv")
-    )
-    qd = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wp = Window.partitionBy("q_id").orderBy("qdist", "cid")
-    qprobe = (
-        q.crossJoin(F.broadcast(trained))
-        .select("q_id", "qv", "cid", qd.alias("qdist"))
-        .withColumn("prk", F.row_number().over(wp))
-        .filter(F.col("prk") <= 2)
-        .select("q_id", "qv", "cid")
-    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "cand_id")
     approx = (
-        assigned.join(F.broadcast(qprobe), "cid")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("cand_id"),
-            cosine("qv", "a").alias("cos"),
-        )
+        _ivf_cell_scored(assigned, _nprobe_candidates(assigned, trained))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("q_id", F.col("cand_id").alias("a_cand"))
+    )
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("a").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
     )
     exact = (
         assigned.crossJoin(F.broadcast(q))
@@ -847,7 +904,7 @@ def similarity_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("cand_id"),
-            cosine("qv", "a").alias("cos"),
+            (dot("qv", "a") / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
@@ -877,7 +934,7 @@ def similarity_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_lsh_multiprobe",
     oracle=f"""
     WITH sig AS (SELECT vec_id, embedding,
-                        {_duck_srp_bucket()} AS bucket
+                        {_duck_srp_bits(0, 8)} AS bucket
                  FROM embeddings),
     q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
           FROM sig WHERE vec_id < 10),
@@ -916,7 +973,7 @@ def similarity_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 neighbors probing the query's bucket + 8 one-bit flips."""
     e = with_norm(fan_out(table(spark, sf_dir, "embeddings"))).withColumn(
-        "bucket", _spark_srp_bucket()
+        "bucket", _spark_srp_bits(0, 8)
     )
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
@@ -954,7 +1011,7 @@ def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_recall_witness",
     oracle=f"""
     WITH sig AS (SELECT vec_id, embedding,
-                        {_duck_srp_bucket()} AS bucket
+                        {_duck_srp_bits(0, 8)} AS bucket
                  FROM embeddings),
     q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
           FROM sig WHERE vec_id < 10),
@@ -1015,7 +1072,7 @@ def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_recall_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@5 of multi-probe SRP-LSH vs the exact top-5."""
     e = with_norm(fan_out(table(spark, sf_dir, "embeddings"))).withColumn(
-        "bucket", _spark_srp_bucket()
+        "bucket", _spark_srp_bits(0, 8)
     )
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
@@ -1147,6 +1204,35 @@ def _pq_codes(sub: DataFrame, cb: DataFrame) -> DataFrame:
         )
     )
 
+
+def _pq_lut(
+    sub: DataFrame, cb: DataFrame, n_queries: int | None = None
+) -> DataFrame:
+    """(l_q, l_m, l_k, lmicro): per-query ADC lookup table.
+
+    THE one definition of the query-side distance table — shared by
+    similarity_pq_adc (flat ADC scan) and similarity_ivf_adc (cell-probe
+    + ADC re-rank), which previously carried verbatim copies of this
+    block (r11 review finding #5). |queries| x M x K rows, always
+    broadcast-sized; lmicro is the micro-unit int64 the scoring join
+    sums so the aggregation is order-independent and oracle-exact.
+    """
+    nq = _PQ_NQ if n_queries is None else n_queries
+    lsq = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        sub.filter(F.col("vec_id") < nq)
+        .join(F.broadcast(cb), F.col("m") == F.col("cb_m"))
+        .select(
+            F.col("vec_id").alias("l_q"),
+            F.col("m").alias("l_m"),
+            F.col("k").alias("l_k"),
+            F.floor(lsq * 1_000_000 + 0.5).cast("long").alias("lmicro"),
+        )
+    )
 
 
 @register(
@@ -1286,28 +1372,16 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = _pq_subvectors(spark, sf_dir)
     cb = _pq_codebook(sub)
     assigned = _pq_codes(sub, cb).select("vec_id", "m", "k")
-    lsq = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    lut = (
-        sub.filter(F.col("vec_id") < _PQ_NQ)
-        .join(F.broadcast(cb), F.col("m") == F.col("cb_m"))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("m").alias("l_m"),
-            F.col("k").alias("l_k"),
-            F.floor(lsq * 1_000_000 + 0.5).cast("long").alias("lmicro"),
-        )
-    )
+    lut = _pq_lut(sub, cb)
     scored = (
         assigned.join(
             F.broadcast(lut),
             (F.col("m") == F.col("l_m")) & (F.col("k") == F.col("l_k")),
         )
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", F.col("vec_id").alias("cand_id"))
+        .filter(F.col("vec_id") != F.col("l_q"))
+        .groupBy(
+            F.col("l_q").alias("q_id"), F.col("vec_id").alias("cand_id")
+        )
         .agg(F.sum("lmicro").alias("admicro"))
     )
     w = Window.partitionBy("q_id").orderBy("admicro", "cand_id")
@@ -1408,21 +1482,7 @@ def similarity_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = _pq_subvectors(spark, sf_dir)
     cb = _pq_codebook(sub)
     codes = _pq_codes(sub, cb).select("vec_id", "m", "k")
-    lsq = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    lut = (
-        sub.filter(F.col("vec_id") < _PQ_NQ)
-        .join(F.broadcast(cb), F.col("m") == F.col("cb_m"))
-        .select(
-            F.col("vec_id").alias("l_q"),
-            F.col("m").alias("l_m"),
-            F.col("k").alias("l_k"),
-            F.floor(lsq * 1_000_000 + 0.5).cast("long").alias("lmicro"),
-        )
-    )
+    lut = _pq_lut(sub, cb)
     q = assigned.filter(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("q_id"), F.col("cid").alias("q_cid")
     )
@@ -1558,7 +1618,11 @@ def _assign_cells_numpy(pts: DataFrame, k: int, kc: int) -> DataFrame:
     ).sort_values("vec_id")
     C = np.stack(cents["a"].to_numpy())  # k x d, ascending-cid rows
     cids = cents["vec_id"].to_numpy()
-    coarse = C[:kc]  # coarse cid == row index, by construction
+    # coarse codebook = centroids whose ACTUAL cid < kc, matching the
+    # codegen twin's filter(vec_id < kc) and the oracle's cc CTE — NOT
+    # the first kc rows, which silently diverge when vec_ids below k
+    # are non-contiguous (r11 similarity review finding #1)
+    coarse = C[cids < kc]
     coarse_n = (coarse * coarse).sum(axis=1)
     ccid_of_fine = np.argmin(
         coarse_n[None, :] - 2.0 * (C @ coarse.T), axis=1
@@ -1807,8 +1871,11 @@ def semdedup_cells(
         )
     # both sides of any pair self-join read the assignment; without
     # this each side recomputes the n*sqrt(k) argmin work (the
-    # materialized partition map is what a production IVF stores)
-    return assigned.localCheckpoint(eager=True)
+    # materialized partition map is what a production IVF stores).
+    # nrm rides along so pair stages divide by precomputed norms (once
+    # per vector, not per pair — the with_norm discipline, r11 review
+    # finding #4); sqrt is bit-identical to the oracles' per-pair form.
+    return assigned.withColumn("nrm", norm("a")).localCheckpoint(eager=True)
 
 
 @register(
@@ -1955,25 +2022,30 @@ def _semdedup_victims(assigned: DataFrame) -> DataFrame:
     tests/test_semdedup_collapse.py.
     """
     wg = Window.partitionBy("cid", "a")
+    if "nrm" not in assigned.columns:  # test fixtures pass bare (id, cid, a)
+        assigned = assigned.withColumn("nrm", norm("a"))
     m = assigned.select(
-        "vec_id", "cid", "a", F.min("vec_id").over(wg).alias("gid")
+        "vec_id", "cid", "a", "nrm", F.min("vec_id").over(wg).alias("gid")
     ).localCheckpoint(eager=True)  # probed 3x below (members x2, reps)
     members = m.select("vec_id", "cid", "gid")
     reps = m.filter(F.col("vec_id") == F.col("gid"))
     xr = reps.select(
         F.col("cid").alias("xcid"), F.col("gid").alias("ga"),
-        F.col("a").alias("aa"),
+        F.col("a").alias("aa"), F.col("nrm").alias("na"),
     )
     yr = reps.select(
         F.col("cid").alias("ycid"), F.col("gid").alias("gb"),
-        F.col("a").alias("ab"),
+        F.col("a").alias("ab"), F.col("nrm").alias("nb"),
     )
     # ordered group pairs (A -> victim group B), ga == gb included: the
-    # self pair carries the same-group cos (cosine(a, a), the same
-    # expression a copy pair evaluates) for victims with earlier copies
+    # self pair carries the same-group cos (dot(a, a)/nrm², the same
+    # expression a copy pair evaluates) for victims with earlier copies.
+    # Norms come precomputed from the checkpoint (once per group rep,
+    # not per pair — r11 review finding #4), bit-identical to the
+    # oracle's per-pair sqrt.
     qp = (
         xr.join(yr, F.col("xcid") == F.col("ycid"))
-        .withColumn("cos", cosine("aa", "ab"))
+        .withColumn("cos", dot("aa", "ab") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= 0.4)
         .select(F.col("xcid").alias("qcid"), "ga", "gb", "cos")
     )
@@ -2049,18 +2121,21 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = semdedup_cells(spark, sf_dir)
     x = assigned.select(
         F.col("vec_id").alias("vec_a"), F.col("cid").alias("ca"),
-        F.col("a").alias("aa"),
+        F.col("a").alias("aa"), F.col("nrm").alias("na"),
     )
     y = assigned.select(
         F.col("vec_id").alias("vec_b"), F.col("cid").alias("cb"),
-        F.col("a").alias("ab"),
+        F.col("a").alias("ab"), F.col("nrm").alias("nb"),
     )
     return (
         x.join(
             y,
             (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")),
         )
-        .withColumn("cos", cosine("aa", "ab"))
+        # precomputed norms from the cells checkpoint — once per vector,
+        # not per pair (r11 review finding #4); sqrt is bit-identical
+        # to the oracle's per-pair spelling
+        .withColumn("cos", dot("aa", "ab") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= 0.2)
         .select("vec_a", "vec_b", pround("cos", 4).alias("cos_sim"))
     )
@@ -2227,39 +2302,13 @@ def embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: E111 adaptive-refinement constants: buckets larger than _KNN_CAP are
-#: split by 4 EXTRA SRP bits (planes 8..11 of the same LCG stream —
-#: _srp_planes(12) reproduces _PLANES as its first 8 rows, so the base
-#: signature is unchanged). Refined key = b8*16 + x4; an unrefined
-#: bucket keys at b8*16, and since refinement is decided per-b8 the two
-#: forms never coexist within one b8 — no collisions across b8 by
-#: construction.
+#: E111 adaptive-refinement constant: buckets larger than _KNN_CAP are
+#: split by 4 EXTRA SRP bits (_srp_bits(8, 12) — planes 8..11 of the
+#: same LCG stream, so the base signature is unchanged). Refined key =
+#: b8*16 + x4; an unrefined bucket keys at b8*16, and since refinement
+#: is decided per-b8 the two forms never coexist within one b8 — no
+#: collisions across b8 by construction.
 _KNN_CAP = 128
-_PLANES12 = _srp_planes(12)
-
-
-def _spark_srp_bits(lo: int, hi: int) -> Column:
-    """SRP signature over planes [lo, hi) as an integer (bit p-lo)."""
-    total = F.lit(0)
-    for p in range(lo, hi):
-        lit = F.array(*[F.lit(v) for v in _PLANES12[p]])
-        d = dot("embedding", lit)
-        total = total + F.when(d >= 0, F.lit(2 ** (p - lo))).otherwise(
-            F.lit(0)
-        )
-    return total
-
-
-def _duck_srp_bits(lo: int, hi: int) -> str:
-    terms = []
-    for p in range(lo, hi):
-        lit = "[" + ", ".join(repr(v) for v in _PLANES12[p]) + "]"
-        d = (
-            "list_aggregate(list_transform(range(1, 65),"
-            f" i -> CAST(embedding[i] AS DOUBLE) * ({lit}[i])), 'sum')"
-        )
-        terms.append(f"(CASE WHEN {d} >= 0 THEN {2 ** (p - lo)} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
 
 
 @register(
