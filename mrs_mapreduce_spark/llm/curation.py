@@ -403,8 +403,6 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 100 docs of the salt-keyed deterministic shuffle order."""
-    from pyspark.sql.window import Window
-
     docs = table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
     # house top-k discipline (SCALE.md rule 7): global top-100 via

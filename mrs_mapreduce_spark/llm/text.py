@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import fan_out, table
+from ..catalog import cached_count, fan_out, table
 from ..exprs import pround, pround0
 from ..registry import register
 
@@ -84,7 +84,7 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf terms per document (smoothed idf), deterministic ties."""
     docs = table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = cached_count(docs)  # memoized per (sf_dir, mtime), not per build
     tok = tokens(docs)
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     # df falls out of tf (one tf row per (doc, word) => rows-per-word =
@@ -346,8 +346,6 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed fingerprint summary per doc (window w=4 over 3-shingles)."""
-    from pyspark.sql import Window as _W
-
     docs = table(spark, sf_dir, "documents")
     pre = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
         F.size("ws") >= 3
@@ -361,11 +359,11 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(sh_expr).alias("pos0", "h")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
     w_win = (
-        _W.partitionBy("doc_id")
+        Window.partitionBy("doc_id")
         .orderBy("pos")
-        .rowsBetween(_W.currentRow, 3)
+        .rowsBetween(Window.currentRow, 3)
     )
-    w_cnt = _W.partitionBy("doc_id")
+    w_cnt = Window.partitionBy("doc_id")
     wins = positioned.select(
         "doc_id",
         "pos",
@@ -457,7 +455,7 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS no_nums,
            length(regexp_replace(text, '[^a-z ]', '', 'g')) AS n_alpha_chars,
-           trim(regexp_replace(concat(' ', text, '  '), ' +', ' ', 'g'))
+           trim(regexp_replace(' ' || text || '  ', ' +', ' ', 'g'))
                AS normalized
     FROM documents WHERE doc_id < 100
     """,
@@ -478,6 +476,10 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", "[^a-z ]", "")).alias(
             "n_alpha_chars"
         ),
+        # NULL text -> NULL normalized in BOTH engines: the oracle uses
+        # '||' (NULL-propagating like F.concat); DuckDB's concat() would
+        # instead SKIP NULL args and yield '' (r11 text review finding
+        # #1 — the one site that paired Spark concat with DuckDB concat)
         F.trim(
             F.regexp_replace(
                 F.concat(F.lit(" "), "text", F.lit("  ")), " +", " "
@@ -613,7 +615,15 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("sh", " ").getItem(0).alias("w1"),
         F.split("sh", " ").getItem(1).alias("w2"),
     )
-    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # vocab-bounded, consumed twice (uni normalizer + filtered probe):
+    # without the checkpoint Spark re-runs the corpus-sized bigram
+    # aggregation per consumer — 2 FileScans, 0 ReusedExchange (r11 text
+    # review finding #3; text_pmi's identical relation already did this)
+    pairs = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     uni = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return (
         # no hard hint: the w1 marginals are vocab-sized — AQE broadcasts
@@ -979,7 +989,18 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_round_sql(prev: str, r: int) -> str:
     """One BPE merge round as DuckDB CTEs: pick the argmax pair from
     ``prev`` (word, wcount, idx, token), then greedy-merge it via the
-    run-parity window mechanic (see text_bpe_train)."""
+    run-parity window mechanic (see text_bpe_train).
+
+    When a round has NO pairs left (every word fully merged), b{r}
+    emits a sentinel (' ', ' ', 0) instead of going empty: tokens come
+    from split(text, ' ') so no token ever contains a space, making the
+    merge a no-op — matching _bpe_learn's ``break``. Without it the
+    CROSS JOIN in c{r} collapsed the whole token relation to empty and
+    text_bpe_encode's oracle returned 0 rows while Spark returned the
+    full vocab encoding (r11 text review finding #2; latent — the
+    fixtures always yield 3 real merges). text_bpe_train filters the
+    sentinel via cnt > 0.
+    """
     return f"""
     pc{r} AS (SELECT token AS l, nxt AS r, CAST(sum(wcount) AS BIGINT) AS cnt
               FROM (SELECT token, wcount,
@@ -987,7 +1008,10 @@ def _bpe_round_sql(prev: str, r: int) -> str:
                                              ORDER BY idx) AS nxt
                     FROM {prev})
               WHERE nxt IS NOT NULL GROUP BY token, nxt),
-    b{r} AS (SELECT l, r, cnt FROM pc{r} ORDER BY cnt DESC, l, r LIMIT 1),
+    b{r} AS ((SELECT l, r, cnt FROM pc{r} ORDER BY cnt DESC, l, r LIMIT 1)
+             UNION ALL
+             (SELECT ' ', ' ', CAST(0 AS BIGINT)
+              WHERE NOT EXISTS (SELECT 1 FROM pc{r}))),
     c{r} AS (SELECT t.word, t.wcount, t.idx, t.token,
                     lead(t.token) OVER (PARTITION BY t.word
                                         ORDER BY t.idx) AS nxt,
@@ -1030,10 +1054,11 @@ def _bpe_round_sql(prev: str, r: int) -> str:
     {_bpe_round_sql('t1', 2)},
     {_bpe_round_sql('t2', 3)}
     SELECT 1 AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM b1
+    WHERE cnt > 0
     UNION ALL
-    SELECT 2, l, r, cnt FROM b2
+    SELECT 2, l, r, cnt FROM b2 WHERE cnt > 0
     UNION ALL
-    SELECT 3, l, r, cnt FROM b3
+    SELECT 3, l, r, cnt FROM b3 WHERE cnt > 0
     """,
     survey="D4/A12 extension (BPE tokenizer TRAINING: iterative merge "
     "rounds over the word histogram — the full loop text_bpe_pairs' "

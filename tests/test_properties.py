@@ -1068,3 +1068,71 @@ def test_quality_score_null_text_matches_oracle(spark, tmp_path_factory):
     # must be chosen by the same rule in both engines and kept_sum_w is
     # never NULL
     assert all(r[3] is not None for r in got)
+
+
+def test_bpe_oracle_survives_early_pair_exhaustion(spark, tmp_path_factory):
+    """r11 text review: when fewer than 3 merges exist (pairs run dry),
+    _bpe_learn breaks — and the oracle's per-round CROSS JOIN used to
+    collapse the whole token relation to empty, returning 0 rows while
+    Spark returned the full vocab encoding. The sentinel no-op merge
+    row (' ', ' ', 0) pins builder == oracle on a pair-exhausted
+    corpus for BOTH text_bpe_encode and text_bpe_train."""
+    import duckdb
+
+    from mrs_mapreduce_spark.registry import load_all
+
+    # every doc is 'ab ab ab': round 1 merges (a,b); round 2 has no
+    # pairs left
+    rows = [(i, "ab ab ab", "en", "src", 8) for i in range(3)]
+    path = str(tmp_path_factory.mktemp("bpeexh"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    reg = load_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{path}/documents.parquet/*.parquet')"
+    )
+
+    q = reg["text_bpe_encode"]
+    got = sorted(map(tuple, q.builder(spark, path).collect()))
+    want = sorted(map(tuple, con.execute(q.oracle).fetchall()))
+    assert got == want
+    assert got == [("ab", 9, 2, 1, 0.5)]  # one word, fully merged
+
+    q = reg["text_bpe_train"]
+    got = sorted(map(tuple, q.builder(spark, path).collect()))
+    want = sorted(map(tuple, con.execute(q.oracle).fetchall()))
+    assert got == want
+    assert got == [(1, "a", "b", 9)]  # exactly ONE merge, no sentinel
+
+
+def test_text_scrub_null_text_matches_oracle(spark, tmp_path_factory):
+    """r11 text review: text_scrub was the ONE query pairing Spark
+    F.concat (NULL-propagating) with DuckDB concat() (NULL-skipping):
+    a NULL-text doc yielded normalized='' in the oracle vs NULL in
+    Spark. The oracle now uses '||' so both engines propagate NULL."""
+    import duckdb
+
+    from mrs_mapreduce_spark.registry import load_all
+
+    rows = [(0, "a  1x b", "en", "s", 7), (1, None, "en", "s", 0)]
+    path = str(tmp_path_factory.mktemp("nullscrub"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    q = load_all()["text_scrub"]
+    got = sorted(map(tuple, q.builder(spark, path).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(q.oracle).fetchall()))
+    assert got == want
+    assert got[1] == (1, None, None, None)  # NULL propagates in BOTH
