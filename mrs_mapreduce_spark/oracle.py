@@ -198,6 +198,15 @@ def _rows_close(a: list[tuple], b: list[tuple], tol: float) -> bool:
     b=[1.5, 0.5] at tol=0.5 — greedy pairs 1.0->1.5 then strands 2.0;
     sorting both sides numerically makes in-order pairing the optimal
     matching for interval tolerance on scalars).
+
+    Sorted in-order pairing is provably optimal only for a SINGLE
+    numeric column; with >= 2 numeric cells it can reject sets that
+    have a valid within-tolerance matching (ADVICE r10:
+    a=[(0,10),(1,0)] vs b=[(1,10),(0,0)] at tol=1 sorts a by (0,10)
+    first but b by (0,0) first). When in-order pairing fails on a
+    multi-numeric group, a small backtracking matcher retries the
+    exact pairing — false negatives only shrink; a false green is
+    still impossible (every accepted pair passes _cells_close).
     """
     if len(a) != len(b):
         return False
@@ -226,15 +235,36 @@ def _rows_close(a: list[tuple], b: list[tuple], tol: float) -> bool:
         pool_b.setdefault(key_of(r), []).append(r)
     if set(pool_a) != set(pool_b):
         return False
+    def backtrack(rows_a: list[tuple], rows_b: list[tuple]) -> bool:
+        if not rows_a:
+            return True
+        ra = rows_a[0]
+        for i, rb in enumerate(rows_b):
+            if _cells_close(ra, rb, tol) and backtrack(
+                rows_a[1:], rows_b[:i] + rows_b[i + 1 :]
+            ):
+                return True
+        return False
+
     for k, rows_a in pool_a.items():
         rows_b = pool_b[k]
         if len(rows_a) != len(rows_b):
             return False
-        for ra, rb in zip(
-            sorted(rows_a, key=num_key), sorted(rows_b, key=num_key)
-        ):
-            if not _cells_close(ra, rb, tol):
-                return False
+        sa = sorted(rows_a, key=num_key)
+        sb = sorted(rows_b, key=num_key)
+        if all(_cells_close(ra, rb, tol) for ra, rb in zip(sa, sb)):
+            continue
+        # in-order pairing failed: optimal only for one numeric column.
+        # Retry with exact (backtracking) matching on small groups; the
+        # 16-row cap bounds the factorial worst case — beyond it keep
+        # the sorted verdict (false-negative-only, never a false green)
+        n_num = sum(
+            1
+            for x in sa[0]
+            if isinstance(x, (int, float)) and not isinstance(x, bool)
+        )
+        if n_num < 2 or len(sa) > 16 or not backtrack(sa, sb):
+            return False
     return True
 
 

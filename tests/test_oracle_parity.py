@@ -143,3 +143,24 @@ def test_compare_bans_negative_zero(spark, sf_dir):
     from mrs_mapreduce_spark.oracle import _canon_value
 
     assert _canon_value(-0.0) != _canon_value(0.0)
+
+
+def test_rows_close_multi_numeric_backtracking():
+    """ADVICE r10: sorted in-order pairing is optimal only for one
+    numeric column; with >= 2 numeric cells a valid within-tolerance
+    matching could be rejected. The backtracking fallback accepts it;
+    genuine mismatches stay red (false-green impossible: every accepted
+    pair passes _cells_close)."""
+    from mrs_mapreduce_spark.oracle import _rows_close
+
+    # sorts differently per side, yet a valid matching exists
+    assert _rows_close([(0.0, 10.0), (1.0, 0.0)],
+                       [(1.0, 10.0), (0.0, 0.0)], 1.0)
+    # the single-column r10 case still holds via sorted pairing
+    assert _rows_close([(1.0,), (2.0,)], [(1.5,), (0.5,)], 0.5)
+    # genuine mismatches stay red
+    assert not _rows_close([(0.0, 10.0)], [(5.0, 10.0)], 1.0)
+    assert not _rows_close([(0.0, 10.0), (1.0, 0.0)],
+                           [(9.0, 10.0), (0.0, 0.0)], 1.0)
+    # non-numeric keys still partition the pools
+    assert not _rows_close([("a", 1.0)], [("b", 1.0)], 1.0)
