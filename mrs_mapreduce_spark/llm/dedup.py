@@ -704,6 +704,36 @@ def _pairs_cte() -> str:
     return sql.strip().removeprefix("WITH ")
 
 
+def _reach_ctes() -> str:
+    """WITH RECURSIVE prefix ending in ``comp (doc_id, lbl)``.
+
+    pair_rows -> symmetric edges -> recursive min-label reach -> comp:
+    every edge-connected doc with its component label (min doc_id of
+    the component). ONE definition of the component fixpoint, shared by
+    the dedup_components / dedup_components_star / dedup_soft_weights
+    oracles so they can never replay different graphs.
+    """
+    pair_rows = _pairs_cte().replace(
+        "SELECT doc_a, doc_b,", ", pair_rows AS (SELECT doc_a, doc_b,"
+    ).replace(
+        "WHERE inter_n * 1.0 / union_n >= 0.5",
+        "WHERE inter_n * 1.0 / union_n >= 0.5)",
+    )
+    return f"""WITH RECURSIVE {pair_rows},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pair_rows
+        UNION ALL
+        SELECT doc_b, doc_a FROM pair_rows
+    ),
+    reach(doc_id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+        WHERE r.lbl < e.dst
+    ),
+    comp AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id)"""
+
+
 def propagate_min_labels(
     sym: DataFrame,
     max_rounds: int = 50,
@@ -842,30 +872,92 @@ REGISTRY["dedup_components"] = REGISTRY["dedup_components"].__class__(
     name="dedup_components",
     builder=REGISTRY["dedup_components"].builder,
     oracle=f"""
-    WITH RECURSIVE {_pairs_cte().replace("SELECT doc_a, doc_b,",
-        ", pair_rows AS (SELECT doc_a, doc_b,").replace(
-        "WHERE inter_n * 1.0 / union_n >= 0.5",
-        "WHERE inter_n * 1.0 / union_n >= 0.5)")},
-    edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pair_rows
-        UNION ALL
-        SELECT doc_b, doc_a FROM pair_rows
-    ),
-    reach(doc_id, lbl) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
-        WHERE r.lbl < e.dst
-    )
+    {_reach_ctes()}
     SELECT lbl AS component,
            count(*) AS n_docs,
            string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
                AS members
-    FROM (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id)
+    FROM comp
     GROUP BY lbl
     """,
     survey=REGISTRY["dedup_components"].survey,
     scale=REGISTRY["dedup_components"].scale,
+)
+
+
+@register(
+    "dedup_soft_weights",
+    oracle=None,  # set below: needs the pairs CTE assembled at import time
+    survey="D2 extension (soft dedup: RefinedWeb/FineWeb-style duplicate "
+    "down-weighting — every copy kept at sampling weight 1/cluster-size "
+    "instead of hard-dropped)",
+    scale="""
+    The sampling-weight alternative to hard dedup: training pipelines
+    that drop duplicates lose the (often higher-quality) repeated
+    content's natural prevalence signal entirely, so RefinedWeb-style
+    curation keeps every member of a near-dup cluster and DOWN-WEIGHTS
+    it to 1/|cluster| — the corpus' expected token mass under sampling
+    equals the deduped corpus', without choosing a canonical copy. One
+    extra aggregate over the SAME component labeling dedup_components
+    materializes (collapsed star edges, O(log d) label rounds): sizes
+    are a map-side-combined groupBy on the component key, joined back
+    as a plain equi-join on that key (NOT a window — a count window
+    would serialize each head cluster into one task, and the head
+    cluster is exactly where dedup matters; the shuffle join gets AQE
+    skew splitting for free). Non-clustered docs keep weight 1.0 via
+    the left join's coalesce. At 100 TB the weight column persists next
+    to the corpus and the sampler consumes it directly.
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sampling weight 1/|near-dup cluster| (soft dedup).
+
+    Capability parity: the RefinedWeb/FineWeb duplicate-down-weighting
+    pass. Shares the collapsed edge list and min-label propagation with
+    dedup_components, so the weights are 1/n_docs of exactly the
+    clusters that query reports; singletons (including shingle-less
+    docs, which are isolated in the true graph) weigh 1.0.
+    """
+    pairs = _collapsed_pair_edges(spark, sf_dir)
+    sym = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    labels = propagate_min_labels(sym)
+    sym.unpersist()
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    comp = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("lbl", "doc_id").alias("component")
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        pround(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )
+
+
+REGISTRY["dedup_soft_weights"] = REGISTRY["dedup_soft_weights"].__class__(
+    name="dedup_soft_weights",
+    builder=REGISTRY["dedup_soft_weights"].builder,
+    oracle=f"""
+    {_reach_ctes()},
+    weighted AS (
+        SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c USING (doc_id)),
+    sizes AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM weighted GROUP BY component)
+    SELECT w.doc_id, w.component, s.cluster_size,
+           round(1.0 / s.cluster_size, 6) AS weight
+    FROM weighted w JOIN sizes s USING (component)
+    """,
+    survey=REGISTRY["dedup_soft_weights"].survey,
+    scale=REGISTRY["dedup_soft_weights"].scale,
 )
 
 

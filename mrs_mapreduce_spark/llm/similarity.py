@@ -2141,6 +2141,77 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIVERSITY_QUOTA = 4  # kept members per semantic cell
+
+
+@register(
+    "corpus_diversity_sample",
+    oracle=f"""
+    WITH {_SEMDEDUP_ASG_CTES},
+    cent AS (SELECT a.cid, g.i AS dim, avg(p.a[g.i]) AS c
+             FROM asg a JOIN pts p USING (vec_id)
+             CROSS JOIN generate_series(1, 64) AS g(i)
+             GROUP BY a.cid, g.i),
+    cvx AS (SELECT cid, list(c ORDER BY dim) AS cv FROM cent GROUP BY cid),
+    d AS (SELECT a.vec_id, a.cid,
+                 round(sqrt(list_aggregate(list_transform(range(1, 65),
+                     i -> (p.a[i] - c.cv[i]) * (p.a[i] - c.cv[i])),
+                     'sum')), 4) AS dist
+          FROM asg a JOIN pts p USING (vec_id) JOIN cvx c USING (cid))
+    SELECT vec_id, cid, dist, rk FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY dist, vec_id) AS rk
+        FROM d)
+    WHERE rk <= {_DIVERSITY_QUOTA}
+    """,
+    survey="D3/D4 extension (embedding-cluster diversity sampling: "
+    "per-semantic-cell coverage quota — the SemDeDup-companion "
+    "curation pass)",
+    scale="""
+    Cluster-coverage sampling over the SAME corpus-scaled semantic
+    cells dedup_semdedup prunes: keep the QUOTA most-central members
+    of every cell (rank by distance to the cell's mean vector, vec_id
+    tiebreak on the ROUNDED distance so both engines rank identically),
+    guaranteeing every semantic region keeps representation while the
+    sample size is bounded by quota x k — the coverage dual of
+    semdedup's redundancy cut, and together they implement the
+    prune-then-cover curation recipe (SemDeDup + cluster-balanced
+    sampling). Plan shape: per-cell centroids are a k x 64 aggregate
+    (posexplode + map-side partials), joined back on the cell id (an
+    equi-join co-partitioned with the assignment, never a broadcast
+    dependence — k grows with the corpus); the rank window partitions
+    by cid, and cells are ~32 members BY CONSTRUCTION at any corpus
+    size, so the per-partition sort is O(32 log 32) forever. All
+    corpus-sized stages reuse semdedup_cells' checkpointed assignment.
+    """,
+)
+def corpus_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-QUOTA most-central vectors per semantic cell (coverage sample)."""
+    assigned = semdedup_cells(spark, sf_dir)
+    per_dim = (
+        assigned.select("cid", F.posexplode("a").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.avg("val").alias("c"))
+    )
+    cv = per_dim.groupBy("cid").agg(
+        F.sort_array(F.collect_list(F.struct("dim", "c")))
+        .getField("c")
+        .alias("cv")
+    )
+    diffs = F.zip_with("a", "cv", lambda x, c: (x - c) * (x - c))
+    dist = F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+    d = assigned.join(cv, "cid").select(
+        "vec_id", "cid", pround(dist, 4).alias("dist")
+    )
+    w = Window.partitionBy("cid").orderBy("dist", "vec_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _DIVERSITY_QUOTA)
+        .select("vec_id", "cid", "dist", "rk")
+    )
+
+
 @register(
     "similarity_range",
     oracle=f"""

