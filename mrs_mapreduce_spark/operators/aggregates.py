@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..exprs import pround
+from ..exprs import pround, pround0
 from ..registry import register
 
 
@@ -729,7 +729,7 @@ _DP_RELEASE = "dp-release-1"  # release id — the PRF key
     SELECT event_type,
            CAST(n AS BIGINT) AS true_n,
            round(n + noise, 4) AS released_n,
-           round(noise, 4) AS noise
+           round(noise, 4) + 0.0 AS noise
     FROM z
     """,
     survey="B9 extension (differential-privacy count release: Laplace "
@@ -782,7 +782,11 @@ def agg_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").cast("long").alias("true_n"),
         pround(F.col("n") + noise, 4).alias("released_n"),
-        pround(noise, 4).alias("noise"),
+        # pround0, not pround: Laplace noise is sign-symmetric with max
+        # density at 0, so a draw just below u=0.5 rounds to -0.0 under
+        # a sign-preserving round -- the informative-float class the
+        # registry's negative-zero gate bans (r11 aggregates review #2)
+        pround0(noise, 4).alias("noise"),
     )
 
 
@@ -1027,8 +1031,12 @@ def _boot_x(r) -> str:
     query paid 32 md5 evaluations per row and the sf10 synthetic tier
     billed it at 47 s; this form is all int64 muls. ``r`` may be a
     Python int (Spark side: constant-folds per replicate column) or a
-    SQL column name (oracle side). a_r odd and < P; products stay under
-    2^62, exact in both engines.
+    SQL column name (oracle side). a_r = ((2r+1)*2654435761) mod P is
+    nonzero and distinct per replicate — note it is NOT odd after the
+    mod (r=1 gives 1520856342); oddness is irrelevant modulo the
+    Mersenne prime P, but WOULD be required if this family were ever
+    ported to a mod-2^k domain (r11 review: the comment previously
+    claimed oddness). Products stay under 2^62, exact in both engines.
     """
     a = f"(((2 * {r} + 1) * 2654435761) % {_BOOT_P})"
     b = f"(({r} * 40503 + 12345) % {_BOOT_P})"

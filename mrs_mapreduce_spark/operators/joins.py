@@ -328,10 +328,10 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="B8 (as-of join)",
     scale="""
     As-of join via the union+window pattern: ONE shuffle on user_id, one
-    within-partition sort, then last(ignorenulls) carries the most recent
-    signup timestamp forward — O(n log n) per partition vs the naive
-    per-row backward scan. This is the scalable as-of plan; a correlated
-    subquery (the oracle) would be quadratic.
+    within-partition sort, then a running max over a RANGE frame carries
+    the most recent signup timestamp forward — O(n log n) per partition
+    vs the naive per-row backward scan. This is the scalable as-of plan;
+    a correlated subquery (the oracle) would be quadratic.
     """,
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,21 +341,28 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts_ns"
     )
+    # RANGE frame + max, not a rows frame + last: the oracle's
+    # correlated max(us) WHERE ts <= p.ts includes a same-microsecond
+    # signup whatever its event_id, while a rows frame ordered by
+    # (ts_ns, event_id) excluded same-ts signups sorting after the
+    # purchase (r11 joins review finding #1 — the tie class the
+    # forward/nearest siblings already handle). max == most-recent here
+    # because the carried value IS the timestamp (monotone in ts_ns);
+    # a general payload would need max_by(struct(ts, payload)).
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_ns", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy("ts_ns")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = ev.withColumn(
         "asof_signup_us",
         # microseconds, not nanos: DuckDB truncates parquet TIMESTAMP_NS
         # to its native microsecond timestamp, so the oracle can only see us
-        F.last(
+        F.max(
             F.when(
                 F.col("event_type") == "signup",
                 F.expr("ts_ns div 1000"),
-            ),
-            ignorenulls=True,
+            )
         ).over(w),
     )
     return carried.filter(F.col("event_type") == "purchase").select(
@@ -403,11 +410,27 @@ def salted_join(
     For a hot key whose partition would straggle, append a deterministic
     salt (hash of the full row mod n_salts) to the big side's key and
     join against the small side replicated n_salts times. Result is
-    row-identical to the plain join (tested), cost is n_salts x the small
-    side. AQE's skew-join handles moderate skew automatically; salting is
-    for the pathological single-key case (boilerplate documents, null
-    keys, celebrity users).
+    row-identical to the plain join (tested) for the big-side-preserving
+    modes below, cost is n_salts x the small side. AQE's skew-join
+    handles moderate skew automatically; salting is for the pathological
+    single-key case (boilerplate documents, null keys, celebrity users).
+
+    ``how`` is restricted to modes where unmatched SMALL rows never
+    surface: a right/full outer would emit every unmatched small row
+    once PER REPLICA (n_salts copies), silently breaking the
+    row-identical contract (r11 joins review finding #3). Salt the
+    other side (swap the arguments) for a small-side-preserving join.
     """
+    allowed = ("inner", "left", "left_outer", "leftouter", "semi",
+               "left_semi", "leftsemi", "anti", "left_anti", "leftanti",
+               "cross")
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): replicated-small-side salting is "
+            f"only row-identical for {allowed}; a right/full outer emits "
+            "unmatched small rows once per replica — swap the sides "
+            "instead"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     big_salted = big.withColumn("_salt", salt)
     salts = big.sparkSession.range(n_salts).select(
@@ -588,6 +611,37 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nearest_signup(ev: DataFrame):
+    """(carried, p_us, back_gap, fwd_gap, pick_back): nearest-signup
+    candidates for every event row.
+
+    THE one definition of the nearest-candidate computation —
+    join_asof_nearest declares it and join_asof_tolerance gates it with
+    a tolerance; they previously carried verbatim copies (r11 joins
+    review finding #5), so a tie-discipline fix to one could silently
+    miss the other. Both oracles spell the identical composite
+    (ts, event_id) comparison this windowing implies.
+    """
+    from pyspark.sql.window import Window
+
+    base = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(1, Window.unboundedFollowing)
+    s_us = F.when(
+        F.col("event_type") == "signup", F.expr("ts_ns div 1000")
+    )
+    carried = ev.withColumn(
+        "back_us", F.last(s_us, ignorenulls=True).over(w_back)
+    ).withColumn("fwd_us", F.first(s_us, ignorenulls=True).over(w_fwd))
+    p_us = F.expr("ts_ns div 1000")
+    back_gap = p_us - F.col("back_us")
+    fwd_gap = F.col("fwd_us") - p_us
+    pick_back = F.col("fwd_us").isNull() | (
+        F.col("back_us").isNotNull() & (back_gap <= fwd_gap)
+    )
+    return carried, p_us, back_gap, fwd_gap, pick_back
+
+
 @register(
     "join_asof_nearest",
     oracle="""
@@ -635,26 +689,10 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest same-user signup (before or after) for every purchase."""
-    from pyspark.sql.window import Window
-
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts_ns"
     )
-    base = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_fwd = base.rowsBetween(1, Window.unboundedFollowing)
-    s_us = F.when(
-        F.col("event_type") == "signup", F.expr("ts_ns div 1000")
-    )
-    carried = ev.withColumn(
-        "back_us", F.last(s_us, ignorenulls=True).over(w_back)
-    ).withColumn("fwd_us", F.first(s_us, ignorenulls=True).over(w_fwd))
-    p_us = F.expr("ts_ns div 1000")
-    back_gap = p_us - F.col("back_us")
-    fwd_gap = F.col("fwd_us") - p_us
-    pick_back = F.col("fwd_us").isNull() | (
-        F.col("back_us").isNotNull() & (back_gap <= fwd_gap)
-    )
+    carried, p_us, back_gap, fwd_gap, pick_back = _nearest_signup(ev)
     return carried.filter(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
@@ -920,26 +958,10 @@ _ASOF_TOL_US = 600_000_000  # 10 minutes
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest same-user signup within 10 min per purchase, else NULL."""
-    from pyspark.sql.window import Window
-
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts_ns"
     )
-    base = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_fwd = base.rowsBetween(1, Window.unboundedFollowing)
-    s_us = F.when(
-        F.col("event_type") == "signup", F.expr("ts_ns div 1000")
-    )
-    carried = ev.withColumn(
-        "back_us", F.last(s_us, ignorenulls=True).over(w_back)
-    ).withColumn("fwd_us", F.first(s_us, ignorenulls=True).over(w_fwd))
-    p_us = F.expr("ts_ns div 1000")
-    back_gap = p_us - F.col("back_us")
-    fwd_gap = F.col("fwd_us") - p_us
-    pick_back = F.col("fwd_us").isNull() | (
-        F.col("back_us").isNotNull() & (back_gap <= fwd_gap)
-    )
+    carried, p_us, back_gap, fwd_gap, pick_back = _nearest_signup(ev)
     cand = F.when(pick_back, F.col("back_us")).otherwise(F.col("fwd_us"))
     in_tol = F.abs(p_us - cand) <= _ASOF_TOL_US
     return carried.filter(F.col("event_type") == "purchase").select(

@@ -1193,3 +1193,68 @@ def test_diversity_sample_quota_and_centrality(spark, sf_dir):
         assert sorted(m["rk"] for m in members) == list(
             range(1, want_n + 1)
         )
+
+
+def test_asof_backward_includes_same_microsecond_signup(
+    spark, tmp_path_factory
+):
+    """r11 joins review: the oracle's correlated max(us) WHERE ts <=
+    p.ts includes a same-microsecond signup whatever its event_id; a
+    rows frame ordered by (ts_ns, event_id) excluded it when the
+    signup's event_id sorted after the purchase's. The RANGE-frame max
+    builder must match the oracle on exactly that tie."""
+    import datetime as dt
+
+    import duckdb
+
+    from mrs_mapreduce_spark.registry import load_all
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # purchase event_id=10 and signup event_id=11 at the SAME us
+        (10, t0, 7, "purchase", 1.0, "{}"),
+        (11, t0, 7, "signup", 0.0, "{}"),
+        # control: ordinary earlier signup for another user
+        (1, t0 - dt.timedelta(minutes=5), 8, "signup", 0.0, "{}"),
+        (2, t0, 8, "purchase", 2.0, "{}"),
+    ]
+    path = str(tmp_path_factory.mktemp("asoftie"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+    q = load_all()["join_asof"]
+    got = {r["event_id"]: r["asof_signup_us"]
+           for r in q.builder(spark, path).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{path}/events.parquet/*.parquet')"
+    )
+    want = {r[0]: r[2] for r in con.execute(q.oracle).fetchall()}
+    assert got == want
+    # the same-us signup IS the as-of match for purchase 10
+    t0_us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert got[10] == t0_us
+
+
+def test_salted_join_rejects_small_side_preserving_modes(spark):
+    """r11 joins review: right/full outer would emit each unmatched
+    small row once per replica; salted_join must refuse loudly."""
+    import pytest
+
+    from mrs_mapreduce_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "d"), (2, "e")], "k long, d string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", n_salts=4, how=how)
+    # the supported modes still equal the plain join
+    got = sorted(map(tuple, salted_join(big, small, "k", how="left")
+                 .select("k", "v", "d").collect()))
+    want = sorted(map(tuple, big.join(small, "k", "left")
+                  .select("k", "v", "d").collect()))
+    assert got == want
