@@ -18,10 +18,53 @@ from ..exprs import pround
 from ..registry import register
 
 
+def _cents(col) -> "F.Column":
+    """Exact integer cents of a 2-decimal-domain double column."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def _net4():
+    """One row's l_extendedprice x (1 - l_discount) in EXACT integer
+    10^-4 dollar units (int64).
+
+    THE revenue discipline (q3's, generalized — r11 tpch review): price
+    and discount both have 2-decimal domains, so the cents products are
+    exact int64 and any sum of them is ORDER-INDEPENDENT. A raw double
+    sum differs across engines (and across Spark partition counts) in
+    the last ulp, and measured fixtures land whole groups exactly on
+    .005 rounding boundaries (q15: 2/100 supplier groups at sf0.01,
+    q10: 64/3537 customer groups at sf0.1) where the last ulp flips the
+    rounded cent. Divide by 10000.0 and round only at the END.
+    """
+    return _cents(F.col("l_extendedprice")) * _cents(
+        1 - F.col("l_discount")
+    )
+
+
+def _rev4():
+    """sum of :func:`_net4` — exact int64, order-independent."""
+    return F.sum(_net4())
+
+
+def _net4_sql(p: str = "") -> str:
+    """DuckDB twin of :func:`_net4` (``p`` = table alias prefix)."""
+    return (
+        f"(CAST(round({p}l_extendedprice * 100) AS BIGINT)"
+        f" * CAST(round((1 - {p}l_discount) * 100) AS BIGINT))"
+    )
+
+
+def _rev4_sql(p: str = "") -> str:
+    """DuckDB twin of :func:`_rev4`."""
+    return f"sum({_net4_sql(p)})"
+
+
 @register(
     "tpch_q6",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0, 2)
+               AS revenue,
            count(*) AS cnt
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1998-01-01'
@@ -49,7 +92,12 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             pround(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+                F.sum(
+                    _cents(F.col("l_extendedprice"))
+                    * _cents(F.col("l_discount"))
+                )
+                / 10000.0,
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("cnt"),
         )
@@ -89,11 +137,11 @@ def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q14",
-    oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END), 2) AS promo_part,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total
+    oracle=f"""
+    SELECT round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                         THEN {_net4_sql('l.')}
+                         ELSE 0 END) / 100.0, 2) AS promo_part,
+           round({_rev4_sql('l.')} / 10000.0, 2) AS total
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
@@ -114,7 +162,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp_ntz"))
     )
     part = table(spark, sf_dir, "part")
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    net4 = _net4()
     return (
         # no hard hint: part scales with the corpus, and a broadcast HINT
         # is honored at any size (AQE demotes only estimate-based picks).
@@ -123,13 +171,15 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             pround(
-                100.0
-                * F.sum(
-                    F.when(F.col("p_type").like("PROMO%"), net).otherwise(0.0)
-                ),
+                F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), net4).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                )
+                / 100.0,
                 2,
             ).alias("promo_part"),
-            pround(F.sum(net), 2).alias("total"),
+            pround(_rev4() / 10000.0, 2).alias("total"),
         )
     )
 
@@ -239,16 +289,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            pround(
-                F.sum(
-                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-                    * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
-                )
-                / 10000.0,
-                2,
-            ).alias("revenue")
-        )
+        .agg(pround(_rev4() / 10000.0, 2).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -259,10 +300,10 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q7",
-    oracle="""
+    oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round({_rev4_sql('l.')} / 10000.0, 2) AS revenue
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -318,22 +359,18 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(
-            pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(pround(_rev4() / 10000.0, 2).alias("revenue"))
     )
 
 
 @register(
     "tpch_q8",
-    oracle="""
+    oracle=f"""
     SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
            round(sum(CASE WHEN n2.n_name = 'NATION_7'
-                          THEN l.l_extendedprice * (1 - l.l_discount)
-                          ELSE 0 END), 2) AS nation_volume,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_volume
+                          THEN {_net4_sql('l.')}
+                          ELSE 0 END) / 10000.0, 2) AS nation_volume,
+           round({_rev4_sql('l.')} / 10000.0, 2) AS total_volume
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -379,7 +416,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     li = table(spark, sf_dir, "lineitem")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol4 = _net4()
     return (
         # part/supplier/customer all scale: no hard hints (nation/region
         # arms above stay hinted — those are constant-size)
@@ -390,19 +427,24 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             pround(
-                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0)),
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_7", vol4
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+                / 10000.0,
                 2,
             ).alias("nation_volume"),
-            pround(F.sum(vol), 2).alias("total_volume"),
+            pround(_rev4() / 10000.0, 2).alias("total_volume"),
         )
     )
 
 
 @register(
     "tpch_q9",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+           round({_rev4_sql('l.')} / 10000.0, 2) AS profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -442,20 +484,16 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(
-            pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("profit")
-        )
+        .agg(pround(_rev4() / 10000.0, 2).alias("profit"))
     )
 
 
 @register(
     "tpch_q10",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS acctbal,
            n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round({_rev4_sql('l.')} / 10000.0, 2) AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -489,11 +527,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_custkey")
-        .agg(
-            pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(pround(_rev4() / 10000.0, 2).alias("revenue"))
         # customer scales: no hard hint; nation is constant-size and keeps
         # its broadcast
         .join(cust, F.col("o_custkey") == cust.c_custkey)
@@ -590,19 +624,19 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q15",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
-        SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        SELECT l_suppkey AS supplier_no, {_rev4_sql()} AS rev4
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
           AND l_shipdate < TIMESTAMP '1998-04-01'
         GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_rev
+    SELECT s.s_suppkey, s.s_name,
+           round(r.rev4 / 10000.0, 2) AS total_rev
     FROM supplier s
     JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    WHERE r.rev4 = (SELECT max(rev4) FROM revenue)
     """,
     survey="B9/B17 + scalar subquery (TPC-H Q15: top supplier)",
     scale="""
@@ -621,19 +655,22 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_rev")
-        )
+        .agg(_rev4().alias("rev4"))
     )
-    max_rev = revenue.agg(F.max("total_rev").alias("m"))
+    max_rev = revenue.agg(F.max("rev4").alias("m"))
     supp = table(spark, sf_dir, "supplier")
     return (
         # max_rev is ONE row (keeps its hint); supplier scales (loses it)
-        revenue.join(F.broadcast(max_rev), F.col("total_rev") == F.col("m"))
+        # the max-equality join compares EXACT int64 revenue, so the
+        # winning supplier set is deterministic on both engines; round
+        # only for display (r11 tpch review finding #1)
+        revenue.join(F.broadcast(max_rev), F.col("rev4") == F.col("m"))
         .join(supp, F.col("supplier_no") == supp.s_suppkey)
-        .select("s_suppkey", "s_name", "total_rev")
+        .select(
+            "s_suppkey",
+            "s_name",
+            pround(F.col("rev4") / 10000.0, 2).alias("total_rev"),
+        )
     )
 
 
@@ -721,8 +758,8 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q19",
-    oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    oracle=f"""
+    SELECT round({_rev4_sql('l.')} / 10000.0, 2) AS revenue,
            CAST(count(*) AS BIGINT) AS cnt
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -765,9 +802,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return j.filter(d1 | d2 | d3).agg(
-        pround(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        pround(_rev4() / 10000.0, 2).alias("revenue"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
@@ -1021,7 +1056,7 @@ def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             # threshold nor the reported value can straddle a rounding
             # boundary across engines (same discipline as tpch_q3)
             F.sum(
-                F.round(F.col("ps_supplycost") * 100, 0).cast("long")
+                _cents(F.col("ps_supplycost"))
                 * F.col("ps_availqty").cast("long")
             ).alias("cents")
         )

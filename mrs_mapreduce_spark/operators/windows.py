@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..exprs import pround
+from ..exprs import pround, pround0
 from ..registry import register
 
 #: Deterministic in-partition order: ts_ns is exact int64 nanos and
@@ -231,7 +231,7 @@ def window_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_ns", "event_id")
+        .orderBy(*_EVENT_ORDER)
         .rowsBetween(-4, Window.currentRow)
     )
     return ev.select(
@@ -256,7 +256,8 @@ def window_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id,
            round(regr_slope(v, x) OVER (
                PARTITION BY user_id ORDER BY x
-               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS slope10
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) + 0.0
+               AS slope10
     FROM seq
     """,
     survey="B15 extension (rolling OLS slope — windowed regr_* family)",
@@ -277,7 +278,7 @@ def window_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    w_seq = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w_seq = Window.partitionBy("user_id").orderBy(*_EVENT_ORDER)
     seq = ev.select(
         "user_id",
         "event_id",
@@ -292,7 +293,10 @@ def window_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select(
         "user_id",
         "event_id",
-        pround(F.regr_slope("v", "x").over(w_frame), 4).alias("slope10"),
+        # pround0: a trailing-window slope is sign-symmetric around 0,
+        # so a slope in (-5e-5, 0) would round to -0.0 under a
+        # sign-preserving round -- the negzero-gate class (r11 review)
+        pround0(F.regr_slope("v", "x").over(w_frame), 4).alias("slope10"),
     )
 
 
