@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..exprs import pround
+from ..exprs import pround, pround0
 from ..registry import register
 
 
@@ -22,14 +22,14 @@ from ..registry import register
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS first_val,
            round(list_aggregate(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE)), 'sum'), 6) AS vsum,
+                 x -> CAST(x AS DOUBLE)), 'sum'), 6) + 0.0 AS vsum,
            round(sqrt(list_aggregate(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)
                AS l2,
-           round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
-           round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) + 0.0 AS vmax,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) + 0.0 AS vmin,
            len(list_filter(embedding, x -> x > 0)) AS n_pos
     FROM embeddings
     """,
@@ -54,13 +54,16 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        pround(F.element_at("embedding", 1).cast("double"), 6).alias(
+        # pround0: embedding values are ~N(0, 0.1), so every one of
+        # these is an informative float whose true value can be near 0
+        # -- the negzero-gate class (r11 functions review)
+        pround0(F.element_at("embedding", 1).cast("double"), 6).alias(
             "first_val"
         ),
-        pround(acc(as_double), 6).alias("vsum"),
+        pround0(acc(as_double), 6).alias("vsum"),
         pround(F.sqrt(acc(squared)), 6).alias("l2"),
-        pround(F.array_max("embedding").cast("double"), 6).alias("vmax"),
-        pround(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+        pround0(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        pround0(F.array_min("embedding").cast("double"), 6).alias("vmin"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
     )
 

@@ -77,7 +77,13 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
     return (
         ev.select(k.alias("k"))
-        .groupBy(F.expr("cast(k div 10 as int)").alias("k_decade"))
+        # floor(k / 10), not `k div 10`: div truncates toward zero while
+        # the oracle's DuckDB `//` floors -- they diverge on negative k
+        # (r11 functions review; fixtures pin k >= 0 today but the
+        # query does not)
+        .groupBy(
+            F.floor(F.col("k") / F.lit(10)).cast("int").alias("k_decade")
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("k").alias("k_min"),

@@ -53,7 +53,6 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 def decode_frames(
     mm: DataFrame,
     real_codec: bool = False,
-    batch_hint: int | None = None,
     codec=None,
 ) -> DataFrame:
     """Arrow-batched decode stage over binary payloads (mapInPandas).
@@ -218,16 +217,21 @@ def resize_frames(mm: DataFrame, box: int = 32, codec=None) -> DataFrame:
                 w = payloads.map(lambda b: b[0] % 64 + 16).astype("int32")
                 h = payloads.map(lambda b: b[1] % 64 + 16).astype("int32")
             long_side = w.where(w >= h, h)
-            new_w = (w * box // long_side).astype("int32")
-            new_h = (h * box // long_side).astype("int32")
+            # widen BEFORE the multiply: w * box wraps silently in an
+            # int32 pandas product for codec-seam dimensions (the same
+            # overflow decode_frames is hardened against -- r11 review)
+            w64 = w.astype("int64")
+            h64 = h.astype("int64")
+            new_w = (w64 * box // long_side.astype("int64")).astype("int64")
+            new_h = (h64 * box // long_side.astype("int64")).astype("int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": w,
                     "height": h,
-                    "new_w": new_w,
-                    "new_h": new_h,
-                    "out_pixels": (new_w * new_h).astype("int64"),
+                    "new_w": new_w.astype("int32"),
+                    "new_h": new_h.astype("int32"),
+                    "out_pixels": new_w * new_h,
                 }
             )
 

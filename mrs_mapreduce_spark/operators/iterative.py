@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, table
-from ..exprs import pround
+from ..exprs import pround, pround0
 from ..registry import register
 
 _K = 4
@@ -132,7 +132,7 @@ def iterative_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY list_aggregate(list_transform(range(1, 65), i -> (p.a[i] - c.cv[i]) * (p.a[i] - c.cv[i])), 'sum'), c.cid) AS rk
              FROM pts p CROSS JOIN c2 c) WHERE rk = 1)
     SELECT cid AS cluster, count(*) AS n,
-           round(avg(p.a[1]), 6) AS cent_d0
+           round(avg(p.a[1]), 6) + 0.0 AS cent_d0
     FROM a3 JOIN pts p USING (vec_id) GROUP BY cid
     """,
     survey="A12 (IterativeMR on 64-dim embeddings) + D3",
@@ -212,7 +212,9 @@ def iterative_kmeans_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return assigned.groupBy(F.col("cid").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n"),
-        pround(F.avg(F.element_at("a", 1)), 6).alias("cent_d0"),
+        # pround0: the dim-0 cluster mean is ~N(0, 0.004) -- max
+        # density exactly at 0, the negzero-gate class (r11 review)
+        pround0(F.avg(F.element_at("a", 1)), 6).alias("cent_d0"),
     )
 
 
