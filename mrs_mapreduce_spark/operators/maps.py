@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType
 
 from ..catalog import table
-from ..exprs import pround
+from ..exprs import pround, pround0
 from ..registry import register
 
 
@@ -80,10 +80,18 @@ def map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey="A7",
     scale="""
-    mod_partition parity: pmod(key, n) is computed JVM-side and the groupBy
-    shuffles on it — equivalent to the reference's mod partitioner feeding n
-    reduce splits. At scale prefer hash partitioning unless key locality is
-    required; mod on a skewed key distribution is how you get stragglers.
+    mod_partition parity: pmod(key, n) is computed JVM-side and the
+    explicit repartition(16, pmod) IS the declared operator — the
+    reference's mod partitioner feeding n reduce splits. The groupBy's
+    clustering requirement is satisfied by that exchange, so the plan
+    has exactly ONE shuffle (verified: 1 Exchange either way) — but it
+    carries UNAGGREGATED rows, since the complete aggregate runs after
+    the exchange instead of partial-before/final-after (r11 review).
+    That is the honest cost of declaring the partitioner explicitly;
+    a production aggregation drops the repartition and lets the agg's
+    own exchange ship 16 partial rows per task. At scale prefer hash
+    partitioning unless key locality is required; mod on a skewed key
+    distribution is how you get stragglers.
     """,
 )
 def repartition_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,12 +208,19 @@ def pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator map as a Spark 4 table-valued Python UDF."""
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, token string")
     class Tokenize:
         def eval(self, doc_id: int, text: str):
-            for token in text.split():
+            # split(" "), not split(): the oracle's string_split(text,
+            # ' ') keeps empty tokens from doubled/leading spaces that
+            # any-whitespace split() silently drops, and NULL text must
+            # yield no rows instead of an executor-side AttributeError
+            # (r11 maps review; fixture docs are single-spaced today)
+            if text is None:
+                return
+            for token in text.split(" "):
                 yield (doc_id, token)
 
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
@@ -222,7 +237,7 @@ def python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber, l_returnflag,
            round((l_quantity - avg(l_quantity) OVER w)
-                 / stddev_samp(l_quantity) OVER w, 4) AS z
+                 / stddev_samp(l_quantity) OVER w, 4) + 0.0 AS z
     FROM lineitem
     WINDOW w AS (PARTITION BY l_returnflag)
     """,
@@ -263,7 +278,10 @@ def pandas_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
-        pround("z_raw", 4).alias("z"),
+        # pround0: z is sign-symmetric around 0 (the r8
+        # feature_standardize class) -- a quantity just under its group
+        # mean would round to -0.0 under a sign-preserving round
+        pround0("z_raw", 4).alias("z"),
     )
 
 

@@ -154,6 +154,21 @@ def set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.unionByName(orders, allowMissingColumns=True)
 
 
+def _row_fp():
+    """THE (st, cents, pri) row fingerprint both diff operators key on.
+
+    One definition shared by table_diff's fp() and
+    table_diff_incremental's finger() so the twins (whose oracles spell
+    the identical md5(st || '|' || cents || '|' || pri)) can never
+    drift (r11 setops review).
+    """
+    return F.md5(
+        F.concat_ws(
+            "|", F.col("st"), F.col("cents").cast("string"), F.col("pri")
+        )
+    )
+
+
 @register(
     "table_diff",
     oracle="""
@@ -226,11 +241,7 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fp(df: DataFrame) -> DataFrame:
         return df.select(
             "k",
-            F.md5(
-                F.concat_ws(
-                    "|", F.col("st"), F.col("cents").cast("string"), F.col("pri")
-                )
-            ).alias("fp"),
+            _row_fp().alias("fp"),
         )
 
     fa, fb = fp(a), fp(b)
@@ -251,19 +262,26 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DIFF_BUCKETS = 4096
-_DIGEST_MOD = 1099511627776  # 2^40: bucket sums stay far inside int64
+#: 2^32, NOT 2^40: the digest is a SUM over the bucket, so int64
+#: overflows at ~rows_per_bucket * mod. 2^32 keeps the sum exact to
+#: ~2^31 rows PER BUCKET (any sane bucketing is orders of magnitude
+#: below); 2^40 overflowed at ~2^23 rows/bucket -- under ANSI the
+#: aggregation THROWS there, and a wrap could alias a changed bucket
+#: to a false-clean digest (r11 setops review). Per-bucket collision
+#: odds rise to ~2^-32, still negligible and documented.
+_DIGEST_MOD = 4294967296
 
 
 def checksum_dirty_buckets(fa: DataFrame, fb: DataFrame) -> DataFrame:
     """(bucket) — buckets whose order-independent digests disagree.
 
     ``fa``/``fb`` are (k, bucket, fp, ...) fingerprint relations. Each
-    side reduces to one digest row per bucket (SUM of a 40-bit keyed
+    side reduces to one digest row per bucket (SUM of a 32-bit keyed
     hash of (k, fp) — commutative, partial-aggregated map-side); a
     full outer join keeps buckets missing on either side dirty.
     COMPLETENESS property (tests/test_properties.py): any bucket whose
-    (k, fp) multiset differs lands in the output unless the two 40-bit
-    digest sums collide (~2^-40 per bucket).
+    (k, fp) multiset differs lands in the output unless the two 32-bit
+    digest sums collide (~2^-32 per bucket).
     """
 
     def digest(df: DataFrame) -> DataFrame:
@@ -275,7 +293,7 @@ def checksum_dirty_buckets(fa: DataFrame, fb: DataFrame) -> DataFrame:
             ),
             16,
             10,
-        ).cast("long") % _DIGEST_MOD
+        ).cast("long") % _DIGEST_MOD  # sum-safe: see _DIGEST_MOD note
         return df.groupBy("bucket").agg(F.sum(keyed).alias("dg"))
 
     da, db = digest(fa), digest(fb)
@@ -329,8 +347,8 @@ def checksum_dirty_buckets(fa: DataFrame, fb: DataFrame) -> DataFrame:
     The day-over-day reconciliation path: snapshots that differ in a
     handful of rows should not pay a full row-level join. Phase 1
     reduces each side to ONE digest row per key bucket (sum over rows of
-    a 40-bit keyed hash — order-independent, partial-aggregated
-    map-side, commutative like any sum, and 2^40 x rows-per-bucket stays
+    a 32-bit keyed hash — order-independent, partial-aggregated
+    map-side, commutative like any sum, and 2^32 x rows-per-bucket stays
     far inside int64), so comparing two 100 TB snapshots first costs two
     |buckets|-row relations. Phase 2 re-scans ONLY the dirty buckets
     (the IN-subquery compiles to a semi-join against the tiny dirty
@@ -340,7 +358,7 @@ def checksum_dirty_buckets(fa: DataFrame, fb: DataFrame) -> DataFrame:
     (~0.1% of keys), leaving >96% of the 4096 buckets provably clean
     after phase 1 — the row-level join runs over a few dozen buckets,
     not the table. Digest collisions (two different row sets with one
-    colliding 40-bit sum) would SKIP a dirty bucket; production hardens
+    colliding 32-bit sum) would SKIP a dirty bucket; production hardens
     with a second independent hash column — the false-clean probability
     per bucket is ~2^-40 per digest.
     """,
@@ -367,11 +385,7 @@ def table_diff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select(
             "k",
             (F.col("k") % _DIFF_BUCKETS).alias("bucket"),
-            F.md5(
-                F.concat_ws(
-                    "|", F.col("st"), F.col("cents").cast("string"), F.col("pri")
-                )
-            ).alias("fp"),
+            _row_fp().alias("fp"),
             "cents",
         )
 

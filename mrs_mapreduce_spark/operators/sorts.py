@@ -73,13 +73,20 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k with a deterministic tiebreak."""
     li = table(spark, sf_dir, "lineitem")
     return (
-        li.select(
+        # order by the RAW price, round only in the projection: the
+        # oracle's LIMIT selects by raw l_extendedprice, so ranking the
+        # rounded value could pick a different top-10 SET whenever two
+        # distinct raws round to the same cents (r11 sorts review;
+        # sort_global in this file already does it this way)
+        li.orderBy(
+            F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+        )
+        .limit(10)
+        .select(
             "l_orderkey",
             "l_linenumber",
             pround("l_extendedprice", 2).alias("price"),
         )
-        .orderBy(F.desc("price"), "l_orderkey", "l_linenumber")
-        .limit(10)
     )
 
 

@@ -81,8 +81,19 @@ class PairFileReader(DataSourceReader):
 
 
 def register_source(spark: SparkSession) -> None:
-    """Register the source with the session (idempotent)."""
+    """Register the source with the session (idempotent).
+
+    Also ships the package to executors: the reader's ``read()`` does a
+    relative import of ``..fileformats`` EXECUTOR-side, so an external
+    caller following the module docstring (register + spark.read on a
+    cluster without the package installed on workers) would otherwise
+    hit ModuleNotFoundError per task at collect time (r11 sources
+    review — previously only the internal query builder shipped it).
+    """
     if not getattr(spark, "_mrs_pairsource", False):
+        from ..mapreduce import _ensure_code_shipped
+
+        _ensure_code_shipped(spark.sparkContext)
         spark.dataSource.register(PairFileDataSource)
         spark._mrs_pairsource = True
 
