@@ -18,7 +18,9 @@ class WordCount(MapReduce):
     """The canonical Mrs program: count words with a map-side combiner."""
 
     def map(self, key, value):
-        for word in value.split():
+        # (value or ""): NULL text is an empty document, matching the
+        # oracle's NULL-split semantics (r11 stress-fixture sweep)
+        for word in (value or "").split():
             yield (word, 1)
 
     def combine(self, key, values):

@@ -78,12 +78,19 @@ def decode_frames(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if codec is not None:
-                dims = [codec(bytes(b)) for b in pdf["payload"]]
+                # None payload -> NULL dims (the oracle's md5(NULL)
+                # propagation; r11 stress-fixture sweep), nullable Int32
+                dims = [
+                    None if b is None else codec(bytes(b))
+                    for b in pdf["payload"]
+                ]
                 width = pd.Series(
-                    [d[0] for d in dims], dtype="int32", index=pdf.index
+                    [None if d is None else d[0] for d in dims],
+                    dtype="Int32", index=pdf.index,
                 )
                 height = pd.Series(
-                    [d[1] for d in dims], dtype="int32", index=pdf.index
+                    [None if d is None else d[1] for d in dims],
+                    dtype="Int32", index=pdf.index,
                 )
                 yield pd.DataFrame(
                     {
@@ -94,7 +101,7 @@ def decode_frames(
                         # first, an overflow trap for codecs returning
                         # large frames (8k video: 33M px fits, but a
                         # stitched panorama would not fit squared terms)
-                        "n_pixels": width.astype("int64") * height,
+                        "n_pixels": width.astype("Int64") * height,
                         "kind": pdf["meta"].map(lambda m: m["mime"]),
                     }
                 )
@@ -104,15 +111,20 @@ def decode_frames(
                     "real image decode requires PIL/ffmpeg; not in container"
                 )
             payloads = pdf["payload"]
-            width = payloads.map(lambda b: b[0] % 64 + 16).astype("int32")
-            height = payloads.map(lambda b: b[1] % 64 + 16).astype("int32")
+            # None payload -> NULL dims (oracle md5(NULL) propagation)
+            width = payloads.map(
+                lambda b: None if b is None else b[0] % 64 + 16
+            ).astype("Int32")
+            height = payloads.map(
+                lambda b: None if b is None else b[1] % 64 + 16
+            ).astype("Int32")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": width,
                     "height": height,
                     # int64 BEFORE the multiply, as in the codec branch
-                    "n_pixels": width.astype("int64") * height,
+                    "n_pixels": width.astype("Int64") * height,
                     "kind": pdf["meta"].map(lambda m: m["mime"]),
                 }
             )
@@ -124,7 +136,7 @@ def decode_frames(
     "multimodal_struct",
     oracle="""
     SELECT doc_id,
-           16 AS n_bytes,
+           CASE WHEN text IS NULL THEN NULL ELSE 16 END AS n_bytes,
            substr(md5(text), 1, 8) AS hex8,
            'image/fake' AS mime,
            source AS origin
@@ -206,31 +218,41 @@ def resize_frames(mm: DataFrame, box: int = 32, codec=None) -> DataFrame:
         for pdf in batches:
             payloads = pdf["payload"]
             if codec is not None:
-                dims = [codec(bytes(b)) for b in payloads]
+                dims = [
+                    None if b is None else codec(bytes(b))
+                    for b in payloads
+                ]
                 w = pd.Series(
-                    [d[0] for d in dims], dtype="int32", index=pdf.index
+                    [None if d is None else d[0] for d in dims],
+                    dtype="Int32", index=pdf.index,
                 )
                 h = pd.Series(
-                    [d[1] for d in dims], dtype="int32", index=pdf.index
+                    [None if d is None else d[1] for d in dims],
+                    dtype="Int32", index=pdf.index,
                 )
             else:
-                w = payloads.map(lambda b: b[0] % 64 + 16).astype("int32")
-                h = payloads.map(lambda b: b[1] % 64 + 16).astype("int32")
+                # None payload -> NULL dims (r11 stress-fixture sweep)
+                w = payloads.map(
+                    lambda b: None if b is None else b[0] % 64 + 16
+                ).astype("Int32")
+                h = payloads.map(
+                    lambda b: None if b is None else b[1] % 64 + 16
+                ).astype("Int32")
             long_side = w.where(w >= h, h)
             # widen BEFORE the multiply: w * box wraps silently in an
             # int32 pandas product for codec-seam dimensions (the same
             # overflow decode_frames is hardened against -- r11 review)
-            w64 = w.astype("int64")
-            h64 = h.astype("int64")
-            new_w = (w64 * box // long_side.astype("int64")).astype("int64")
-            new_h = (h64 * box // long_side.astype("int64")).astype("int64")
+            w64 = w.astype("Int64")
+            h64 = h.astype("Int64")
+            new_w = (w64 * box // long_side.astype("Int64")).astype("Int64")
+            new_h = (h64 * box // long_side.astype("Int64")).astype("Int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": w,
                     "height": h,
-                    "new_w": new_w.astype("int32"),
-                    "new_h": new_h.astype("int32"),
+                    "new_w": new_w.astype("Int32"),
+                    "new_h": new_h.astype("Int32"),
                     "out_pixels": new_w * new_h,
                 }
             )
@@ -286,6 +308,8 @@ def sample_frames(mm: DataFrame, every: int = 4, n_frames: int = 16) -> DataFram
         for pdf in batches:
             out_doc, out_idx, out_px = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # no payload -> no frames
+                    continue
                 for i in range(0, n_frames, every):
                     out_doc.append(doc_id)
                     out_idx.append(i)
@@ -307,6 +331,7 @@ def sample_frames(mm: DataFrame, every: int = 4, n_frames: int = 16) -> DataFram
     SELECT d.doc_id, CAST(g.i AS INT) AS frame_idx,
            ('0x' || substr(md5(d.text), 2 * g.i + 1, 2))::INT AS pixel
     FROM documents d CROSS JOIN generate_series(0, 12, 4) AS g(i)
+    WHERE d.text IS NOT NULL
     """,
     survey="D5 (frame-sample stage: 1:n video sampling, Arrow-batched)",
     scale="""
@@ -347,6 +372,8 @@ def window_energy(
                 )
             out = {"doc_id": [], "win": [], "energy": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # no payload -> no windows
+                    continue
                 samples = [
                     payload[2 * i] * 256 + payload[2 * i + 1]
                     for i in range(8)
@@ -364,7 +391,8 @@ def window_energy(
 @register(
     "multimodal_audio_energy",
     oracle="""
-    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents
+               WHERE text IS NOT NULL),
     win AS (SELECT doc_id, g.w,
                    ('0x' || substr(hx, 8 * g.w + 1, 4))::BIGINT AS s1,
                    ('0x' || substr(hx, 8 * g.w + 5, 4))::BIGINT AS s2
@@ -425,6 +453,8 @@ def bmp_roundtrip(mm: DataFrame) -> DataFrame:
                 "n_pixels": [], "channel_sum": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # oracle's px CTE drops NULL docs
+                    continue
                 b = bytes(payload)
                 w, h, b2 = b[0] % 12 + 4, b[1] % 12 + 4, b[2]
                 bmp = encode_bmp_gray24(
@@ -522,6 +552,8 @@ def wav_roundtrip_energy(mm: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "rate": [], "win": [], "energy": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # no payload -> no windows
+                    continue
                 b = bytes(payload)
                 samples = [
                     (b[2 * i] * 256 + b[2 * i + 1]) % 32768 for i in range(8)
@@ -550,7 +582,8 @@ def wav_roundtrip_energy(mm: DataFrame) -> DataFrame:
 @register(
     "multimodal_wav_roundtrip",
     oracle="""
-    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents
+               WHERE text IS NOT NULL),
     win AS (SELECT doc_id, g.w,
                    ('0x' || substr(hx, 8 * g.w + 1, 4))::BIGINT % 32768 AS s1,
                    ('0x' || substr(hx, 8 * g.w + 5, 4))::BIGINT % 32768 AS s2

@@ -1669,7 +1669,7 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, n_chars,
              ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                  + 0.5) / 4294967296.0) / n_chars AS k
-      FROM documents)
+      FROM documents WHERE n_chars > 0)
     SELECT doc_id, n_chars, round(k, 6) AS es_key
     FROM keyed ORDER BY k DESC, doc_id LIMIT 64
     """,
@@ -1698,7 +1698,10 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                16, 10).cast("long")
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
-    keyed = d.select(
+    # weight 0 (empty/NULL doc) means 'never sampled' in A-ES; filter
+    # it out instead of dividing by zero -- ANSI throws where DuckDB
+    # yields NULL (r11 stress-fixture sweep)
+    keyed = d.filter(F.col("n_chars") > 0).select(
         "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
     )
     return (

@@ -431,7 +431,9 @@ class IterativeMR:
     "reduce_sum",
     oracle="""
     SELECT w AS word, count(*) AS cnt
-    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    FROM (SELECT unnest(string_split_regex(text, '[ \t\n\r\f\v]+')) AS w
+          FROM documents)
+    WHERE w <> ''
     GROUP BY w
     """,
     survey="A5/A6/A10 (wordcount through the full parity layer)",
@@ -460,7 +462,9 @@ def reduce_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mr_reducemap",
     oracle="""
     SELECT substr(w, 1, 1) AS letter, count(*) AS total
-    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    FROM (SELECT unnest(string_split_regex(text, '[ \t\n\r\f\v]+')) AS w
+          FROM documents)
+    WHERE w <> ''
     GROUP BY substr(w, 1, 1)
     """,
     survey="A11 (reducemap fusion through the parity layer)",
@@ -495,7 +499,7 @@ def mr_reducemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mr_map_only",
     oracle="""
     SELECT doc_id, w AS word
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\r\f\v]+')) AS w
           FROM documents)
     WHERE w LIKE 's%'
     """,
@@ -513,8 +517,13 @@ def mr_map_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds0 = job.dataframe_data(docs, "doc_id", "text")
     ds1 = job.map_data(
         ds0,
+        # (text or ""): a NULL document yields no words, matching the
+        # oracle's unnest of a NULL split (r11 stress-fixture sweep);
+        # Python any-whitespace split() == the oracle's regex split
         lambda doc_id, text: (
-            (doc_id, w) for w in text.split() if w.startswith("s")
+            (doc_id, w)
+            for w in (text or "").split()
+            if w.startswith("s")
         ),
     )
     return spark.createDataFrame(ds1.rdd, "doc_id long, word string")

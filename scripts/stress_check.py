@@ -1,0 +1,127 @@
+"""Stress-fixture parity sweep: the whole registry on adversarial inputs.
+
+The r9-r11 package reviews kept finding the same latent classes by hand:
+NULL text, irregular whitespace, same-timestamp ties, NULL JSON props,
+near-zero floats. This script makes that hunt mechanical: it derives a
+STRESS fixture from sf0.001 (same schemas, adversarial rows injected),
+then runs every registered query's builder against its DuckDB oracle on
+it — any divergence is a latent cross-engine bug the shipped fixtures
+cannot see.
+
+Deliberately NOT injected (documented engine-level domain errors, not
+parity bugs): exact zero embedding vectors (ANSI DIVIDE_BY_ZERO on both
+engines by design — see _semdedup_victims), negative event values
+(fixtures declare a positive domain).
+
+Usage:
+    python scripts/stress_check.py            # build + run all queries
+    python scripts/stress_check.py name ...   # restrict to named queries
+    SPARK_GRAFT_STRESS_DIR=... to override the output dir.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SRC = "/root/testdata/sf0.001"
+OUT = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/stress_sf")
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT, exist_ok=True)
+    # unchanged tables: straight copies
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        src = f"{SRC}/{t}.parquet"
+        dst = f"{OUT}/{t}.parquet"
+        if os.path.isdir(src):  # fixture generations vary: file vs dir
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy2(src, dst)
+
+    # documents: NULL text, empty text, doubled/leading/trailing spaces,
+    # tab + newline whitespace, a unicode doc — appended with fresh ids
+    d = spark.read.parquet(f"{SRC}/documents.parquet")
+    base = d.limit(1).collect()[0]
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    extra = [
+        (mx + 1, None, base["lang"], base["source"], 0),
+        (mx + 2, "", base["lang"], base["source"], 0),
+        (mx + 3, "double  space  tokens", "en", base["source"], 22),
+        (mx + 4, " leading and trailing ", "en", base["source"], 22),
+        (mx + 5, "tab\tand\nnewline mix", "en", base["source"], 19),
+        (mx + 6, "ünïcodé tøkens naïve café", "en", base["source"], 25),
+        (mx + 7, "dup dup dup dup", "en", base["source"], 15),
+        (mx + 8, "dup dup dup dup", "en", base["source"], 15),
+    ]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    sdf = spark.createDataFrame(
+        extra, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    )
+    d.select(*cols).unionByName(sdf).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{OUT}/documents.parquet")
+
+    # events: same-microsecond ties (new rows duplicating an existing
+    # row's ts under fresh event_ids) + NULL props
+    e = spark.read.parquet(f"{SRC}/events.parquet")
+    emax = e.agg(F.max("event_id")).collect()[0][0]
+    tie_src = e.orderBy("event_id").limit(4).collect()
+    ties = [
+        (emax + 1 + i, r["ts"], r["user_id"],
+         "signup" if i % 2 == 0 else "purchase", float(r["value"]), None)
+        for i, r in enumerate(tie_src)
+    ]
+    tdf = spark.createDataFrame(
+        ties, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    e.unionByName(tdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{OUT}/events.parquet"
+    )
+
+    # embeddings: near-zero (but nonzero) vectors with fresh ids — the
+    # -0.0 / rounding-boundary hunting ground
+    v = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    vmax = v.agg(F.max("vec_id")).collect()[0][0]
+    vrow = v.limit(1).collect()[0]
+    tiny = [float((-1) ** i) * 3e-7 for i in range(64)]
+    near = [(vmax + 1, [float(x) for x in tiny], vrow["label"]),
+            (vmax + 2, [float(-x) for x in tiny], vrow["label"])]
+    vdf = spark.createDataFrame(
+        near, "vec_id long, embedding array<float>, label string"
+    )
+    (v.select("vec_id", "embedding", "label").unionByName(vdf)
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{OUT}/embeddings.parquet"))
+
+
+def main() -> int:
+    from mrs_mapreduce_spark.oracle import check_queries
+    from mrs_mapreduce_spark.session import get_session
+
+    spark = get_session("stress-check")
+    build(spark)
+    names = sys.argv[1:] or None
+    results = check_queries(spark, OUT, names)
+    fails = [r.name for r in results if not r.ok]
+    for r in results:
+        if not r.ok:
+            print(f"[DIVERGE] {r}")
+    print(f"\n{len(results) - len(fails)}/{len(results)} OK @ {OUT}; "
+          f"diverging={fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
