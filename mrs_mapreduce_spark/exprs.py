@@ -38,3 +38,45 @@ def pround0(col: Column | str, n: int = 2) -> Column:
     informative float column whose true value can be near zero.
     """
     return pround(col, n) + F.lit(0.0)
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer cents of a 2-decimal-domain double column.
+
+    THE money-sum discipline (r11 tpch review, promoted here for the
+    whole engine): a product of two 2-decimal values is an exact
+    4-decimal rational, and measured fixture groups land EXACTLY on
+    .005 rounding boundaries (tpch_q15: 2/100 groups at sf0.01) where
+    a last-ulp cross-engine or cross-partition-count accumulation
+    difference flips the rounded cent. Summing exact int64 cents is
+    order-independent; divide and round only at the end.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.round(col * 100, 0).cast("long")
+
+
+def net4() -> Column:
+    """One lineitem row's ``l_extendedprice x (1 - l_discount)`` in
+    exact integer 10^-4 dollar units (int64)."""
+    return cents(F.col("l_extendedprice")) * cents(
+        1 - F.col("l_discount")
+    )
+
+
+def rev4() -> Column:
+    """sum of :func:`net4` — exact int64, order-independent."""
+    return F.sum(net4())
+
+
+def net4_sql(p: str = "") -> str:
+    """DuckDB twin of :func:`net4` (``p`` = table alias prefix)."""
+    return (
+        f"(CAST(round({p}l_extendedprice * 100) AS BIGINT)"
+        f" * CAST(round((1 - {p}l_discount) * 100) AS BIGINT))"
+    )
+
+
+def rev4_sql(p: str = "") -> str:
+    """DuckDB twin of :func:`rev4`."""
+    return f"sum({net4_sql(p)})"

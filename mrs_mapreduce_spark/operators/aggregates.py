@@ -14,18 +14,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..exprs import pround, pround0
+from ..exprs import cents, net4_sql, pround, pround0, rev4, rev4_sql
 from ..registry import register
 
 
 @register(
     "groupby_agg",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           round({rev4_sql()} / 10000.0, 2) AS sum_disc,
            round(avg(l_quantity), 2) AS avg_qty,
            count(*) AS cnt
     FROM lineitem
@@ -51,9 +51,11 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             pround(F.sum("l_quantity"), 2).alias("sum_qty"),
             pround(F.sum("l_extendedprice"), 2).alias("sum_base"),
-            pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc"),
+            # exact integer 10^-4 units: ep x (1-disc) is an exact
+            # 4-decimal rational that can land ON a .005 boundary where
+            # a last-ulp accumulation difference flips the cent (the
+            # r11 tpch discipline, applied to the flagship)
+            pround(rev4() / 10000.0, 2).alias("sum_disc"),
             pround(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.count(F.lit(1)).alias("cnt"),
         )
@@ -534,12 +536,14 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_weighted",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
-               AS wavg_price,
-           round(sum(l_extendedprice * (1 - l_discount))
-                 / sum(l_extendedprice), 6) AS eff_discount_keep,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT))
+                 / (100.0 * sum(l_quantity)), 4) AS wavg_price,
+           round({rev4_sql()}
+                 / (100.0 * sum(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT))), 6) AS eff_discount_keep,
            CAST(count(*) AS BIGINT) AS cnt
     FROM lineitem
     GROUP BY l_returnflag
@@ -557,17 +561,24 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantity-weighted price and effective discount per return flag."""
+    """Quantity-weighted price and effective discount per return flag.
+
+    Numerators and denominators are EXACT int64 sums (cents x integer
+    quantity), so both engines divide identical integers and the ratio
+    is deterministic under any aggregation order — the r11 money-sum
+    discipline extended to ratio-of-sums aggregates.
+    """
     li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
     return li.groupBy("l_returnflag").agg(
         pround(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
-            / F.sum("l_quantity"),
+            F.sum(cents(F.col("l_extendedprice")) * qty)
+            / (F.lit(100.0) * F.sum("l_quantity")),
             4,
         ).alias("wavg_price"),
         pround(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            / F.sum("l_extendedprice"),
+            rev4()
+            / (F.lit(100.0) * F.sum(cents(F.col("l_extendedprice")))),
             6,
         ).alias("eff_discount_keep"),
         F.count(F.lit(1)).alias("cnt"),

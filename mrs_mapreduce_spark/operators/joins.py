@@ -14,16 +14,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..exprs import pround
+from ..exprs import pround, rev4, rev4_sql
 from ..registry import register
 
 
 @register(
     "join_inner",
-    oracle="""
+    oracle=f"""
     SELECT o.o_orderkey,
            CAST(o.o_orderdate AS DATE) AS o_odate,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+           round({rev4_sql('l.')} / 10000.0, 2) AS rev
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -51,11 +51,10 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("rev")
-        )
+        # exact int64 10^-4 units (the r11 money-sum discipline): the
+        # top-10 SELECTION orders by this value, so a boundary flip
+        # would change the returned row set, not just a cell
+        .agg(pround(rev4() / 10000.0, 2).alias("rev"))
         .select(
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("o_odate"),

@@ -14,49 +14,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..exprs import pround
+from ..exprs import cents, net4, net4_sql, pround, rev4, rev4_sql
 from ..registry import register
 
 
-def _cents(col) -> "F.Column":
-    """Exact integer cents of a 2-decimal-domain double column."""
-    return F.round(col * 100, 0).cast("long")
-
-
-def _net4():
-    """One row's l_extendedprice x (1 - l_discount) in EXACT integer
-    10^-4 dollar units (int64).
-
-    THE revenue discipline (q3's, generalized — r11 tpch review): price
-    and discount both have 2-decimal domains, so the cents products are
-    exact int64 and any sum of them is ORDER-INDEPENDENT. A raw double
-    sum differs across engines (and across Spark partition counts) in
-    the last ulp, and measured fixtures land whole groups exactly on
-    .005 rounding boundaries (q15: 2/100 supplier groups at sf0.01,
-    q10: 64/3537 customer groups at sf0.1) where the last ulp flips the
-    rounded cent. Divide by 10000.0 and round only at the END.
-    """
-    return _cents(F.col("l_extendedprice")) * _cents(
-        1 - F.col("l_discount")
-    )
-
-
-def _rev4():
-    """sum of :func:`_net4` — exact int64, order-independent."""
-    return F.sum(_net4())
-
-
-def _net4_sql(p: str = "") -> str:
-    """DuckDB twin of :func:`_net4` (``p`` = table alias prefix)."""
-    return (
-        f"(CAST(round({p}l_extendedprice * 100) AS BIGINT)"
-        f" * CAST(round((1 - {p}l_discount) * 100) AS BIGINT))"
-    )
-
-
-def _rev4_sql(p: str = "") -> str:
-    """DuckDB twin of :func:`_rev4`."""
-    return f"sum({_net4_sql(p)})"
+#: the money-sum discipline now lives in ..exprs (promoted r11 so the
+#: non-tpch money sums share ONE definition); these aliases keep the
+#: q3-era local names
+_cents = cents
+_net4 = net4
+_rev4 = rev4
+_net4_sql = net4_sql
+_rev4_sql = rev4_sql
 
 
 @register(
