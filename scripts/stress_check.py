@@ -40,13 +40,43 @@ def build(spark) -> None:
     os.makedirs(OUT, exist_ok=True)
     # unchanged tables: straight copies
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"):
+              "orders"):
         src = f"{SRC}/{t}.parquet"
         dst = f"{OUT}/{t}.parquet"
         if os.path.isdir(src):  # fixture generations vary: file vs dir
             shutil.copytree(src, dst)
         else:
             shutil.copy2(src, dst)
+
+    # lineitem: inject .005-rounding-boundary revenue rows (exact
+    # 4-decimal rationals ending in ...50 at the 10^-4 place) onto
+    # EXISTING orderkeys, so both pure-lineitem aggregates and the join
+    # chains exercise the boundary. The integer-cents discipline makes
+    # both engines round these identically; a double-sum regression
+    # re-diverges here first (r11 tpch review class, pinned).
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    keys = [r["l_orderkey"] for r in li.select("l_orderkey")
+            .distinct().orderBy("l_orderkey").limit(2).collect()]
+    lrow = li.limit(1).collect()[0]
+    lmax = li.agg(F.max("l_linenumber")).collect()[0][0]
+    boundary = [
+        # net = 0.05 * 0.10 = 0.005 exactly (1-row boundary group)
+        (keys[0], lrow["l_partkey"], lrow["l_suppkey"], lmax + 10,
+         1.0, 0.05, 0.90, 0.0, "B", "X", lrow["l_shipdate"]),
+        # net = 100.05 * 0.90 = 90.045 exactly
+        (keys[1], lrow["l_partkey"], lrow["l_suppkey"], lmax + 11,
+         2.0, 100.05, 0.10, 0.0, "B", "X", lrow["l_shipdate"]),
+    ]
+    bdf = spark.createDataFrame(
+        boundary,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp_ntz",
+    )
+    li.unionByName(bdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{OUT}/lineitem.parquet"
+    )
 
     # documents: NULL text, empty text, doubled/leading/trailing spaces,
     # tab + newline whitespace, a unicode doc — appended with fresh ids
