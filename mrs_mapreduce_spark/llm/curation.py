@@ -1043,3 +1043,123 @@ def corpus_dedup_url_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kept_sum_w"),
     )
     return best.select("url", "kept_doc_id", "n_dups", "kept_sum_w")
+
+
+#: a line is boilerplate when it appears in at least this many distinct
+#: documents (the CCNet/RefinedWeb absolute document-frequency knob; a
+#: production run sets it relative to corpus size)
+_BOILER_DF = 10
+
+#: the injected boilerplate line texts (the fixture's documents are
+#: single-line, so the line structure is spliced deterministically —
+#: the dedup_canonical witness construction)
+_HDR = "subscribe to our newsletter today"
+_FTR = "all rights reserved copyright notice"
+
+
+@register(
+    "corpus_boilerplate_strip",
+    oracle=f"""
+    WITH lines AS (
+        SELECT doc_id, 0 AS line_no, '{_HDR}' AS line
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, 1, text FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT doc_id, 2, '{_FTR}'
+        FROM documents WHERE doc_id % 4 = 0),
+    boiler AS (SELECT md5(line) AS h
+               FROM lines GROUP BY md5(line)
+               HAVING count(DISTINCT doc_id) >= {_BOILER_DF}),
+    kept AS (SELECT l.doc_id, l.line_no, l.line
+             FROM lines l LEFT JOIN boiler b ON md5(l.line) = b.h
+             WHERE b.h IS NULL),
+    nl AS (SELECT doc_id, count(*) AS n FROM lines GROUP BY doc_id),
+    ka AS (SELECT doc_id, count(*) AS n,
+                  array_to_string(list(line ORDER BY line_no), chr(10))
+                      AS txt
+           FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(nl.n, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(ka.n, 0) AS BIGINT) AS n_kept,
+           coalesce(ka.txt, '') AS kept_text
+    FROM documents d
+    LEFT JOIN nl ON d.doc_id = nl.doc_id
+    LEFT JOIN ka ON d.doc_id = ka.doc_id
+    """,
+    survey="D1/D4 extension (line-level boilerplate removal: the "
+    "CCNet/RefinedWeb curation step — strip lines whose document "
+    "frequency exceeds a threshold, keep the document)",
+    scale="""
+    The line-dedup step web-corpus pipelines run BEFORE document dedup:
+    navigation chrome, cookie banners, and copyright footers repeat
+    across millions of pages, so document-level hashes never match but
+    per-line document frequency exposes them instantly. The plan is the
+    100 TB shape by construction: per-line DF is one partial-aggregated
+    groupBy on a constant-width md5 key; the boilerplate set (df >=
+    threshold) is TINY by definition — a line in >= k distinct docs
+    appears at most |corpus-lines|/k times, so the filter output is
+    bounded and broadcast — making the strip a map-side broadcast
+    anti-join with zero corpus-line shuffle; reassembly groups by
+    doc_id with per-group size bounded by the document's own line
+    count. NULL-text docs contribute no body line on either engine
+    (WHERE text IS NOT NULL = isNotNull); docs stripped to nothing
+    surface as kept_text = '' via the coalesced left joins, never
+    dropped. The fixture's single-line documents get their line
+    structure spliced deterministically (header on doc_id%3, footer on
+    doc_id%4, the dedup_canonical witness idiom), so the witness is
+    provably non-vacuous: header/footer DF is ~n/3 and ~n/4 >> the
+    threshold while every organic line stays under it.
+    """,
+)
+def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip high-document-frequency lines; return the rewritten docs."""
+    docs = table(spark, sf_dir, "documents")
+    header = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.lit(0).alias("line_no"), F.lit(_HDR).alias("line")
+    )
+    body = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.lit(1).alias("line_no"), F.col("text").alias("line")
+    )
+    footer = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.lit(2).alias("line_no"), F.lit(_FTR).alias("line")
+    )
+    # consumed by three subtrees (DF, strip, per-doc totals): checkpoint
+    # once so the documents scan doesn't replay per consumer
+    lines = (
+        header.unionByName(body)
+        .unionByName(footer)
+        .withColumn("h", F.md5("line"))
+        .localCheckpoint(eager=True)
+    )
+    boiler = (
+        lines.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILER_DF)
+        .select("h")
+    )
+    kept = lines.join(F.broadcast(boiler), "h", "left_anti")
+    ka = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+    nl = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    return (
+        docs.select("doc_id")
+        .join(nl, "doc_id", "left")
+        .join(ka, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )

@@ -1258,3 +1258,32 @@ def test_salted_join_rejects_small_side_preserving_modes(spark):
     want = sorted(map(tuple, big.join(small, "k", "left")
                   .select("k", "v", "d").collect()))
     assert got == want
+
+
+def test_boilerplate_strip_invariants(spark, sf_dir):
+    """E114 invariants: every document appears exactly once; spliced
+    header/footer lines are ALWAYS stripped (their DF is ~n/3, ~n/4 >>
+    the threshold) while every organic body line survives (unique
+    texts, DF 1); n_kept + n_stripped reconciles with line counts; a
+    doc stripped to nothing yields kept_text = '' not a dropped row."""
+    from mrs_mapreduce_spark.catalog import table
+    from mrs_mapreduce_spark.llm.curation import _FTR, _HDR
+    from mrs_mapreduce_spark.registry import load_all
+
+    reg = load_all()
+    rows = reg["corpus_boilerplate_strip"].builder(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    assert len(rows) == len(docs)
+    assert {r["doc_id"] for r in rows} == set(docs)
+    for r in rows:
+        did, text = r["doc_id"], docs[r["doc_id"]]
+        n_lines = (did % 3 == 0) + (text is not None) + (did % 4 == 0)
+        assert r["n_lines"] == n_lines
+        # boilerplate always stripped, organic line always kept
+        want = text if text is not None else ""
+        assert r["kept_text"] == want
+        assert r["n_kept"] == (1 if text is not None else 0)
+        assert _HDR not in r["kept_text"] and _FTR not in r["kept_text"]
