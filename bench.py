@@ -211,6 +211,10 @@ EXTRA = [
     "scan_kanonymity",
     "join_asof_tolerance",
     "agg_ttest",
+    # round-11 additions (soft dedup / diversity / boilerplate)
+    "dedup_soft_weights",
+    "corpus_diversity_sample",
+    "corpus_boilerplate_strip",
 ]
 
 #: per-query soft budgets at sf0.1 (seconds): BENCH_r03 medians x ~1.5
