@@ -92,6 +92,13 @@ def build(spark) -> None:
         (mx + 6, "ünïcodé tøkens naïve café", "en", base["source"], 25),
         (mx + 7, "dup dup dup dup", "en", base["source"], 15),
         (mx + 8, "dup dup dup dup", "en", base["source"], 15),
+        # body text IS a boilerplate line (corpus_boilerplate_strip's
+        # injected header/footer): the doc strips to kept_text='' —
+        # the empty-reassembly seam both engines must agree on
+        (mx + 9, "subscribe to our newsletter today", "en",
+         base["source"], 33),
+        (mx + 10, "all rights reserved copyright notice", "en",
+         base["source"], 36),
     ]
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     sdf = spark.createDataFrame(
