@@ -80,3 +80,24 @@ def net4_sql(p: str = "") -> str:
 def rev4_sql(p: str = "") -> str:
     """DuckDB twin of :func:`rev4`."""
     return f"sum({net4_sql(p)})"
+
+
+def safe_corr(x: Column | str, y: Column | str) -> Column:
+    """Pearson correlation that yields NULL (not a crash) at zero variance.
+
+    Under ANSI mode (this engine's default) Spark's ``corr`` THROWS
+    ``DIVIDE_BY_ZERO`` when either input has zero variance over an
+    n >= 2 group, while DuckDB's ``corr`` — every declared oracle —
+    yields NULL (probed live: ``corr`` is the ONLY member of the stat
+    family with this behavior; covar/stddev/var/regr_* are all
+    NULL-or-0-safe). A degenerate group is latent in today's fixtures
+    but one fixture regeneration away from a crashed builder = red
+    driver row, so declared queries use this composed algebraic form:
+    corr = covar_pop / (stddev_pop * stddev_pop) with ``try_divide``
+    supplying the DuckDB NULL. Verified equal to ``F.corr`` at
+    pround-6 repr on every fixture group and against DuckDB directly
+    (pinned by test_safe_corr_parity_and_degenerate).
+    """
+    return F.try_divide(
+        F.covar_pop(x, y), F.stddev_pop(x) * F.stddev_pop(y)
+    )

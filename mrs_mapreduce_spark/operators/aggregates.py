@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..exprs import cents, net4_sql, pround, pround0, rev4, rev4_sql
+from ..exprs import (cents, net4_sql, pround, pround0, rev4, rev4_sql,
+                     safe_corr)
 from ..registry import register
 
 
@@ -238,7 +239,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         pround(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         pround(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        pround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        pround(safe_corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
         pround(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qd"),
         # median over l_quantity (integral values): exact-percentile
         # interpolation on price doubles differs between engines in the
@@ -707,7 +708,7 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     wide = li.agg(
         *[
-            pround(F.corr(x, y), 6).alias(f"{x}__{y}")
+            pround(safe_corr(x, y), 6).alias(f"{x}__{y}")
             for x, y in pairs
         ]
     )

@@ -864,12 +864,28 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate part names (edit distance <= 2) with part counts --
-    fuzzy entity resolution over the distinct-name dictionary."""
+    fuzzy entity resolution over the distinct-name dictionary.
+
+    The declared distance is BYTE-based (UTF-8) edit distance: Spark's
+    ``levenshtein`` counts character edits while DuckDB's counts byte
+    edits ('widgét'→'widget' is 1 char edit but 2 byte edits — a live
+    cross-engine divergence found by probing, latent only while
+    fixture names are ASCII). ONE definition must win; byte distance
+    is computable identically in both engines (latin1-decode of the
+    UTF-8 bytes gives a 1-char-per-byte string, so ``levenshtein``
+    over it IS byte distance), equals char distance on ASCII, and
+    keeps the threshold early-exit. A user wanting char distance on
+    multibyte names swaps the decode(encode(...)) wrapper for the raw
+    column — the plan shape is unchanged.
+    """
     names = (
         table(spark, sf_dir, "part")
         .groupBy("p_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("ln", F.length("p_name"))
+        .withColumn(
+            "nb", F.decode(F.encode("p_name", "UTF-8"), "ISO-8859-1")
+        )
     )
     deltas = F.broadcast(
         spark.range(-2, 3).select(F.col("id").cast("int").alias("d"))
@@ -877,6 +893,7 @@ def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = names.join(deltas).select(
         F.col("p_name"),
         F.col("cnt"),
+        F.col("nb"),
         (F.col("ln") + F.col("d")).alias("probe_ln"),
     )
     cand = probes.alias("a").join(
@@ -887,9 +904,7 @@ def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn(
             "dist",
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2).cast(
-                "long"
-            ),
+            F.levenshtein(F.col("a.nb"), F.col("b.nb"), 2).cast("long"),
         )
         .filter(F.col("dist") >= 0)
         .select(

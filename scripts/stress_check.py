@@ -2,8 +2,9 @@
 
 The r9-r11 package reviews kept finding the same latent classes by hand:
 NULL text, irregular whitespace, same-timestamp ties, NULL JSON props,
-near-zero floats. This script makes that hunt mechanical: it derives a
-STRESS fixture from sf0.001 (same schemas, adversarial rows injected),
+near-zero floats, .005 money-rounding boundaries, byte-vs-char string
+metrics on multibyte names. This script makes that hunt mechanical: it
+derives a STRESS fixture from sf0.001 (same schemas, adversarial rows),
 then runs every registered query's builder against its DuckDB oracle on
 it — any divergence is a latent cross-engine bug the shipped fixtures
 cannot see.
@@ -39,7 +40,7 @@ def build(spark) -> None:
     shutil.rmtree(OUT, ignore_errors=True)
     os.makedirs(OUT, exist_ok=True)
     # unchanged tables: straight copies
-    for t in ("region", "nation", "customer", "supplier", "part",
+    for t in ("region", "nation", "customer", "supplier",
               "orders"):
         src = f"{SRC}/{t}.parquet"
         dst = f"{OUT}/{t}.parquet"
@@ -76,6 +77,32 @@ def build(spark) -> None:
     )
     li.unionByName(bdf).coalesce(1).write.mode("overwrite").parquet(
         f"{OUT}/lineitem.parquet"
+    )
+
+    # part: unicode near-dup names (the byte-vs-char levenshtein seam —
+    # Spark counts char edits, DuckDB counts byte edits; the declared
+    # join_fuzzy_names distance is byte-based so these must agree),
+    # an empty-string name with a 1-edit twin, and a duplicated name
+    # (cnt > 1 through the dictionary aggregate)
+    p = spark.read.parquet(f"{SRC}/part.parquet")
+    pmax = p.agg(F.max("p_partkey")).collect()[0][0]
+    prow = p.limit(1).collect()[0]
+    pext = [
+        ("widgét box", ), ("widget box", ), ("café mug", ),
+        ("cafe mug", ), ("naïve kit", ), ("naive kit", ),
+        ("", ), ("a", ), ("dup name part", ), ("dup name part", ),
+    ]
+    pdf = spark.createDataFrame(
+        [
+            (pmax + 1 + i, name, prow["p_brand"], prow["p_type"],
+             int(prow["p_size"]), float(prow["p_retailprice"]))
+            for i, (name,) in enumerate(pext)
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    p.unionByName(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{OUT}/part.parquet"
     )
 
     # documents: NULL text, empty text, doubled/leading/trailing spaces,

@@ -1287,3 +1287,33 @@ def test_boilerplate_strip_invariants(spark, sf_dir):
         assert r["kept_text"] == want
         assert r["n_kept"] == (1 if text is not None else 0)
         assert _HDR not in r["kept_text"] and _FTR not in r["kept_text"]
+
+
+def test_safe_corr_parity_and_degenerate(spark):
+    """exprs.safe_corr contract: (a) on degenerate input (zero variance,
+    n >= 2) it yields NULL exactly like DuckDB's corr, where ANSI
+    F.corr throws DIVIDE_BY_ZERO; (b) on regular input it equals
+    F.corr at pround-6 repr (same algebraic moments, division order
+    only)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.exprs import pround, safe_corr
+
+    const = spark.createDataFrame(
+        [(1.0, 2.0), (1.0, 3.0)], "x double, y double"
+    )
+    assert const.agg(safe_corr("x", "y")).collect()[0][0] is None
+    assert duckdb.sql(
+        "SELECT corr(x, y) FROM (VALUES (1.0, 2.0), (1.0, 3.0)) t(x, y)"
+    ).fetchall()[0][0] is None
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.uniform(-5, 5), rng.uniform(-5, 5)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = df.agg(
+        pround(safe_corr("x", "y"), 6).alias("s"),
+        pround(F.corr("x", "y"), 6).alias("c"),
+    ).collect()[0]
+    assert repr(got["s"]) == repr(got["c"])
