@@ -101,3 +101,42 @@ def safe_corr(x: Column | str, y: Column | str) -> Column:
     return F.try_divide(
         F.covar_pop(x, y), F.stddev_pop(x) * F.stddev_pop(y)
     )
+
+
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+
+
+def fold_lower(col: Column | str) -> Column:
+    """Byte-stable ASCII case-fold for hash-keyed canonicalization.
+
+    Engine-native ``lower``/``upper`` embed locale-free but
+    CONVENTION-dependent Unicode mappings that differ across engines
+    (probed live: Java/Spark ``lower('İ')`` = ``'i̇'`` (2 chars,
+    combining dot) vs DuckDB/utf8proc ``'i'``; ``upper('ß')`` =
+    ``'SS'`` vs ``'ẞ'``) — so a case-folded md5 KEY built with native
+    functions silently diverges cross-engine on those code points.
+    Dedup keys need bit-stable folding more than they need full
+    Unicode folding: ``translate`` over the 26 ASCII letters is
+    identical in every engine and leaves non-ASCII letters unchanged
+    (two texts differing only in İ/i casing stay distinct — the
+    documented trade; a production multilingual pipeline would apply
+    ONE ICU normalizer in ingest, upstream of any engine function).
+    SQL twin: :func:`fold_lower_sql`.
+    """
+    return F.translate(col, _ASCII_UP, _ASCII_LO)
+
+
+def fold_upper(col: Column | str) -> Column:
+    """ASCII twin of :func:`fold_lower` in the upper direction."""
+    return F.translate(col, _ASCII_LO, _ASCII_UP)
+
+
+def fold_lower_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fold_lower`."""
+    return f"translate({expr}, '{_ASCII_UP}', '{_ASCII_LO}')"
+
+
+def fold_upper_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fold_upper`."""
+    return f"translate({expr}, '{_ASCII_LO}', '{_ASCII_UP}')"

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, table
-from ..exprs import pround
+from ..exprs import fold_lower, fold_upper, pround
 from ..registry import REGISTRY, register
 
 #: number of MinHash permutations and LSH banding layout
@@ -66,11 +66,11 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 @register(
     "dedup_exact",
     oracle="""
-    SELECT md5(lower(trim(text))) AS h,
+    SELECT md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS h,
            min(doc_id) AS keep_id,
            count(*) AS n_copies
     FROM documents
-    GROUP BY md5(lower(trim(text)))
+    GROUP BY md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
     """,
     survey="D1",
     scale="""
@@ -85,7 +85,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate clustering on normalized text hash."""
     d = table(spark, sf_dir, "documents")
     return d.groupBy(
-        F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+        F.md5(fold_lower(F.trim(F.col("text")))).alias("h")
     ).agg(
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
@@ -965,11 +965,11 @@ REGISTRY["dedup_soft_weights"] = REGISTRY["dedup_soft_weights"].__class__(
     "dedup_keep_best",
     oracle="""
     SELECT h, keep_id, n_copies FROM (
-        SELECT md5(lower(trim(text))) AS h,
+        SELECT md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS h,
                doc_id AS keep_id,
-               count(*) OVER (PARTITION BY md5(lower(trim(text))))
+               count(*) OVER (PARTITION BY md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))
                    AS n_copies,
-               row_number() OVER (PARTITION BY md5(lower(trim(text)))
+               row_number() OVER (PARTITION BY md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
                                   ORDER BY n_chars DESC, doc_id) AS rn
         FROM documents)
     WHERE rn = 1
@@ -989,7 +989,7 @@ REGISTRY["dedup_soft_weights"] = REGISTRY["dedup_soft_weights"].__class__(
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep the longest copy per content hash (quality-keeping dedup)."""
     docs = table(spark, sf_dir, "documents")
-    h = F.md5(F.lower(F.trim("text")))
+    h = F.md5(fold_lower(F.trim("text")))
     return (
         docs.select(
             h.alias("h"), "doc_id", "n_chars"
@@ -1011,10 +1011,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_against_corpus",
     oracle="""
-    WITH hist AS (SELECT coalesce(md5(lower(trim(text))),
+    WITH hist AS (SELECT coalesce(md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')),
                                   '__null__' || doc_id) AS h
                   FROM documents WHERE doc_id < 250 GROUP BY 1),
-    batch AS (SELECT doc_id, coalesce(md5(lower(trim(text))),
+    batch AS (SELECT doc_id, coalesce(md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')),
                                       '__null__' || doc_id) AS h
               FROM documents WHERE doc_id >= 250)
     SELECT b.doc_id
@@ -1049,7 +1049,7 @@ def dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never matches NULL (keeping every one) — a latent builder/oracle
     # divergence on any NULL-bearing fixture (r10 dedup review).
     h = F.coalesce(
-        F.md5(F.lower(F.trim(F.col("text")))),
+        F.md5(fold_lower(F.trim(F.col("text")))),
         F.concat(F.lit("__null__"), F.col("doc_id").cast("string")),
     ).alias("h")
     hist = d.filter(F.col("doc_id") < 250).select(h).distinct()
@@ -2442,13 +2442,13 @@ def corpus_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pert AS (
         SELECT doc_id, text AS p FROM documents
         UNION ALL
-        SELECT doc_id + 10000, upper(text) || '!!'
+        SELECT doc_id + 10000, translate(text, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '!!'
         FROM documents WHERE doc_id % 5 = 0
         UNION ALL
         SELECT doc_id + 20000, ' ' || replace(text, ' ', '  ') || '. '
         FROM documents WHERE doc_id % 7 = 0),
     canon AS (SELECT doc_id, p,
-                     trim(regexp_replace(regexp_replace(lower(p),
+                     trim(regexp_replace(regexp_replace(translate(p, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                               '[^a-z0-9 ]', '', 'g'),
                           ' +', ' ', 'g')) AS c
               FROM pert)
@@ -2489,7 +2489,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(
             d.filter(F.col("doc_id") % 5 == 0).select(
                 (F.col("doc_id") + 10000).alias("doc_id"),
-                F.concat(F.upper("text"), F.lit("!!")).alias("p"),
+                F.concat(fold_upper("text"), F.lit("!!")).alias("p"),
             )
         )
         .unionAll(
@@ -2505,7 +2505,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     canon = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower("p"), F.lit("[^a-z0-9 ]"), F.lit("")),
+            F.regexp_replace(fold_lower("p"), F.lit("[^a-z0-9 ]"), F.lit("")),
             F.lit(" +"),
             F.lit(" "),
         )

@@ -920,18 +920,26 @@ def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         arm("view", F.var_samp).alias("v_b"),
     )
     se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
-    df = F.pow(se2, 2) / (
-        F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
-        + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    # try_divide, not /: a zero-variance (or singleton) arm makes the
+    # denominators 0, where ANSI / throws but DuckDB x/0.0 yields NULL
+    # (probed) -- the safe_corr degenerate class
+    df = F.try_divide(
+        F.pow(se2, 2),
+        F.try_divide(
+            F.pow(F.col("v_a") / F.col("n_a"), 2), F.col("n_a") - 1
+        )
+        + F.try_divide(
+            F.pow(F.col("v_b") / F.col("n_b"), 2), F.col("n_b") - 1
+        ),
     )
     return s.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         pround("m_a", 4).alias("mean_a"),
         pround("m_b", 4).alias("mean_b"),
-        pround((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 4).alias(
-            "t_stat"
-        ),
+        pround(
+            F.try_divide(F.col("m_a") - F.col("m_b"), F.sqrt(se2)), 4
+        ).alias("t_stat"),
         pround(df, 2).alias("df"),
     )
 

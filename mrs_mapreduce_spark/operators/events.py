@@ -989,8 +989,12 @@ def events_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     p0 = F.col("c0") * 1.0 / F.col("n0")
     p1 = F.col("c1") * 1.0 / F.col("n1")
     pp = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
-    z = (p0 - p1) / F.sqrt(
-        pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    # try_divide: an all-convert or no-convert pooled rate makes the
+    # denominator 0, where ANSI / throws but DuckDB yields NULL (the
+    # safe_corr degenerate class)
+    z = F.try_divide(
+        p0 - p1,
+        F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
     )
     return wide.select(
         "n0", "c0", "n1", "c1",

@@ -126,6 +126,13 @@ def build(spark) -> None:
          base["source"], 33),
         (mx + 10, "all rights reserved copyright notice", "en",
          base["source"], 36),
+        # the case-fold divergence set (Java/Spark vs utf8proc/DuckDB:
+        # lower('İ') = 'i̇' vs 'i', upper('ß') = 'SS' vs 'ẞ'): any
+        # hash key built with engine-native lower/upper silently
+        # splits on this doc — the fold_lower/fold_upper discipline
+        # (exprs.py) must keep every dedup family green here
+        (mx + 11, "İstanbul Straße ẞ MIXED case", "tr",
+         base["source"], 28),
     ]
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     sdf = spark.createDataFrame(
