@@ -133,6 +133,12 @@ def build(spark) -> None:
         # (exprs.py) must keep every dedup family green here
         (mx + 11, "İstanbul Straße ẞ MIXED case", "tr",
          base["source"], 28),
+        # supplementary-plane chars (4-byte UTF-8, surrogate pairs in
+        # the JVM): exercises Arrow/pandas transfer, md5, ordering —
+        # Spark's UTF8String orders by UTF-8 bytes exactly like
+        # DuckDB (probed r11), so this doc must never split a sort
+        (mx + 12, "emoji 😀 text 🎉 with astral 𝄞 chars", "en",
+         base["source"], 30),
     ]
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     sdf = spark.createDataFrame(
