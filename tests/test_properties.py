@@ -1317,3 +1317,43 @@ def test_safe_corr_parity_and_degenerate(spark):
         pround(F.corr("x", "y"), 6).alias("c"),
     ).collect()[0]
     assert repr(got["s"]) == repr(got["c"])
+
+
+def test_fold_key_parity_on_divergent_codepoints(spark):
+    """The case-fold seam, pinned independently of the stress fixture:
+    engine-native lower() PROVABLY diverges on İ (Java 'i̇' vs utf8proc
+    'i'), so the declared dedup key is the ASCII fold — md5(fold) must
+    agree bit-for-bit between Spark and DuckDB on the divergence set,
+    and the native-lower key must STAY divergent (if engines ever
+    converge, the fold discipline can be revisited)."""
+    import duckdb
+
+    from mrs_mapreduce_spark.exprs import (
+        fold_lower,
+        fold_lower_sql,
+        fold_upper,
+        fold_upper_sql,
+    )
+    from pyspark.sql import functions as F
+
+    texts = ["İstanbul Straße ẞ MIXED case", "ǅungla TITLE", "ΣΙΣΥΦΟΣ",
+             "plain ascii TEXT", "emoji 😀 MiXeD"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = df.select(
+        F.md5(fold_lower("t")).alias("lo"),
+        F.md5(fold_upper("t")).alias("up"),
+        F.md5(F.lower("t")).alias("native"),
+    ).collect()
+    con = duckdb.connect()
+    for t, r in zip(texts, got):
+        lo, up, native = con.execute(
+            f"SELECT md5({fold_lower_sql('?')}),"
+            f" md5({fold_upper_sql('?')}), md5(lower(?))",
+            [t, t, t],
+        ).fetchone()
+        assert r["lo"] == lo, f"fold_lower split on {t!r}"
+        assert r["up"] == up, f"fold_upper split on {t!r}"
+        if "İ" in t or "ẞ" in t:
+            assert r["native"] != native, (
+                f"native lower() converged on {t!r} — revisit fold note"
+            )
