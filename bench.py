@@ -255,6 +255,11 @@ BUDGETS = {
     "dedup_semdedup": 4.5,
     "join_dpp": 1.4,
     "join_range_binned": 1.7,
+    # r11 additions: ~2x observed sf0.1 medians (soft_weights rides the
+    # component label propagation, so it inherits components' host band)
+    "dedup_soft_weights": 13.0,
+    "corpus_diversity_sample": 2.2,
+    "corpus_boilerplate_strip": 1.2,
 }
 
 #: r10 (verdict task #7): the 2x gate only watches sf0.1, so a
