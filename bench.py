@@ -255,9 +255,14 @@ BUDGETS = {
     "dedup_semdedup": 4.5,
     "join_dpp": 1.4,
     "join_range_binned": 1.7,
-    # r11 additions: ~2x observed sf0.1 medians (soft_weights rides the
-    # component label propagation, so it inherits components' host band)
-    "dedup_soft_weights": 13.0,
+    # r11 additions: ~2x observed sf0.1 medians. r12: soft_weights and
+    # dedup_components share ONE memoized component_labels fixpoint per
+    # process (the r11 bench paid identical propagation twice); timed
+    # runs measure the post-labeling aggregates (~0.3 s) and the cold
+    # fixpoint lands in the warmup. Budget covers memoized steady state
+    # with the usual host band — a memo regression (re-propagating per
+    # run) blows straight through it.
+    "dedup_soft_weights": 3.0,
     "corpus_diversity_sample": 2.2,
     "corpus_boilerplate_strip": 1.2,
 }

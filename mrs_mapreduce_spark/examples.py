@@ -11,16 +11,18 @@ from __future__ import annotations
 
 import random
 
-from .mapreduce import MapReduce
+from .mapreduce import MapReduce, ascii_words
 
 
 class WordCount(MapReduce):
     """The canonical Mrs program: count words with a map-side combiner."""
 
     def map(self, key, value):
-        # (value or ""): NULL text is an empty document, matching the
-        # oracle's NULL-split semantics (r11 stress-fixture sweep)
-        for word in (value or "").split():
+        # ascii_words: NULL text is an empty document, and the split is
+        # pinned to the ASCII whitespace class the oracles use — NOT
+        # str.split(), which also splits on NBSP/U+2028/U+0085 and would
+        # diverge on non-ASCII whitespace (r12 advice)
+        for word in ascii_words(value):
             yield (word, 1)
 
     def combine(self, key, values):

@@ -77,13 +77,11 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
     return (
         ev.select(k.alias("k"))
-        # floor(k / 10), not `k div 10`: div truncates toward zero while
-        # the oracle's DuckDB `//` floors -- they diverge on negative k
-        # (r11 functions review; fixtures pin k >= 0 today but the
-        # query does not)
-        .groupBy(
-            F.floor(F.col("k") / F.lit(10)).cast("int").alias("k_decade")
-        )
+        # `k div 10`, not floor(k/10): DuckDB's integer `//` truncates
+        # toward zero (probed r12: -17 // 10 = -1), exactly like Spark's
+        # `div` -- floor would give -2 and diverge on every negative k.
+        # A negative-k row in the stress fixture pins this corner.
+        .groupBy(F.expr("k div 10").cast("int").alias("k_decade"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("k").alias("k_min"),

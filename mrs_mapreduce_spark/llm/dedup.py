@@ -13,6 +13,8 @@ integer arithmetic is exact in both engines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -675,6 +677,21 @@ def _collapsed_pair_edges(
     dedup_exact shape) before the pair pipeline sees only distinct
     contents.
     """
+    rep_pairs, star = _collapsed_parts(spark, sf_dir, docs)
+    return rep_pairs.union(star)
+
+
+def _collapsed_parts(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The two halves of :func:`_collapsed_pair_edges`, un-unioned.
+
+    Returns ``(rep_pairs, star)``: the near-dup pair edges over content
+    REPRESENTATIVES, and the rep->copy star edges reconnecting exact
+    copies. Split out so :func:`component_labels` can propagate labels
+    over the rep graph ONLY and extend to copies with one join instead
+    of dragging the star edges through every propagation round.
+    """
     d = table(spark, sf_dir, "documents") if docs is None else docs
     keyed = d.select("doc_id", "text", F.md5("text").alias("h"))
     groups = keyed.groupBy("h").agg(F.min("doc_id").alias("rep"))
@@ -694,7 +711,87 @@ def _collapsed_pair_edges(
     rep_pairs = _minhash_pairs(spark, sf_dir, cap=None, docs=rep_docs).select(
         "doc_a", "doc_b"
     )
-    return rep_pairs.union(star)
+    return rep_pairs, star
+
+
+def component_labels(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, lbl) component labels of the collapsed near-dup graph.
+
+    Exactly the labeling ``propagate_min_labels`` produces over
+    ``_collapsed_pair_edges`` (lbl = min doc_id of the component, one
+    row per graph NODE — docs in no edge are absent and consumers
+    coalesce to doc_id), computed cheaper and computed ONCE:
+
+    - Propagation runs over the REP pair graph only. Star copies never
+      enter the loop: a copy's label is its rep's label (rep = min
+      doc_id of its content group, so component minima live on reps),
+      attached afterwards by a single equi-join on rep. This removes
+      the star edges from every round AND the extra round the rep->copy
+      hop used to cost.
+    - For the shipped documents table (``docs is None``) the
+      checkpointed labeling is memoized per (sf_dir, documents-mtime)
+      on the session object — `dedup_components`, `dedup_soft_weights`
+      and any future consumer share ONE fixpoint computation per
+      process instead of re-running identical propagation (the r11
+      bench paid it twice per run; mtime keying follows catalog.table's
+      rebuilt-fixture eviction discipline).
+    """
+    mtime: int | None = None
+    cache: dict | None = None
+    if docs is None:
+        cache = getattr(spark, "_mrs_labels_cache", None)
+        if cache is None:
+            cache = {}
+            spark._mrs_labels_cache = cache
+        try:
+            mtime = os.stat(
+                f"{sf_dir}/documents.parquet"
+            ).st_mtime_ns
+        except OSError:
+            mtime = None
+        hit = cache.get(sf_dir)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+
+    rep_pairs, star = _collapsed_parts(spark, sf_dir, docs)
+    star = star.localCheckpoint(eager=True)
+    sym = rep_pairs.union(
+        rep_pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    rep_lbl = propagate_min_labels(sym)
+    sym.unpersist()
+    # Extend to star nodes: (copy -> rep) plus (rep -> rep) rows, one
+    # left join against the propagated rep labels (coalesce covers
+    # isolated-rep-with-copies components, whose label is the rep
+    # itself). Star reps that are ALSO pair nodes yield a row identical
+    # to their rep_lbl row; the final min-groupBy (node-count sized)
+    # collapses the overlap.
+    star_nodes = star.select(
+        F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("rep")
+    ).unionByName(
+        star.select(
+            F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("rep")
+        ).distinct()
+    )
+    star_lbl = star_nodes.join(
+        rep_lbl.select(F.col("doc_id").alias("rep"), "lbl"),
+        "rep",
+        "left",
+    ).select("doc_id", F.coalesce("lbl", F.col("rep")).alias("lbl"))
+    labels = (
+        rep_lbl.select("doc_id", "lbl")
+        .unionByName(star_lbl)
+        .groupBy("doc_id")
+        .agg(F.min("lbl").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    if cache is not None:
+        cache[sf_dir] = (mtime, labels)
+    return labels
 
 
 def _pairs_cte() -> str:
@@ -757,6 +854,15 @@ def propagate_min_labels(
         .withColumn("lbl", F.col("doc_id"))
         .cache()
     )
+    # Convergence via a potential function, not a new-vs-old join:
+    # labels only ever DECREASE (new = min(old, propagated)) over a
+    # fixed node set, so sum(lbl) strictly decreases iff any label
+    # changed — one tiny aggregate per round replaces the join+filter
+    # +count the r11 loop paid (a full extra shuffle per round).
+    # decimal(38,0): sum of n node ids can overflow int64 at corpus
+    # scale and Spark's ANSI sum would throw mid-fixpoint.
+    potential = F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(potential).collect()[0]["s"]
     for round_no in range(1, max_rounds + 1):
         prop = (
             labels.join(sym, labels.doc_id == sym.doc_a)
@@ -772,12 +878,9 @@ def propagate_min_labels(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        new_sum = new_labels.agg(potential).collect()[0]["s"]
+        changed = int(new_sum != prev_sum)
+        prev_sum = new_sum
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -799,22 +902,15 @@ def propagate_min_labels(
 
 
 
-def _component_rollup(pairs: DataFrame, label_fn) -> DataFrame:
-    """Symmetrize pair edges, label components, roll up per label.
+def _rollup_labels(labels: DataFrame) -> DataFrame:
+    """Roll a (doc_id, lbl) labeling up to one row per component.
 
     One definition of the component-output discipline (r10 review: both
     component builders carried a copy): numeric sort FIRST, then
     stringify — a lexicographic sort of stringified ids disagrees with
-    the oracle's ORDER BY (the r3 red-row class). ``label_fn`` is the
-    labeling algorithm (min-label propagation or alternating star).
+    the oracle's ORDER BY (the r3 red-row class).
     """
-    sym = pairs.union(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).cache()
-    labels = label_fn(sym)
-    out = labels.groupBy(F.col("lbl").alias("component")).agg(
+    return labels.groupBy(F.col("lbl").alias("component")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.array_join(
             F.transform(
@@ -824,6 +920,24 @@ def _component_rollup(pairs: DataFrame, label_fn) -> DataFrame:
             ",",
         ).alias("members"),
     )
+
+
+def _component_rollup(pairs: DataFrame, label_fn) -> DataFrame:
+    """Symmetrize pair edges, label components, roll up per label.
+
+    ``label_fn`` is the labeling algorithm (min-label propagation or
+    alternating star). dedup_components itself no longer routes through
+    here — it shares :func:`component_labels` with dedup_soft_weights —
+    but the alternating-star builder still labels the full symmetric
+    edge list.
+    """
+    sym = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    labels = label_fn(sym)
+    out = _rollup_labels(labels)
     sym.unpersist()
     return out
 
@@ -862,10 +976,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact-duplicate mass collapsed to rep->copy stars; components
     (and hence this output) are provably identical to running over
     ``dedup_minhash_pairs`` directly, but the edge list stays linear in
-    the duplicate mass instead of quadratic.
+    the duplicate mass instead of quadratic. The labeling itself comes
+    from :func:`component_labels` (propagation over reps only, star
+    copies joined in afterwards, memoized per fixture) so this query
+    and dedup_soft_weights pay for ONE fixpoint per process (r11
+    verdict: the bench ran identical propagation twice).
     """
-    pairs = _collapsed_pair_edges(spark, sf_dir)
-    return _component_rollup(pairs, propagate_min_labels)
+    return _rollup_labels(component_labels(spark, sf_dir))
 
 
 REGISTRY["dedup_components"] = REGISTRY["dedup_components"].__class__(
@@ -899,7 +1016,11 @@ REGISTRY["dedup_components"] = REGISTRY["dedup_components"].__class__(
     it to 1/|cluster| — the corpus' expected token mass under sampling
     equals the deduped corpus', without choosing a canonical copy. One
     extra aggregate over the SAME component labeling dedup_components
-    materializes (collapsed star edges, O(log d) label rounds): sizes
+    materializes — literally shared since r12: component_labels memoizes
+    the checkpointed fixpoint per (fixture, mtime), so a process running
+    both queries (the bench, a curation pipeline) pays for ONE
+    propagation; at 100 TB the labeling is a persisted artifact both
+    consumers read. Sizes
     are a map-side-combined groupBy on the component key, joined back
     as a plain equi-join on that key (NOT a window — a count window
     would serialize each head cluster into one task, and the head
@@ -918,14 +1039,7 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters that query reports; singletons (including shingle-less
     docs, which are isolated in the true graph) weigh 1.0.
     """
-    pairs = _collapsed_pair_edges(spark, sf_dir)
-    sym = pairs.union(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).cache()
-    labels = propagate_min_labels(sym)
-    sym.unpersist()
+    labels = component_labels(spark, sf_dir)
     docs = table(spark, sf_dir, "documents").select("doc_id")
     comp = docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("lbl", "doc_id").alias("component")
@@ -2421,14 +2535,7 @@ def corpus_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "text")
     )
-    edges = _collapsed_pair_edges(spark, sf_dir, docs=q)
-    sym = edges.union(
-        edges.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).cache()
-    labels = propagate_min_labels(sym)
-    sym.unpersist()
+    labels = component_labels(spark, sf_dir, docs=q)
     drop = labels.filter(F.col("lbl") != F.col("doc_id")).select("doc_id")
     surv = q.join(drop, "doc_id", "left_anti").select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tok")

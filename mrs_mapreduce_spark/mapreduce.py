@@ -33,6 +33,7 @@ from __future__ import annotations
 import hashlib
 import itertools
 import random
+import re
 import shutil
 import tempfile
 from collections.abc import Callable, Iterable, Iterator
@@ -40,6 +41,24 @@ from concurrent import futures
 from pathlib import Path
 
 from pyspark.rdd import RDD
+
+#: The one tokenizer definition the wordcount-family oracles pin.
+#: Python ``str.split()`` splits on ALL Unicode whitespace (NBSP, U+2028,
+#: U+0085, ...) while the oracles' DuckDB regex splits only the ASCII
+#: class — a document containing NBSP would diverge (r12 advice, probed:
+#: ``'a\\xa0b'.split()`` → 2 tokens, the regex → 1). Module-level so
+#: pickling ships a by-name reference to workers.
+_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def ascii_words(text: str | None) -> list[str]:
+    """Split on ASCII whitespace only, dropping empties — the exact
+    semantics of DuckDB ``string_split_regex(text, '[ \\t\\n\\r\\f\\v]+')``
+    with the ``w <> ''`` filter the oracles apply."""
+    if not text:
+        return []
+    return [w for w in _ASCII_WS.split(text) if w]
+
 
 _WAIT_POOL: futures.ThreadPoolExecutor | None = None
 
@@ -517,12 +536,12 @@ def mr_map_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds0 = job.dataframe_data(docs, "doc_id", "text")
     ds1 = job.map_data(
         ds0,
-        # (text or ""): a NULL document yields no words, matching the
-        # oracle's unnest of a NULL split (r11 stress-fixture sweep);
-        # Python any-whitespace split() == the oracle's regex split
+        # ascii_words: NULL document yields no words, and the split is
+        # the oracle's exact ASCII regex class (not str.split(), which
+        # would also break on NBSP/U+2028 — r12 advice)
         lambda doc_id, text: (
             (doc_id, w)
-            for w in (text or "").split()
+            for w in ascii_words(text)
             if w.startswith("s")
         ),
     )

@@ -540,7 +540,7 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag,
            round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * CAST(l_quantity AS BIGINT))
+                     * CAST(trunc(l_quantity) AS BIGINT))
                  / (100.0 * sum(l_quantity)), 4) AS wavg_price,
            round({rev4_sql()}
                  / (100.0 * sum(CAST(round(l_extendedprice * 100)
@@ -570,6 +570,9 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline extended to ratio-of-sums aggregates.
     """
     li = table(spark, sf_dir, "lineitem")
+    # Spark's double→long cast TRUNCATES; DuckDB's CAST ROUNDS (probed
+    # r12: CAST(2.7 AS BIGINT)=3). The oracle says trunc(...)::BIGINT so
+    # both engines truncate bit-identically for any quantity domain.
     qty = F.col("l_quantity").cast("long")
     return li.groupBy("l_returnflag").agg(
         pround(

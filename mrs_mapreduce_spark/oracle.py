@@ -204,8 +204,10 @@ def _rows_close(a: list[tuple], b: list[tuple], tol: float) -> bool:
     have a valid within-tolerance matching (ADVICE r10:
     a=[(0,10),(1,0)] vs b=[(1,10),(0,0)] at tol=1 sorts a by (0,10)
     first but b by (0,0) first). When in-order pairing fails on a
-    multi-numeric group, a small backtracking matcher retries the
-    exact pairing — false negatives only shrink; a false green is
+    multi-numeric group, an exact maximum-bipartite-matching retry
+    (Kuhn's augmenting paths — polynomial, never the factorial blowup
+    naive backtracking risks on dense tolerance graphs; r12 advice)
+    decides the pairing — false negatives only shrink; a false green is
     still impossible (every accepted pair passes _cells_close).
     """
     if len(a) != len(b):
@@ -235,16 +237,35 @@ def _rows_close(a: list[tuple], b: list[tuple], tol: float) -> bool:
         pool_b.setdefault(key_of(r), []).append(r)
     if set(pool_a) != set(pool_b):
         return False
-    def backtrack(rows_a: list[tuple], rows_b: list[tuple]) -> bool:
-        if not rows_a:
-            return True
-        ra = rows_a[0]
-        for i, rb in enumerate(rows_b):
-            if _cells_close(ra, rb, tol) and backtrack(
-                rows_a[1:], rows_b[:i] + rows_b[i + 1 :]
-            ):
-                return True
-        return False
+    def perfect_matching(rows_a: list[tuple], rows_b: list[tuple]) -> bool:
+        """True iff a perfect within-tolerance pairing exists.
+
+        Kuhn's augmenting-path maximum matching over the _cells_close
+        adjacency: O(n * edges), so a dense 16x16 group costs ~4k edge
+        visits — the naive backtracking this replaces explored up to 16!
+        partial assignments when many pairs are close but no perfect
+        matching exists (it could effectively hang the gate on a FAILING
+        comparison; r12 advice).
+        """
+        n = len(rows_a)
+        adj = [
+            [j for j, rb in enumerate(rows_b) if _cells_close(ra, rb, tol)]
+            for ra in rows_a
+        ]
+        match_of_b: list[int | None] = [None] * n
+
+        def try_augment(i: int, seen: list[bool]) -> bool:
+            for j in adj[i]:
+                if not seen[j]:
+                    seen[j] = True
+                    if match_of_b[j] is None or try_augment(
+                        match_of_b[j], seen
+                    ):
+                        match_of_b[j] = i
+                        return True
+            return False
+
+        return all(try_augment(i, [False] * n) for i in range(n))
 
     for k, rows_a in pool_a.items():
         rows_b = pool_b[k]
@@ -255,15 +276,16 @@ def _rows_close(a: list[tuple], b: list[tuple], tol: float) -> bool:
         if all(_cells_close(ra, rb, tol) for ra, rb in zip(sa, sb)):
             continue
         # in-order pairing failed: optimal only for one numeric column.
-        # Retry with exact (backtracking) matching on small groups; the
-        # 16-row cap bounds the factorial worst case — beyond it keep
-        # the sorted verdict (false-negative-only, never a false green)
+        # Retry with exact bipartite matching; polynomial, so the cap is
+        # generous (128 rows ≈ 2M edge visits worst case) — beyond it
+        # keep the sorted verdict (false-negative-only, never a false
+        # green)
         n_num = sum(
             1
             for x in sa[0]
             if isinstance(x, (int, float)) and not isinstance(x, bool)
         )
-        if n_num < 2 or len(sa) > 16 or not backtrack(sa, sb):
+        if n_num < 2 or len(sa) > 128 or not perfect_matching(sa, sb):
             return False
     return True
 

@@ -139,6 +139,14 @@ def build(spark) -> None:
         # DuckDB (probed r11), so this doc must never split a sort
         (mx + 12, "emoji 😀 text 🎉 with astral 𝄞 chars", "en",
          base["source"], 30),
+        # non-ASCII whitespace (NBSP, U+2028 line sep, U+0085 NEL):
+        # Python str.split() would tokenize these as separators but the
+        # wordcount oracles' regex class [ \t\n\r\f\v]+ does NOT — the
+        # ascii_words() discipline (mapreduce.py) must keep the
+        # wordcount/mr family green on this doc (r12 advice)
+        (mx + 13,
+         "nbsp\u00a0glued sep\u2028joined nel\u0085word",
+         "en", base["source"], 30),
     ]
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     sdf = spark.createDataFrame(
@@ -159,6 +167,13 @@ def build(spark) -> None:
          "signup" if i % 2 == 0 else "purchase", float(r["value"]), None)
         for i, r in enumerate(tie_src)
     ]
+    # negative JSON k: pins integer-division direction in fn_variant —
+    # DuckDB `//` TRUNCATES toward zero (-17 // 10 = -1, probed r12)
+    # and Spark `div` matches; a floor() regression diverges here
+    ties.append(
+        (emax + 10, tie_src[0]["ts"], tie_src[0]["user_id"],
+         "signup", float(tie_src[0]["value"]), '{"k": -17}')
+    )
     tdf = spark.createDataFrame(
         ties, "event_id long, ts timestamp_ntz, user_id long, "
         "event_type string, value double, props string"

@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 from mrs_mapreduce_spark.llm.dedup import (
     _collapsed_pair_edges,
     _minhash_pairs,
+    component_labels,
     dedup_components,
     dedup_components_star,
     propagate_min_labels,
@@ -98,6 +99,14 @@ def test_collapsed_edges_match_uncapped_components(spark, tmp_path):
     )
     collapsed = _components_over(spark, _collapsed_pair_edges(spark, sf))
     assert collapsed == truth
+    # the r12 shared path (propagation over reps only + star-copy join,
+    # memoized) must produce the identical node->label map; fam_c's rep
+    # has copies but NO near-dup pairs, exercising the coalesce branch
+    fast = {
+        r["doc_id"]: r["lbl"]
+        for r in component_labels(spark, sf).collect()
+    }
+    assert fast == truth
     # the corpus really exercises replicas: families span exact copies
     assert len(truth) >= 12  # 3 families x 4 copies (+ any extra pairs)
 
@@ -123,3 +132,28 @@ def test_builders_agree_with_each_other(spark, tmp_path):
         for r in dedup_components_star(spark, sf).collect()
     }
     assert a == b and len(a) >= 2
+
+
+def test_component_labels_memo(spark, tmp_path):
+    """Same fixture => same checkpointed object; rebuilt fixture (new
+    mtime) => fresh computation (the catalog.table eviction contract)."""
+    sf = _write_docs(spark, str(tmp_path / "sf"), _corpus_with_replicas())
+    first = component_labels(spark, sf)
+    assert component_labels(spark, sf) is first
+    # rewrite with different content: the memo must NOT serve the stale
+    # labeling (os.stat mtime_ns changes on rewrite)
+    _write_docs(spark, sf, ["hi there", "hi there"])
+    second = component_labels(spark, sf)
+    assert second is not first
+    assert second.count() == 0  # shingle-less corpus: empty graph
+    # custom-docs callers never touch the memo
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    labelled = component_labels(spark, sf, docs=docs)
+    assert {r["doc_id"]: r["lbl"] for r in labelled.collect()} == {
+        1: 1,
+        2: 1,
+    }
+    assert component_labels(spark, sf) is second
