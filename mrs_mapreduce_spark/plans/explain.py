@@ -33,4 +33,26 @@ def plan_flags(df: DataFrame) -> dict[str, bool]:
         "has_exchange": "Exchange" in plan,
         "cartesian": "CartesianProduct" in plan,
         "python_eval": "BatchEvalPython" in plan or "ArrowEvalPython" in plan,
+        # Arrow-batched Python stages (vectorized, columnar transfer) —
+        # the DECLARED slow-path tier between pure-JVM codegen and
+        # row-at-a-time BatchEvalPython. Flagged separately so a Python
+        # stage sneaking into a hot path is visible in the PLANS matrix
+        # (r11 verdict: the multimodal family and dedup_semdedup's BLAS
+        # kernel legitimately run Arrow stages but were invisible).
+        "arrow_stage": any(
+            node in plan
+            for node in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+                "FlatMapCoGroupsInPandas",
+                "MapInArrow",
+                "FlatMapGroupsInArrow",
+                # Spark 4 node names for pandas UDAF / window stages
+                "ArrowAggregatePython",
+                "ArrowWindowPython",
+                "AggregateInPandas",
+                "WindowInPandas",
+            )
+        ),
     }

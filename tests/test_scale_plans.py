@@ -546,3 +546,30 @@ def test_gapfill_queries_scan_events_once(spark, sf_dir):
     for name in ("events_gapfill", "events_fill_forward"):
         plan = _plan(spark, sf_dir, name)
         assert plan.count("FileScan") == 0, (name, plan)
+
+
+def test_arrow_stage_flag_matches_known_queries(spark, sf_dir):
+    """The PLANS matrix `arrow` column (r11 verdict task): Arrow-batched
+    Python stages are DECLARED per query, so a Python stage sneaking
+    into a pure-JVM hot path turns up as a flag diff here before it
+    costs anything at scale. Positives are the known Arrow consumers
+    (multimodal decode family, the Arrow UDF demos); negatives are the
+    flagship JVM-only paths."""
+    from mrs_mapreduce_spark.plans import plan_flags
+
+    reg = load_all()
+
+    def flags(name):
+        return plan_flags(reg[name].builder(spark, sf_dir))
+
+    for name in (
+        "multimodal_decode",
+        "python_udf_arrow",
+        "pandas_udaf",
+        "arrow_grouped_map",
+    ):
+        assert flags(name)["arrow_stage"], name
+    for name in ("groupby_agg", "join_inner", "tpch_q6", "dedup_exact"):
+        fl = flags(name)
+        assert not fl["arrow_stage"], name
+        assert not fl["python_eval"], name
