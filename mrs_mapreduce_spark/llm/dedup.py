@@ -134,16 +134,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sig(table(spark, sf_dir, "documents"))
 
 
-def _minhash_sig(d: DataFrame) -> DataFrame:
-    """dedup_minhash's signature pipeline over an arbitrary (doc_id, text)
-    frame — shared with the collapsed-edge components path, which runs it
-    over one representative per distinct content instead of the corpus."""
+def _sig_wide(d: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15): one row per doc, minhash per seed as columns."""
     sh_sets = shingles(d)
     n = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long") % _P
     hs = F.array(
         *[(F.lit(_A[i]) * n + F.lit(_B[i])) % _P for i in range(_SEEDS)]
     )
-    sig_wide = (
+    return (
         sh_sets.select("doc_id", hs.alias("hs"))
         .groupBy("doc_id")
         .agg(
@@ -153,11 +151,51 @@ def _minhash_sig(d: DataFrame) -> DataFrame:
             ]
         )
     )
+
+
+def _sig_long(sig_wide: DataFrame) -> DataFrame:
+    """Wide signature -> the declared (doc_id, seed, minhash) format."""
     return sig_wide.select(
         "doc_id",
         F.posexplode(
             F.array(*[F.col(f"h{i}") for i in range(_SEEDS)])
         ).alias("seed", "minhash"),
+    )
+
+
+def _minhash_sig(d: DataFrame) -> DataFrame:
+    """dedup_minhash's signature pipeline over an arbitrary (doc_id, text)
+    frame — shared with the collapsed-edge components path, which runs it
+    over one representative per distinct content instead of the corpus."""
+    return _sig_long(_sig_wide(d))
+
+
+def _bands_of(sig_wide: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) derived from the WIDE signature row by a
+    pure projection — the seed-ordered minhashes of band b are columns
+    h_{4b}..h_{4b+3}, so the band key (md5 of their ','-joined decimal
+    strings) needs NO groupBy: this produces byte-identical keys to
+    ``_band_keys`` over the long format while removing one full shuffle
+    (+ a per-group sort) from every banding consumer (r12)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * _ROWS_PER_BAND + j}").cast("string")
+                            for j in range(_ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    return sig_wide.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
     )
 
 
@@ -230,7 +268,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fam.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
         "doc_id",
     )
-    rp = _minhash_pairs(spark, sf_dir, cap=None, docs=rep_docs)
+    rp = _minhash_pairs(spark, sf_dir, cap=None, docs=rep_docs, collapsed=True)
     cross = _expand_cross(rp, fam, ordered=False)
     # within-family: copies share identical shingle sets -> Jaccard 1.0,
     # always bucketed together (identical signatures); <3-word contents
@@ -299,6 +337,8 @@ def _verify_pairs(
     docs_a: DataFrame,
     docs_b: DataFrame | None = None,
     threshold: float = 0.5,
+    hsets_a: DataFrame | None = None,
+    hsets_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (shared stage).
 
@@ -321,23 +361,33 @@ def _verify_pairs(
     to fix a stats lie.
 
     ``docs_b`` None = self-join form (both pair sides from ``docs_a``).
+
+    ``hsets_a``/``hsets_b``: precomputed (doc_id, h) distinct shingle-hash
+    relations (normally a checkpoint the caller shares with the signature
+    pipeline — see _minhash_pairs' collapsed path). When absent they are
+    derived lazily from the docs, so the raw-corpus paths keep the
+    never-materialize discipline above.
+
+    r12: ``na`` is FREE in the intersection aggregation — the sa join
+    explodes each candidate pair by ALL of a's shingles and the sb side
+    is distinct per (doc_id, h), so count(*) per (doc_a, doc_b) group IS
+    a's set size. That removes one of the two sizes joins (and one whole
+    ssets subtree instance) from every verify plan.
     """
-    ssets_a = (
+    ssets_a = hsets_a if hsets_a is not None else (
         shingles(docs_a).select("doc_id", F.md5("sh").alias("h")).distinct()
     )
-    ssets_b = (
-        ssets_a
-        if docs_b is None
-        else shingles(docs_b)
-        .select("doc_id", F.md5("sh").alias("h"))
-        .distinct()
-    )
-    sizes_a = ssets_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sizes_b = (
-        sizes_a
-        if docs_b is None
-        else ssets_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    )
+    if docs_b is None:
+        ssets_b = ssets_a
+    elif hsets_b is not None:
+        ssets_b = hsets_b
+    else:
+        ssets_b = (
+            shingles(docs_b)
+            .select("doc_id", F.md5("sh").alias("h"))
+            .distinct()
+        )
+    sizes_b = ssets_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(
             ssets_a.alias("sa").hint("merge"),
@@ -350,16 +400,13 @@ def _verify_pairs(
             "left",
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.col("sb.h")).alias("inter_n"))
+        .agg(
+            F.count(F.col("sb.h")).alias("inter_n"),
+            F.count(F.lit(1)).alias("na"),
+        )
     )
     verified = (
         inter.join(
-            sizes_a.select(
-                F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
-            ).hint("merge"),
-            "doc_a",
-        )
-        .join(
             sizes_b.select(
                 F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
             ).hint("merge"),
@@ -373,21 +420,70 @@ def _verify_pairs(
     )
 
 
+def _sig_wide_from_hsets(hsets: DataFrame) -> DataFrame:
+    """Wide signature over a precomputed DISTINCT (doc_id, h) relation.
+
+    min is idempotent, so the per-(doc, seed) minimum over the distinct
+    shingle-hash set equals the minimum over the raw shingle multiset —
+    the signatures are identical to ``_sig_wide(docs)``, but the
+    shingle explode + md5 run ZERO times here (they ran once, into the
+    caller's checkpoint)."""
+    n = F.conv(F.substring("h", 1, 15), 16, 10).cast("long") % _P
+    hs = F.array(
+        *[(F.lit(_A[i]) * n + F.lit(_B[i])) % _P for i in range(_SEEDS)]
+    )
+    return (
+        hsets.select("doc_id", hs.alias("hs"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.element_at("hs", i + 1)).alias(f"h{i}")
+                for i in range(_SEEDS)
+            ]
+        )
+    )
+
+
 def _minhash_pairs(
     spark: SparkSession,
     sf_dir: str,
     cap: int | None,
     docs: DataFrame | None = None,
+    collapsed: bool = False,
 ) -> DataFrame:
     """Shared LSH pipeline; ``cap`` drops buckets with more members
     (boilerplate guard — see dedup_minhash_capped). ``docs`` overrides the
     corpus (the collapsed-edge components path passes distinct-content
-    representatives)."""
+    representatives).
+
+    ``collapsed=True`` (callers passing exact-duplicate-collapsed rep
+    docs): the distinct (doc_id, shingle-md5) relation is materialized
+    ONCE and shared by the signature pipeline and both verify sides —
+    the r11 plan ran the shingle explode + distinct subtree 4x (sig,
+    sa, sb, sizes). Safe to materialize HERE because collapse already
+    bounded the relation by distinct-content mass; the raw-corpus path
+    (the capped boilerplate guard) keeps the lazy form — an eager ssets
+    over a replica-heavy corpus is the measured OOM the _verify_pairs
+    docstring records.
+    """
     d = table(spark, sf_dir, "documents") if docs is None else docs
-    # both sides of the bucket self-join read bands: materialize the
-    # narrow (doc, band, 16-byte key) relation once instead of running
-    # the whole shingle->signature pipeline twice (2 fewer corpus scans)
-    bands = _band_keys(_minhash_sig(d)).localCheckpoint(eager=True)
+    hsets = None
+    if collapsed:
+        hsets = (
+            shingles(d)
+            .select("doc_id", F.md5("sh").alias("h"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        bands = _bands_of(_sig_wide_from_hsets(hsets)).localCheckpoint(
+            eager=True
+        )
+    else:
+        # both sides of the bucket self-join read bands: materialize the
+        # narrow (doc, band, 16-byte key) relation once instead of
+        # running the whole shingle->signature pipeline twice (2 fewer
+        # corpus scans)
+        bands = _bands_of(_sig_wide(d)).localCheckpoint(eager=True)
     if cap is not None:
         from pyspark.sql.window import Window
 
@@ -402,7 +498,7 @@ def _minhash_pairs(
             .drop("_bc")
         )
     cand = _lsh_candidates(bands)
-    return _verify_pairs(cand, d)
+    return _verify_pairs(cand, d, hsets_a=hsets)
 
 
 @register(
@@ -708,7 +804,9 @@ def _collapsed_parts(
     rep_docs = joined.filter(F.col("doc_id") == F.col("rep")).select(
         "doc_id", "text"
     )
-    rep_pairs = _minhash_pairs(spark, sf_dir, cap=None, docs=rep_docs).select(
+    rep_pairs = _minhash_pairs(
+        spark, sf_dir, cap=None, docs=rep_docs, collapsed=True
+    ).select(
         "doc_a", "doc_b"
     )
     return rep_pairs, star
@@ -722,7 +820,7 @@ def component_labels(
     Exactly the labeling ``propagate_min_labels`` produces over
     ``_collapsed_pair_edges`` (lbl = min doc_id of the component, one
     row per graph NODE — docs in no edge are absent and consumers
-    coalesce to doc_id), computed cheaper and computed ONCE:
+    coalesce to doc_id), computed cheaper:
 
     - Propagation runs over the REP pair graph only. Star copies never
       enter the loop: a copy's label is its rep's label (rep = min
@@ -730,68 +828,63 @@ def component_labels(
       attached afterwards by a single equi-join on rep. This removes
       the star edges from every round AND the extra round the rep->copy
       hop used to cost.
-    - For the shipped documents table (``docs is None``) the
-      checkpointed labeling is memoized per (sf_dir, documents-mtime)
-      on the session object — `dedup_components`, `dedup_soft_weights`
-      and any future consumer share ONE fixpoint computation per
-      process instead of re-running identical propagation (the r11
-      bench paid it twice per run; mtime keying follows catalog.table's
-      rebuilt-fixture eviction discipline).
-    """
-    mtime: int | None = None
-    cache: dict | None = None
-    if docs is None:
-        cache = getattr(spark, "_mrs_labels_cache", None)
-        if cache is None:
-            cache = {}
-            spark._mrs_labels_cache = cache
-        try:
-            mtime = os.stat(
-                f"{sf_dir}/documents.parquet"
-            ).st_mtime_ns
-        except OSError:
-            mtime = None
-        hit = cache.get(sf_dir)
-        if hit is not None and hit[0] == mtime:
-            return hit[1]
+    - The symmetric edge list is built by a 2-way explode of the pair
+      relation, not a union of it with its swap: a union's two branches
+      each re-run the whole LSH verify subtree when the cache
+      materializes (Spark has no cross-branch common-subplan dedup), so
+      the explode halves the pair-pipeline work behind the cache.
+    - The three output slices — pair-graph reps, star copies, star reps
+      outside the pair graph — are DISJOINT by construction (a copy is
+      never a rep; a star rep lands in rep_lbl or in the anti-join
+      slice, never both), so they union without the node-level
+      min-groupBy shuffle the r11 path paid to collapse overlaps.
 
+    Recomputed per call: every query invocation computes from the
+    parquet inputs (no cross-query memo — a timed bench run pays the
+    full fixpoint, r12 optimization-round rule). At 100 TB the labeling
+    is a persisted artifact consumers read, maintained incrementally
+    per ingest batch — never recomputed per downstream query.
+    """
     rep_pairs, star = _collapsed_parts(spark, sf_dir, docs)
-    star = star.localCheckpoint(eager=True)
-    sym = rep_pairs.union(
+    sym = (
         rep_pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a"), F.col("doc_b")),
+                    F.struct(
+                        F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b"),
+                    ),
+                )
+            ).alias("e")
         )
-    ).cache()
+        .select("e.doc_a", "e.doc_b")
+        .cache()
+    )
     rep_lbl = propagate_min_labels(sym)
     sym.unpersist()
-    # Extend to star nodes: (copy -> rep) plus (rep -> rep) rows, one
-    # left join against the propagated rep labels (coalesce covers
-    # isolated-rep-with-copies components, whose label is the rep
-    # itself). Star reps that are ALSO pair nodes yield a row identical
-    # to their rep_lbl row; the final min-groupBy (node-count sized)
-    # collapses the overlap.
-    star_nodes = star.select(
-        F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("rep")
-    ).unionByName(
+    # Star copies: one equi-join on rep; coalesce covers components
+    # whose rep has copies but no near-dup pairs (isolated star).
+    copies = (
         star.select(
-            F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("rep")
-        ).distinct()
+            F.col("doc_a").alias("rep"), F.col("doc_b").alias("doc_id")
+        )
+        .join(rep_lbl.select(F.col("doc_id").alias("rep"), "lbl"), "rep", "left")
+        .select("doc_id", F.coalesce("lbl", F.col("rep")).alias("lbl"))
     )
-    star_lbl = star_nodes.join(
-        rep_lbl.select(F.col("doc_id").alias("rep"), "lbl"),
-        "rep",
-        "left",
-    ).select("doc_id", F.coalesce("lbl", F.col("rep")).alias("lbl"))
-    labels = (
+    # Star reps absent from the pair graph label themselves.
+    lone_reps = (
+        star.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .join(rep_lbl.select("doc_id"), "doc_id", "anti")
+        .select("doc_id", F.col("doc_id").alias("lbl"))
+    )
+    return (
         rep_lbl.select("doc_id", "lbl")
-        .unionByName(star_lbl)
-        .groupBy("doc_id")
-        .agg(F.min("lbl").alias("lbl"))
+        .unionByName(copies)
+        .unionByName(lone_reps)
         .localCheckpoint(eager=True)
     )
-    if cache is not None:
-        cache[sf_dir] = (mtime, labels)
-    return labels
 
 
 def _pairs_cte() -> str:
@@ -847,11 +940,22 @@ def propagate_min_labels(
     run, and ``max_rounds`` is a loud-failure guard — an
     iteration-capped result silently presented as components would be a
     correctness bug, so non-convergence raises instead of returning.
+
+    Initialization is the one-hop neighborhood min — lbl0(v) =
+    min(v, min neighbor) via ONE groupBy over the edge list — which is
+    exactly what the first join round used to produce, at a third of
+    its cost (no join, no union, no node-distinct shuffle). Dense
+    near-dup cliques (the common case: LSH buckets connect all
+    members) reach the fixpoint AT init, so the loop's first round is
+    already the confirming one.
     """
     labels = (
-        sym.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("lbl", F.col("doc_id"))
+        sym.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("_nb"))
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.least(F.col("doc_a"), F.col("_nb")).alias("lbl"),
+        )
         .cache()
     )
     # Convergence via a potential function, not a new-vs-old join:
@@ -929,13 +1033,25 @@ def _component_rollup(pairs: DataFrame, label_fn) -> DataFrame:
     alternating star). dedup_components itself no longer routes through
     here — it shares :func:`component_labels` with dedup_soft_weights —
     but the alternating-star builder still labels the full symmetric
-    edge list.
+    edge list. Symmetrization is a 2-way explode, not union-with-swap:
+    a union's branches each re-run the pair pipeline when the cache
+    materializes (component_labels' discipline).
     """
-    sym = pairs.union(
+    sym = (
         pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a"), F.col("doc_b")),
+                    F.struct(
+                        F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b"),
+                    ),
+                )
+            ).alias("e")
         )
-    ).cache()
+        .select("e.doc_a", "e.doc_b")
+        .cache()
+    )
     labels = label_fn(sym)
     out = _rollup_labels(labels)
     sym.unpersist()
@@ -978,9 +1094,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_pairs`` directly, but the edge list stays linear in
     the duplicate mass instead of quadratic. The labeling itself comes
     from :func:`component_labels` (propagation over reps only, star
-    copies joined in afterwards, memoized per fixture) so this query
-    and dedup_soft_weights pay for ONE fixpoint per process (r11
-    verdict: the bench ran identical propagation twice).
+    copies joined in afterwards) — the same definition
+    dedup_soft_weights consumes, so the two queries can never report
+    different clusterings.
     """
     return _rollup_labels(component_labels(spark, sf_dir))
 
@@ -1015,19 +1131,19 @@ REGISTRY["dedup_components"] = REGISTRY["dedup_components"].__class__(
     curation keeps every member of a near-dup cluster and DOWN-WEIGHTS
     it to 1/|cluster| — the corpus' expected token mass under sampling
     equals the deduped corpus', without choosing a canonical copy. One
-    extra aggregate over the SAME component labeling dedup_components
-    materializes — literally shared since r12: component_labels memoizes
-    the checkpointed fixpoint per (fixture, mtime), so a process running
-    both queries (the bench, a curation pipeline) pays for ONE
-    propagation; at 100 TB the labeling is a persisted artifact both
-    consumers read. Sizes
-    are a map-side-combined groupBy on the component key, joined back
-    as a plain equi-join on that key (NOT a window — a count window
-    would serialize each head cluster into one task, and the head
-    cluster is exactly where dedup matters; the shuffle join gets AQE
-    skew splitting for free). Non-clustered docs keep weight 1.0 via
-    the left join's coalesce. At 100 TB the weight column persists next
-    to the corpus and the sampler consumes it directly.
+    extra aggregate over the SAME component labeling definition
+    dedup_components reports (shared :func:`component_labels`); at
+    100 TB the labeling is a persisted artifact both consumers read.
+    Sizes are a map-side-combined groupBy over the LABELED mass only
+    (labels cover every node of every cluster, and label-clusters have
+    >= 2 members, so label counts ARE cluster sizes — the corpus-sized
+    per-doc groupBy the r11 plan paid is redundant), joined back as a
+    plain equi-join on the component key (NOT a window — a count
+    window would serialize each head cluster into one task, and the
+    head cluster is exactly where dedup matters; the shuffle join gets
+    AQE skew splitting for free). Non-clustered docs keep weight 1.0
+    via the left joins' coalesces. At 100 TB the weight column
+    persists next to the corpus and the sampler consumes it directly.
     """,
 )
 def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,18 +1156,29 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, which are isolated in the true graph) weigh 1.0.
     """
     labels = component_labels(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    comp = docs.join(labels, "doc_id", "left").select(
-        "doc_id", F.coalesce("lbl", "doc_id").alias("component")
-    )
-    sizes = comp.groupBy("component").agg(
+    # Label counts ARE cluster sizes: labels carry one row per graph
+    # node, a cluster's docs are exactly its nodes, and every labeled
+    # cluster has >= 2 members — so sizes aggregate over the labeled
+    # mass only, never the corpus. Docs without a label are singletons
+    # (size 1, weight 1.0) via the left joins' coalesces.
+    sizes = labels.groupBy(F.col("lbl").alias("component")).agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
-    return comp.join(sizes, "component").select(
-        "doc_id",
-        "component",
-        "cluster_size",
-        pround(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("component"))
+        .join(sizes, "component", "left")
+        .select(
+            "doc_id",
+            "component",
+            F.coalesce("cluster_size", F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+            pround(F.lit(1.0) / F.coalesce("cluster_size", F.lit(1)), 6).alias(
+                "weight"
+            ),
+        )
     )
 
 
@@ -1278,8 +1405,8 @@ def _minhash_probe(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     of a corpus self-join — in production the corpus side is the
     persisted index relation and only the batch side is computed.
     """
-    b_bands = _band_keys(_minhash_sig(batch)).localCheckpoint(eager=True)
-    c_bands = _band_keys(_minhash_sig(corpus)).localCheckpoint(eager=True)
+    b_bands = _bands_of(_sig_wide(batch)).localCheckpoint(eager=True)
+    c_bands = _bands_of(_sig_wide(corpus)).localCheckpoint(eager=True)
     cand = _lsh_candidates(b_bands, c_bands)
     # verify via the shared stage (same merge-hint discipline; see
     # _verify_pairs)
@@ -1322,7 +1449,7 @@ def _lsh_index_table(spark: SparkSession, sf_dir: str) -> str:
     if hit is not None:
         shutil.rmtree(hit[1], ignore_errors=True)
     d = table(spark, sf_dir, "documents")
-    idx_df = _band_keys(_minhash_sig(d.filter(F.col("doc_id") < 250))).select(
+    idx_df = _bands_of(_sig_wide(d.filter(F.col("doc_id") < 250))).select(
         F.col("doc_id").alias("corpus_id"), "band", "band_key"
     )
     base = tempfile.mkdtemp(prefix="mrs_lshidx_")
@@ -1392,8 +1519,8 @@ def sink_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     it with the batch's in-flight bands; return candidate doc pairs."""
     tbl = _lsh_index_table(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
-    b_bands = _band_keys(
-        _minhash_sig(d.filter(F.col("doc_id") >= 250))
+    b_bands = _bands_of(
+        _sig_wide(d.filter(F.col("doc_id") >= 250))
     ).select(F.col("doc_id").alias("batch_id"), "band", "band_key")
     return (
         b_bands.join(spark.table(tbl), ["band", "band_key"])

@@ -298,14 +298,17 @@ def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale="""
 The sketch composed into a join — the runtime-filter pattern: the
     ~1.5k high-value orderkeys hash (pure int64 universal hash, no md5 —
-    the key is already an integer) into a 16384-bit set computed once
-    (eager localCheckpoint) and probed by three broadcast semi-joins of
-    codegen'd O(1) arithmetic, so only ~1-2% false positives plus true
-    matches survive to the exact broadcast semi-join that removes the
-    false positives. Result is EXACTLY the plain semi-join at any m/k.
-    At 100 TB the bit relation is KBs while the avoided shuffle is the
-    fact table; keep the bit set relational (not a literal IN-list — a
-    4k-value literal bloated plan compile time 3x, measured).
+    the key is already an integer) into a 16384-bit set PACKED into one
+    2 KB bitmap row (word index -> 64-bit word via bit_or, r12 — a real
+    Bloom filter, not a bit relation), broadcast once; membership is
+    codegen'd shift/mask arithmetic in the scan filter, so the probe
+    costs ZERO joins (the r11 plan paid three broadcast semi-joins for
+    the same predicate). Only ~1-2% false positives plus true matches
+    survive to the exact broadcast semi-join that removes the false
+    positives. Result is EXACTLY the plain semi-join at any m/k. At
+    100 TB the bitmap is KBs while the avoided shuffle is the fact
+    table; keep the bit set an aggregate, not a literal IN-list — a
+    4k-value literal bloated plan compile time 3x, measured.
     """,
 )
 def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,32 +329,56 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_K)
         ]
 
-    bits = (
+    # the bloom as data: (word index -> 64-bit word) map in ONE row —
+    # bit_or dedups probe collisions for free, map_from_entries keeps
+    # absent words NULL (coalesced to 0 at probe time)
+    bitmap = (
         big.select(
             F.explode(F.array(*probes(F.col("o_orderkey")))).alias("bit")
         )
-        .distinct()
-        .localCheckpoint(eager=True)  # computed once, broadcast 3 times
-    )
-    pruned = fan_out(li).select(
-        "l_orderkey",
-        "l_quantity",
-        "l_returnflag",
-        *[p.alias(f"p{i}") for i, p in enumerate(probes(F.col("l_orderkey")))],
-    )
-    for i in range(_K):
-        b_i = bits.select(F.col("bit").alias(f"bit{i}"))
-        pruned = pruned.join(
-            F.broadcast(b_i), F.col(f"p{i}") == F.col(f"bit{i}"), "semi"
+        .groupBy(F.expr("cast(bit div 64 as int)").alias("wi"))
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, cast(bit % 64 as int))")).alias(
+                "wd"
+            )
         )
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("wi", "wd")))
+            ).alias("bm")
+        )
+    )
+    pruned = (
+        fan_out(li)
+        .select(
+            "l_orderkey",
+            "l_quantity",
+            "l_returnflag",
+            *[
+                p.alias(f"p{i}")
+                for i, p in enumerate(probes(F.col("l_orderkey")))
+            ],
+        )
+        .crossJoin(F.broadcast(bitmap))
+    )
+    member = None
+    for i in range(_K):
+        c = F.expr(
+            f"(shiftright(coalesce(element_at(bm, cast(p{i} div 64 as int)),"
+            f" 0L), cast(p{i} % 64 as int)) & 1) = 1"
+        )
+        member = c if member is None else (member & c)
+    pruned = pruned.filter(member).drop(
+        "bm", *[f"p{i}" for i in range(_K)]
+    )
     return (
         # no hard hint on the exact build side: `big` is a filtered fact
         # aggregate that scales with orders. It is localCheckpoint'd, so
         # the planner sees its MEASURED size and broadcasts it while it
         # fits (it does at every fixture tier — the plan pin holds
         # unhinted); past the threshold the bloom pre-filter still pays
-        # and the exact join degrades to a shuffle. The bit relation
-        # keeps its hints — bounded by the sketch parameter m.
+        # and the exact join degrades to a shuffle. The bitmap keeps
+        # its explicit broadcast — one row, bounded by m.
         pruned.join(big, pruned.l_orderkey == big.o_orderkey)
         .groupBy("l_returnflag")
         .agg(

@@ -134,19 +134,18 @@ def test_builders_agree_with_each_other(spark, tmp_path):
     assert a == b and len(a) >= 2
 
 
-def test_component_labels_memo(spark, tmp_path):
-    """Same fixture => same checkpointed object; rebuilt fixture (new
-    mtime) => fresh computation (the catalog.table eviction contract)."""
+def test_component_labels_recompute_per_call(spark, tmp_path):
+    """No cross-call memo (r12 optimization-round rule: every
+    invocation computes from the parquet inputs): a rebuilt fixture is
+    reflected immediately, and the custom-docs path labels exact
+    copies through the star slice."""
     sf = _write_docs(spark, str(tmp_path / "sf"), _corpus_with_replicas())
     first = component_labels(spark, sf)
-    assert component_labels(spark, sf) is first
-    # rewrite with different content: the memo must NOT serve the stale
-    # labeling (os.stat mtime_ns changes on rewrite)
+    assert first.count() >= 12
+    # rewrite with different content: the fresh call must see it
     _write_docs(spark, sf, ["hi there", "hi there"])
-    second = component_labels(spark, sf)
-    assert second is not first
-    assert second.count() == 0  # shingle-less corpus: empty graph
-    # custom-docs callers never touch the memo
+    assert component_labels(spark, sf).count() == 0  # shingle-less
+    # custom-docs callers label through the same path
     docs = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "a b c d e f g")],
         "doc_id long, text string",
@@ -156,4 +155,3 @@ def test_component_labels_memo(spark, tmp_path):
         1: 1,
         2: 1,
     }
-    assert component_labels(spark, sf) is second
