@@ -631,22 +631,40 @@ def takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = (F.col("nw") + (_CHUNK_W - 1)) / _CHUNK_W
     n_chunks = F.floor(chunks).cast("long")
 
-    doc_row = d.agg(
-        F.lit("documents").alias("artifact"),
-        F.count(F.lit(1)).alias("n_total"),
-        F.count_if("is_bad").alias("n_removed"),
-        F.count_if(~F.col("is_bad")).alias("n_kept"),
-    )
-    chunk_row = d.agg(
-        F.lit("chunks").alias("artifact"),
-        F.sum(n_chunks).alias("n_total"),
+    # ONE corpus pass for both the document and chunk accounting rows
+    # (r12): a single aggregation computes all six counters, and the
+    # two artifact rows unfold from a 2-struct explode — the r11 plan
+    # scanned + broadcast-joined the corpus once per row.
+    both = d.agg(
+        F.count(F.lit(1)).alias("d_total"),
+        F.count_if("is_bad").alias("d_removed"),
+        F.count_if(~F.col("is_bad")).alias("d_kept"),
+        F.sum(n_chunks).alias("c_total"),
         F.sum(F.when(F.col("is_bad"), n_chunks).otherwise(F.lit(0))).alias(
-            "n_removed"
+            "c_removed"
         ),
         F.sum(F.when(~F.col("is_bad"), n_chunks).otherwise(F.lit(0))).alias(
-            "n_kept"
+            "c_kept"
         ),
     )
+    doc_chunk_rows = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("documents").alias("artifact"),
+                    F.col("d_total").alias("n_total"),
+                    F.col("d_removed").alias("n_removed"),
+                    F.col("d_kept").alias("n_kept"),
+                ),
+                F.struct(
+                    F.lit("chunks").alias("artifact"),
+                    F.col("c_total").alias("n_total"),
+                    F.col("c_removed").alias("n_removed"),
+                    F.col("c_kept").alias("n_kept"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.artifact", "r.n_total", "r.n_removed", "r.n_kept")
     post = (
         flagged.select(
             "doc_id", "is_bad", F.explode(F.split("text", " ")).alias("w")
@@ -661,7 +679,7 @@ def takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if("is_bad").alias("n_removed"),
         F.count_if(~F.col("is_bad")).alias("n_kept"),
     )
-    return doc_row.unionByName(chunk_row).unionByName(post_row)
+    return doc_chunk_rows.unionByName(post_row)
 
 
 _KANON_K = 5  # minimum group size for the k-anonymity audit
@@ -1115,20 +1133,39 @@ _FTR = "all rights reserved copyright notice"
 def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strip high-document-frequency lines; return the rewritten docs."""
     docs = table(spark, sf_dir, "documents")
-    header = docs.filter(F.col("doc_id") % 3 == 0).select(
-        "doc_id", F.lit(0).alias("line_no"), F.lit(_HDR).alias("line")
-    )
-    body = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.lit(1).alias("line_no"), F.col("text").alias("line")
-    )
-    footer = docs.filter(F.col("doc_id") % 4 == 0).select(
-        "doc_id", F.lit(2).alias("line_no"), F.lit(_FTR).alias("line")
+    # ONE documents scan builds all three line kinds (r12): each row
+    # explodes a 3-struct array with a per-kind keep flag — the r11
+    # union-of-filters scanned the parquet once per branch. Row set is
+    # identical; downstream is aggregation/join, so order is free.
+    entry = F.explode(
+        F.array(
+            F.struct(
+                F.lit(0).alias("line_no"),
+                F.lit(_HDR).alias("line"),
+                (F.col("doc_id") % 3 == 0).alias("keep"),
+            ),
+            F.struct(
+                F.lit(1).alias("line_no"),
+                F.col("text").alias("line"),
+                F.col("text").isNotNull().alias("keep"),
+            ),
+            F.struct(
+                F.lit(2).alias("line_no"),
+                F.lit(_FTR).alias("line"),
+                (F.col("doc_id") % 4 == 0).alias("keep"),
+            ),
+        )
     )
     # consumed by three subtrees (DF, strip, per-doc totals): checkpoint
     # once so the documents scan doesn't replay per consumer
     lines = (
-        header.unionByName(body)
-        .unionByName(footer)
+        docs.select("doc_id", entry.alias("e"))
+        .filter(F.col("e.keep"))
+        .select(
+            "doc_id",
+            F.col("e.line_no").alias("line_no"),
+            F.col("e.line").alias("line"),
+        )
         .withColumn("h", F.md5("line"))
         .localCheckpoint(eager=True)
     )

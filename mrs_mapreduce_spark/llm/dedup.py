@@ -2718,24 +2718,37 @@ def corpus_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup families over the canonicalized (not raw) text hash."""
     d = fan_out(table(spark, sf_dir, "documents"))
-    pert = (
-        d.select("doc_id", F.col("text").alias("p"))
-        .unionAll(
-            d.filter(F.col("doc_id") % 5 == 0).select(
+    # ONE corpus scan builds the base + both perturbation variants
+    # (r12): per-row 3-struct explode with keep flags — the r11
+    # union-of-filters re-scanned the corpus per branch. Same row set;
+    # downstream is a hash aggregation, so order is free.
+    entry = F.explode(
+        F.array(
+            F.struct(
+                F.col("doc_id"),
+                F.col("text").alias("p"),
+                F.lit(True).alias("keep"),
+            ),
+            F.struct(
                 (F.col("doc_id") + 10000).alias("doc_id"),
                 F.concat(fold_upper("text"), F.lit("!!")).alias("p"),
-            )
-        )
-        .unionAll(
-            d.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") % 5 == 0).alias("keep"),
+            ),
+            F.struct(
                 (F.col("doc_id") + 20000).alias("doc_id"),
                 F.concat(
                     F.lit(" "),
                     F.regexp_replace("text", F.lit(" "), F.lit("  ")),
                     F.lit(". "),
                 ).alias("p"),
-            )
+                (F.col("doc_id") % 7 == 0).alias("keep"),
+            ),
         )
+    )
+    pert = (
+        d.select(entry.alias("e"))
+        .filter(F.col("e.keep"))
+        .select(F.col("e.doc_id").alias("doc_id"), F.col("e.p").alias("p"))
     )
     canon = F.trim(
         F.regexp_replace(

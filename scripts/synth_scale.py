@@ -83,6 +83,7 @@ HEAVY = [
     "dedup_embedding",
     "dedup_components",
     "dedup_components_star",
+    "dedup_soft_weights",
     "text_perplexity",
     "text_bm25",
     "text_tfidf",
@@ -173,6 +174,9 @@ RATIO_BUDGETS = {
     # distinct-content pair work
     "dedup_components": 8,
     "dedup_components_star": 8,
+    # shares the collapsed labeling pipeline with dedup_components —
+    # same linear star mass; the weight join is label-mass-sized (r12)
+    "dedup_soft_weights": 8,
     "text_perplexity": 11,
     "text_bm25": 11,
     "text_tfidf": 10,

@@ -78,10 +78,14 @@ def test_lateral_decorrelates_to_rank_pushdown(spark, sf_dir):
 
 
 def test_bloom_pruned_join_probe_shape(spark, sf_dir):
-    """3 bloom-bit semi-probes + 1 exact join, all broadcast — the fact
-    table never shuffles."""
+    """r12 bitmap bloom: the probe is ONE broadcast of a single bitmap
+    row (nested-loop crossJoin) + codegen shift/mask filter — zero probe
+    joins — and the exact join stays the only BroadcastHashJoin. The
+    fact table never shuffles before the filter."""
     plan = _plan(spark, sf_dir, "join_bloom_pruned")
-    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row bitmap ship
+    assert "shiftright" in plan, plan  # membership is filter arithmetic
     assert "SortMergeJoin" not in plan, plan
 
 
