@@ -35,9 +35,27 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
 }
 
+def _default_shuffle_partitions() -> str:
+    """Initial shuffle-partition count derived from session parallelism.
+
+    Scale-adaptive, not a constant (r12, guide §2.2): the driver re-runs
+    the bench at a lower core count (master ``local[$SPARK_GRAFT_CPUS]``),
+    where a hard-coded 32 would mean 4 task waves of scheduling overhead
+    per tiny shuffle. Start at the core count — identical to the old
+    constant at the default 32 — and let AQE re-plan from actual map
+    output sizes (coalescing up-front partitions is its job; the count
+    here is only the pre-AQE ceiling). On a real cluster this becomes
+    executors x cores (x 2-3 for skew headroom), passed the same way.
+    """
+    try:
+        return str(max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))))
+    except ValueError:  # non-numeric env: fall back to the old constant
+        return "32"
+
+
 #: Configs that only make sense at session-build time.
 BUILD_CONFS: dict[str, str] = {
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
     # local mode runs every executor thread inside the driver JVM, whose
     # Spark default heap is 1g — badly undersized for local[32] on a
     # 128 GiB host (measured: a 10x-sf0.1 synthetic sweep OOM'd the JVM
