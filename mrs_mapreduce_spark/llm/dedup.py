@@ -813,14 +813,20 @@ def _collapsed_parts(
 
 
 def component_labels(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    label_fn=None,
 ) -> DataFrame:
     """(doc_id, lbl) component labels of the collapsed near-dup graph.
 
-    Exactly the labeling ``propagate_min_labels`` produces over
-    ``_collapsed_pair_edges`` (lbl = min doc_id of the component, one
-    row per graph NODE — docs in no edge are absent and consumers
-    coalesce to doc_id), computed cheaper:
+    Exactly the labeling ``label_fn`` (default
+    :func:`propagate_min_labels`; :func:`star_components` for the
+    alternating-star builder — both share the (doc_id, lbl) = (node,
+    component-min) contract) produces over ``_collapsed_pair_edges``
+    (lbl = min doc_id of the component, one row per graph NODE — docs
+    in no edge are absent and consumers coalesce to doc_id), computed
+    cheaper:
 
     - Propagation runs over the REP pair graph only. Star copies never
       enter the loop: a copy's label is its rep's label (rep = min
@@ -861,7 +867,7 @@ def component_labels(
         .select("e.doc_a", "e.doc_b")
         .cache()
     )
-    rep_lbl = propagate_min_labels(sym)
+    rep_lbl = (label_fn or propagate_min_labels)(sym)
     sym.unpersist()
     # Star copies: one equi-join on rep; coalesce covers components
     # whose rep has copies but no near-dup pairs (isolated star).
@@ -1024,38 +1030,6 @@ def _rollup_labels(labels: DataFrame) -> DataFrame:
             ",",
         ).alias("members"),
     )
-
-
-def _component_rollup(pairs: DataFrame, label_fn) -> DataFrame:
-    """Symmetrize pair edges, label components, roll up per label.
-
-    ``label_fn`` is the labeling algorithm (min-label propagation or
-    alternating star). dedup_components itself no longer routes through
-    here — it shares :func:`component_labels` with dedup_soft_weights —
-    but the alternating-star builder still labels the full symmetric
-    edge list. Symmetrization is a 2-way explode, not union-with-swap:
-    a union's branches each re-run the pair pipeline when the cache
-    materializes (component_labels' discipline).
-    """
-    sym = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("doc_a"), F.col("doc_b")),
-                    F.struct(
-                        F.col("doc_b").alias("doc_a"),
-                        F.col("doc_a").alias("doc_b"),
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.doc_a", "e.doc_b")
-        .cache()
-    )
-    labels = label_fn(sym)
-    out = _rollup_labels(labels)
-    sym.unpersist()
-    return out
 
 
 @register(
@@ -1814,11 +1788,22 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters via alternating-star connected components.
 
     ``members`` flattened to a ","-joined string for the driver's pandas
-    canonicalizer — see dedup_components. Same collapsed edge list as
-    dedup_components (exact-dup mass as stars, not quadratic pairs).
+    canonicalizer — see dedup_components. Shares the FULL
+    :func:`component_labels` slice structure with dedup_components
+    (r12): the star rounds run over the REP pair graph only — exact-dup
+    copies never enter the loop; they attach via the one rep-join slice
+    afterwards. Before r12 this builder labeled the full symmetric edge
+    list (rep pairs + star edges), paying the duplicate-mass edges in
+    every star round; label equality of the two routes is the
+    disjoint-slice argument in component_labels' docstring, pinned by
+    test_builders_agree_with_each_other and the shared recursive-CTE
+    oracle. Only the labeling ALGORITHM differs from dedup_components
+    (alternating star vs one-hop propagation — E68's declared
+    capability, O(log^2 n) rounds on pathological diameters).
     """
-    pairs = _collapsed_pair_edges(spark, sf_dir)
-    return _component_rollup(pairs, star_components)
+    return _rollup_labels(
+        component_labels(spark, sf_dir, label_fn=star_components)
+    )
 
 
 REGISTRY["dedup_components_star"] = REGISTRY["dedup_components_star"].__class__(
