@@ -528,7 +528,24 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-filter, exact-dedup, then pack — the E14 chain, declared."""
+    """Quality-filter, exact-dedup, then pack — the E14 chain, declared.
+
+    r12: the dedup stage keeps min(doc_id) per content hash with ONE
+    row_number window over the hash (the survivors are exactly the
+    rank-1 rows) instead of a groupBy + survivors join — one corpus
+    shuffle instead of two and the quality-band subtree instantiated
+    once, not twice. The text never enters that shuffle: the projection
+    to (doc_id, h, n_tok) runs BEFORE the window exchange, so the wire
+    carries ~48 bytes/row where the old survivors join shuffled every
+    surviving document body. The (doc_id, n_tok) survivor relation —
+    two ints per survivor at any corpus size — is then checkpointed so
+    the pack stage's two consumers (bucket subtotal aggregate,
+    in-bucket prefix window) read 16 bytes/row instead of each
+    replaying the filter+dedup subtree: the plan held 16 scan nodes /
+    17 Exchanges, now 2 scans (percentile pass + band pass — the
+    irreducible two-pass shape) ahead of the checkpoint and 3
+    Exchanges after it.
+    """
     d = table(spark, sf_dir, "documents")
     bounds = d.groupBy(F.col("lang").alias("b_lang")).agg(
         F.expr("percentile(n_chars, 0.10)").alias("lo"),
@@ -542,11 +559,17 @@ def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "text")
     )
-    keep = q.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
-    surv = q.join(keep, "doc_id").select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    w_h = Window.partitionBy("h").orderBy("doc_id")
+    surv = (
+        q.select(
+            "doc_id",
+            F.md5("text").alias("h"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .withColumn("_rk", F.row_number().over(w_h))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", "n_tok")
+        .localCheckpoint(eager=True)
     )
     # rows_bound: the PRE-filter table count is a sound upper bound on
     # the survivor bucket domain (filter/dedup only remove rows)

@@ -677,8 +677,27 @@ def _ngram_jaccard_pairs(
 ) -> DataFrame:
     """The (lang, source, simhash/256)-blocked multiprobe pipeline over
     ``docs`` (default: full corpus — the uncollapsed form the tests pin
-    the collapsed builder against)."""
+    the collapsed builder against).
+
+    r12: on the COLLAPSED path (``docs`` given — representatives only,
+    so the materialization is bounded by distinct-content mass, the
+    hsets-checkpoint safety argument) the per-doc (doc_id, lang,
+    source, blk) metadata relation is eagerly checkpointed: its two
+    consumers (probes, b side) each replayed the rep-filter join +
+    corpus scan + fp join. Checkpointing the word-set EXPLODE as well
+    was measured and rejected — wsets is |doc x distinct words|-sized
+    and its materialization cost a consistent ~20% at sf0.1 (and ~45%
+    on the simblocked twin) against a tier delta inside host noise;
+    the narrow re-explode is codegen-cheap. The raw-corpus path
+    (docs=None) keeps the fully lazy form (the r5 OOM note in
+    _verify_pairs).
+    """
     d = table(spark, sf_dir, "documents") if docs is None else docs
+    _ck = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if docs is not None
+        else (lambda df: df)
+    )
     # entity-sized fingerprint model, read by both self-join sides;
     # simhash is a function of each doc's own text, so fingerprinting
     # the ``docs`` relation directly (representatives, when collapsed)
@@ -690,7 +709,7 @@ def _ngram_jaccard_pairs(
     )
     # no broadcast hint: fp is per-doc (unbounded at scale) — let AQE
     # choose broadcast vs shuffle from the measured size
-    meta = d.select("doc_id", "lang", "source").join(fp, "doc_id")
+    meta = _ck(d.select("doc_id", "lang", "source").join(fp, "doc_id"))
     probe_dim = F.broadcast(
         spark.range(9).select(F.col("id").cast("int").alias("i"))
     )
@@ -703,7 +722,8 @@ def _ngram_jaccard_pairs(
         .alias("probe"),
     )
     wsets = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
     )
     sizes = wsets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     wa = probes.join(wsets, "doc_id").alias("a")
@@ -2649,8 +2669,15 @@ def corpus_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = component_labels(spark, sf_dir, docs=q)
     drop = labels.filter(F.col("lbl") != F.col("doc_id")).select("doc_id")
-    surv = q.join(drop, "doc_id", "left_anti").select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    # r12: _pack_windows reads its input twice (bucket subtotals,
+    # in-bucket prefix window); checkpointing the 16-byte/row survivor
+    # relation keeps the quality-band scan + anti-join from replaying
+    # per consumer — the same barrier corpus_curate_pipeline's survivor
+    # stage carries.
+    surv = (
+        q.join(drop, "doc_id", "left_anti")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+        .localCheckpoint(eager=True)
     )
     return _pack_windows(surv, cached_count(d))
 

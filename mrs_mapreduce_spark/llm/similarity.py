@@ -504,8 +504,16 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diffs = F.zip_with("a", "cv", lambda x, c: (x - c) * (x - c))
     dist = F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
-    d = pts.join(F.broadcast(cv), "label").select(
-        "vec_id", "label", pround(dist, 4).alias("dist")
+    # r12: d is read twice (per-label moments, final z filter) and each
+    # read used to replay the centroid subtree (64x posexplode + two
+    # shuffles) AND the 64-term distance lambda per point — 8 scan
+    # nodes / 8 Exchanges at sf0.01. Checkpointing the ~20-byte/row
+    # (vec_id, label, dist) relation computes both exactly once: 2
+    # scans (points pass + centroid pass) ahead of the checkpoint.
+    d = (
+        pts.join(F.broadcast(cv), "label")
+        .select("vec_id", "label", pround(dist, 4).alias("dist"))
+        .localCheckpoint(eager=True)
     )
     stats = d.groupBy("label").agg(
         F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sd")
@@ -2382,6 +2390,77 @@ def embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_CAP = 128
 
 
+def _knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed per-vector top-3 (src, dst, cos) over refined buckets.
+
+    The UN-checkpointed prefix of similarity_knn_graph, split out so
+    tests can pin its plan properties (WindowGroupLimit rank push, no
+    cartesian) — the builder materializes it before the mutuality
+    self-join, which truncates the visible lineage.
+    """
+    sig = (
+        with_norm(fan_out(table(spark, sf_dir, "embeddings")))
+        .withColumn("b8", _spark_srp_bits(0, 8))
+        .withColumn("x4", _spark_srp_bits(8, 12))
+        .localCheckpoint(eager=True)
+    )
+    sizes = sig.groupBy("b8").agg(F.count(F.lit(1)).alias("n"))
+    keyed = sig.join(F.broadcast(sizes), "b8").select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        (
+            F.col("b8") * 16
+            + F.when(F.col("n") > _KNN_CAP, F.col("x4")).otherwise(F.lit(0))
+        ).alias("bucket"),
+    )
+    a = keyed.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("av"),
+        F.col("nrm").alias("a_nrm"),
+        "bucket",
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("bv"),
+        F.col("nrm").alias("b_nrm"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (dot("av", "bv") / (F.col("a_nrm") * F.col("b_nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_id").alias("src"),
+                    F.col("b_id").alias("dst"),
+                    F.col("cos"),
+                ),
+                F.struct(
+                    F.col("b_id").alias("src"),
+                    F.col("a_id").alias("dst"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.cos")
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    return (
+        edges.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst", "cos")
+    )
+
+
 @register(
     "similarity_knn_graph",
     oracle=f"""
@@ -2438,58 +2517,22 @@ _KNN_CAP = 128
     """,
 )
 def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual top-3 cosine graph over adaptively-refined LSH buckets."""
-    e = (
-        with_norm(fan_out(table(spark, sf_dir, "embeddings")))
-        .withColumn("b8", _spark_srp_bits(0, 8))
-        .withColumn("x4", _spark_srp_bits(8, 12))
-    )
-    sizes = e.groupBy("b8").agg(F.count(F.lit(1)).alias("n"))
-    keyed = e.join(F.broadcast(sizes), "b8").select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        (
-            F.col("b8") * 16
-            + F.when(F.col("n") > _KNN_CAP, F.col("x4")).otherwise(F.lit(0))
-        ).alias("bucket"),
-    )
-    a = keyed.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("av"),
-        F.col("nrm").alias("a_nrm"),
-        "bucket",
-    )
-    b = keyed.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("bv"),
-        F.col("nrm").alias("b_nrm"),
-        "bucket",
-    )
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            (dot("av", "bv") / (F.col("a_nrm") * F.col("b_nrm"))).alias(
-                "cos"
-            ),
-        )
-    )
-    edges = pairs.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "cos"
-    ).unionAll(
-        pairs.select(
-            F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "cos"
-        )
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
-    topk = (
-        edges.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("src", "dst", "cos")
-    )
+    """Mutual top-3 cosine graph over adaptively-refined LSH buckets.
+
+    r12: the plan used to instantiate the scan+SRP subtree 16 times
+    (pair self-join x union-with-swap x mutuality self-join, each
+    doubling — Spark has no cross-branch common-subplan dedup). Now the
+    (vec_id, embedding, nrm, b8, x4) signature relation is checkpointed
+    once (one corpus pass computes the 12 SRP projections; the pair
+    join reads the checkpoint from both sides), edges are symmetrized
+    by a 2-way explode instead of union-with-swap (each pair's cosine
+    is evaluated once, not twice), and the k*n-row directed top-k
+    (:func:`_knn_graph_topk`) is checkpointed before the mutuality
+    self-join. 32 scan nodes -> 1, 40 Exchanges -> 7 (plans/r12);
+    values byte-identical (same bucketing, same accumulation order —
+    only subtree sharing changed).
+    """
+    topk = _knn_graph_topk(spark, sf_dir).localCheckpoint(eager=True)
     t2 = topk.select(
         F.col("src").alias("r_src"), F.col("dst").alias("r_dst")
     )

@@ -224,18 +224,23 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.col("o_orderpriority").alias("pri"),
     )
-    b = a.filter(F.col("k") % 7 != 0).select(
-        "k",
+    # r12: snapshot B's two branches are DISJOINT and TOTAL over A
+    # (k%7=0 re-keyed, k%7<>0 possibly repriced), so the union-of-
+    # filtered-scans is one projection with two `when`s — the B subtree
+    # scans orders once, not twice (the dedup_canonical single-scan
+    # rewrite class; plan 6 -> 4 scan nodes).
+    b = a.select(
+        F.when(F.col("k") % 7 == 0, F.col("k") + 10000000)
+        .otherwise(F.col("k"))
+        .alias("k"),
         "st",
-        (
-            F.col("cents")
-            + F.when(F.col("k") % 5 == 0, F.lit(100)).otherwise(F.lit(0))
-        ).alias("cents"),
-        "pri",
-    ).unionByName(
-        a.filter(F.col("k") % 7 == 0).select(
-            (F.col("k") + 10000000).alias("k"), "st", "cents", "pri"
+        F.when(
+            (F.col("k") % 7 != 0) & (F.col("k") % 5 == 0),
+            F.col("cents") + 100,
         )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        "pri",
     )
 
     def fp(df: DataFrame) -> DataFrame:

@@ -519,11 +519,29 @@ def test_url_keepbest_single_aggregation(spark, sf_dir):
 def test_knn_graph_bucketed_never_allpairs(spark, sf_dir):
     """E111: candidates come from the bucket equi-join (never a cross
     join), the directed top-k is WindowGroupLimit-pushed, and the
-    mutuality join runs on the k*n edge relation."""
+    mutuality join runs on the k*n edge relation.
+
+    r12: the builder checkpoints the directed top-k before the
+    mutuality self-join, so the WindowGroupLimit pin moves to the
+    un-checkpointed prefix (_knn_graph_topk); the final plan is pinned
+    to read the materialized edge relation (ExistingRDD, zero parquet
+    re-scans) instead of replaying the pair pipeline per side."""
+    from mrs_mapreduce_spark.llm.similarity import _knn_graph_topk
+
+    prefix = (
+        _knn_graph_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in prefix, prefix
+    assert "BroadcastNestedLoopJoin" not in prefix, prefix
+    assert "WindowGroupLimit" in prefix, prefix
     plan = _plan(spark, sf_dir, "similarity_knn_graph")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "WindowGroupLimit" in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "FileScan" not in plan, plan
 
 
 def test_sketch_merge_queries_scan_once(spark, sf_dir):
