@@ -404,6 +404,14 @@ def main() -> None:
         pass  # read-only checkout: the stdout detail line still has it
     gated_names = ("q1_pricing_summary", "q3_join_agg_topk",
                    "events_window", "wordcount")
+    # r13 (verdict task #2): the final line is self-describing — cpus /
+    # master / shuffle_partitions prove the $SPARK_GRAFT_CPUS contract
+    # took effect (the r12 `suspect_cpus_ignored` flag fired on a line
+    # that omitted the core count), and per-shape MIN rides along as the
+    # drift-robust statistic (min across cold-JVM runs varies far less
+    # than the median on a noisy host). Additions only: metric / value /
+    # unit / queries / over_budget / sf keep their exact keys and
+    # meanings so every cross-round comparison holds.
     print(
         json.dumps(
             {
@@ -414,8 +422,16 @@ def main() -> None:
                     k: round(queries[k], 4)
                     for k in gated_names if k in queries
                 },
+                "queries_min": {
+                    k: spreads[k]["min"] for k in gated_names if k in spreads
+                },
                 "over_budget": over_budget,
                 "sf": sf,
+                "cpus": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
+                "shuffle_partitions": spark.conf.get(
+                    "spark.sql.shuffle.partitions"
+                ),
             }
         )
     )

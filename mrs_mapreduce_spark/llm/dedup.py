@@ -870,6 +870,12 @@ def component_labels(
     full fixpoint, r12 optimization-round rule). At 100 TB the labeling
     is a persisted artifact consumers read, maintained incrementally
     per ingest batch — never recomputed per downstream query.
+
+    Checkpoint dependency (ADVICE r12): ``star`` is consumed TWICE below
+    (copies and lone_reps) and is cheap only because it is a filter over
+    the ``joined`` relation that ``_collapsed_parts`` localCheckpoints —
+    a refactor that drops that checkpoint would silently replay the
+    exact-dedup subtree once per star consumer.
     """
     rep_pairs, star = _collapsed_parts(spark, sf_dir, docs)
     sym = (

@@ -331,7 +331,14 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the bloom as data: (word index -> 64-bit word) map in ONE row —
     # bit_or dedups probe collisions for free, map_from_entries keeps
-    # absent words NULL (coalesced to 0 at probe time)
+    # absent words NULL (coalesced to 0 at probe time).
+    # Packing invariant (ADVICE r12): probes() is NON-NEGATIVE by
+    # construction — key % _P is in [0, _P), _A[i] * n tops out at
+    # ~1.1e9 * 2.1e9 < 2^62 (no int64 wrap), and % _P % _BLOOM_M keeps
+    # it in [0, _BLOOM_M). A future constant change that lets _A*n reach
+    # 2^63 would flip `bit` negative and Java's shift masking would
+    # alias words/positions (still correct — false positives only — but
+    # silently degrading the filter); keep _A[i] * (_P - 1) < 2^63.
     bitmap = (
         big.select(
             F.explode(F.array(*probes(F.col("o_orderkey")))).alias("bit")

@@ -35,7 +35,7 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
 }
 
-def _default_shuffle_partitions() -> str:
+def _default_shuffle_partitions(cpus: str) -> str:
     """Initial shuffle-partition count derived from session parallelism.
 
     Scale-adaptive, not a constant (r12, guide §2.2): the driver re-runs
@@ -46,16 +46,22 @@ def _default_shuffle_partitions() -> str:
     output sizes (coalescing up-front partitions is its job; the count
     here is only the pre-AQE ceiling). On a real cluster this becomes
     executors x cores (x 2-3 for skew headroom), passed the same way.
+
+    ``cpus`` is the raw ``$SPARK_GRAFT_CPUS`` string the caller already
+    read for the master URL — ONE env read per session build (ADVICE
+    r12: resolving this at import time could pair a stale partition
+    count with a fresh master if the env changed in between).
     """
     try:
-        return str(max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))))
+        return str(max(1, int(cpus)))
     except ValueError:  # non-numeric env: fall back to the old constant
         return "32"
 
 
 #: Configs that only make sense at session-build time.
+#: ``spark.sql.shuffle.partitions`` is NOT here: it derives from the same
+#: ``$SPARK_GRAFT_CPUS`` read as the master string, inside get_session.
 BUILD_CONFS: dict[str, str] = {
-    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
     # local mode runs every executor thread inside the driver JVM, whose
     # Spark default heap is 1g — badly undersized for local[32] on a
     # 128 GiB host (measured: a 10x-sf0.1 synthetic sweep OOM'd the JVM
@@ -105,7 +111,13 @@ def get_session(
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )
-    for key, value in {**BUILD_CONFS, **RUNTIME_CONFS, **(extra or {})}.items():
+    confs = {
+        "spark.sql.shuffle.partitions": _default_shuffle_partitions(cpus),
+        **BUILD_CONFS,
+        **RUNTIME_CONFS,
+        **(extra or {}),
+    }
+    for key, value in confs.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
