@@ -337,10 +337,8 @@ def _verify_pairs(
     docs_a: DataFrame,
     docs_b: DataFrame | None = None,
     threshold: float = 0.5,
-    hsets_a: DataFrame | None = None,
-    hsets_b: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs (shared stage).
+    """Exact-Jaccard verification of candidate pairs (RAW-corpus form).
 
     One definition of the verify discipline (r10 review: pairs and
     probe each carried a ~35-line copy): shingle TEXT never enters the
@@ -358,15 +356,11 @@ def _verify_pairs(
     that tier). A merge hint pins the strategy that is correct at every
     size; eagerly checkpointing ssets for honest stats was tried first
     and OOM'd outright — it materializes a corpus x shingles relation
-    to fix a stats lie.
+    to fix a stats lie. The COLLAPSED paths (exact-duplicate mass
+    already bounded) verify through :func:`_verify_pairs_sets` instead,
+    whose per-doc set arrays this raw form must never materialize.
 
     ``docs_b`` None = self-join form (both pair sides from ``docs_a``).
-
-    ``hsets_a``/``hsets_b``: precomputed (doc_id, h) distinct shingle-hash
-    relations (normally a checkpoint the caller shares with the signature
-    pipeline — see _minhash_pairs' collapsed path). When absent they are
-    derived lazily from the docs, so the raw-corpus paths keep the
-    never-materialize discipline above.
 
     r12: ``na`` is FREE in the intersection aggregation — the sa join
     explodes each candidate pair by ALL of a's shingles and the sb side
@@ -374,13 +368,11 @@ def _verify_pairs(
     a's set size. That removes one of the two sizes joins (and one whole
     ssets subtree instance) from every verify plan.
     """
-    ssets_a = hsets_a if hsets_a is not None else (
+    ssets_a = (
         shingles(docs_a).select("doc_id", F.md5("sh").alias("h")).distinct()
     )
     if docs_b is None:
         ssets_b = ssets_a
-    elif hsets_b is not None:
-        ssets_b = hsets_b
     else:
         ssets_b = (
             shingles(docs_b)
@@ -420,27 +412,95 @@ def _verify_pairs(
     )
 
 
-def _sig_wide_from_hsets(hsets: DataFrame) -> DataFrame:
-    """Wide signature over a precomputed DISTINCT (doc_id, h) relation.
+def _hset_arrays(docs: DataFrame) -> DataFrame:
+    """Per-doc distinct shingle-hash SET as one array row: (doc_id, hs).
+
+    ONE partial-aggregated shuffle — ``collect_set`` dedups map-side and
+    ships each doc's set once — replaces the r12 collapsed-path pair of
+    corpus-scaled exchanges (row-level ``distinct`` + the signature
+    groupBy), and the row count drops from |doc x shingle| to |doc|, so
+    every verify-stage join over this relation moves ONE array row per
+    pair side instead of exploding a shingle row per set element
+    (guide §2.3 "shuffle keys and metadata instead of payloads" turned
+    inside out: the set IS the payload, so ship it exactly once).
+    COLLAPSED paths only: the relation is bounded by distinct-content
+    mass; over a replica-heavy raw corpus materializing it is the OOM
+    `_verify_pairs`' docstring records. Element order is whatever the
+    aggregation produced — every consumer (array_min of a transform,
+    array_intersect, size) is order-insensitive, so no sort is paid.
+    """
+    return (
+        shingles(docs)
+        .select("doc_id", F.md5("sh").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+
+
+def _sig_wide_from_sets(arr: DataFrame) -> DataFrame:
+    """Wide signature as a pure PROJECTION over the per-doc set arrays.
 
     min is idempotent, so the per-(doc, seed) minimum over the distinct
     shingle-hash set equals the minimum over the raw shingle multiset —
-    the signatures are identical to ``_sig_wide(docs)``, but the
-    shingle explode + md5 run ZERO times here (they ran once, into the
-    caller's checkpoint)."""
-    n = F.conv(F.substring("h", 1, 15), 16, 10).cast("long") % _P
-    hs = F.array(
-        *[(F.lit(_A[i]) * n + F.lit(_B[i])) % _P for i in range(_SEEDS)]
+    the signatures are identical to ``_sig_wide(docs)``, but with the
+    sets already one array per doc there is NO aggregation here at all:
+    parse each element to its 60-bit int once (one transform), then 16
+    ``array_min`` folds — zero exchanges where the r12 shape paid the
+    signature groupBy (guide §2.4)."""
+    ns = F.transform(
+        "hs",
+        lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _P,
     )
-    return (
-        hsets.select("doc_id", hs.alias("hs"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.element_at("hs", i + 1)).alias(f"h{i}")
-                for i in range(_SEEDS)
-            ]
+    row = arr.select("doc_id", ns.alias("ns"))
+    return row.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    "ns", lambda x: (F.lit(_A[i]) * x + F.lit(_B[i])) % _P
+                )
+            ).alias(f"h{i}")
+            for i in range(_SEEDS)
+        ],
+    )
+
+
+def _verify_pairs_sets(
+    cand: DataFrame,
+    arr_a: DataFrame,
+    arr_b: DataFrame | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification over per-doc set ARRAYS (collapsed form).
+
+    The r12 row-form verify exploded each candidate pair by all of a's
+    shingles through two merge joins, a (doc_a, doc_b) hash aggregation
+    and a sizes join; with the sets held as one array per doc the same
+    exact numbers are two equi-joins and a codegen projection —
+    ``size(array_intersect(ha, hb))`` is the intersection count, array
+    sizes are the set sizes, and the union follows by
+    inclusion-exclusion. Identical output (same md5 element domain,
+    same unrounded threshold filter, same pround) with the per-pair
+    row fanout, the aggregation exchange and the sizes join all gone
+    (guide §2.3/§2.4). ``arr_b`` None = self-join form.
+    """
+    a = arr_a.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    b = (arr_a if arr_b is None else arr_b).select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")
+    )
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter_n", F.size(F.array_intersect("ha", "hb")))
+        .withColumn(
+            "jac",
+            F.col("inter_n")
+            * 1.0
+            / (F.size("ha") + F.size("hb") - F.col("inter_n")),
         )
+    )
+    return scored.filter(F.col("jac") >= threshold).select(
+        "doc_a", "doc_b", pround("jac", 4).alias("jaccard")
     )
 
 
@@ -457,25 +517,24 @@ def _minhash_pairs(
     representatives).
 
     ``collapsed=True`` (callers passing exact-duplicate-collapsed rep
-    docs): the distinct (doc_id, shingle-md5) relation is materialized
-    ONCE and shared by the signature pipeline and both verify sides —
-    the r11 plan ran the shingle explode + distinct subtree 4x (sig,
-    sa, sb, sizes). Safe to materialize HERE because collapse already
-    bounded the relation by distinct-content mass; the raw-corpus path
-    (the capped boilerplate guard) keeps the lazy form — an eager ssets
-    over a replica-heavy corpus is the measured OOM the _verify_pairs
-    docstring records.
+    docs): the per-doc shingle-hash SET relation is materialized ONCE
+    as array rows (:func:`_hset_arrays`) and shared by the signature
+    pipeline and both verify sides — the r11 plan ran the shingle
+    explode + distinct subtree 4x (sig, sa, sb, sizes); the r12 shape
+    shared a row-level checkpoint but still paid the signature groupBy
+    and three verify exchanges over it; the set-array form (r13) makes
+    signatures a pure projection and the verify two equi-joins
+    (:func:`_verify_pairs_sets`). Safe to materialize HERE because
+    collapse already bounded the relation by distinct-content mass; the
+    raw-corpus path (the capped boilerplate guard) keeps the lazy form
+    — an eager ssets over a replica-heavy corpus is the measured OOM
+    the _verify_pairs docstring records.
     """
     d = table(spark, sf_dir, "documents") if docs is None else docs
-    hsets = None
+    arr = None
     if collapsed:
-        hsets = (
-            shingles(d)
-            .select("doc_id", F.md5("sh").alias("h"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        bands = _bands_of(_sig_wide_from_hsets(hsets)).localCheckpoint(
+        arr = _hset_arrays(d).localCheckpoint(eager=True)
+        bands = _bands_of(_sig_wide_from_sets(arr)).localCheckpoint(
             eager=True
         )
     else:
@@ -498,7 +557,9 @@ def _minhash_pairs(
             .drop("_bc")
         )
     cand = _lsh_candidates(bands)
-    return _verify_pairs(cand, d, hsets_a=hsets)
+    if arr is not None:
+        return _verify_pairs_sets(cand, arr)
+    return _verify_pairs(cand, d)
 
 
 @register(
@@ -1400,17 +1461,27 @@ def _minhash_probe(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     ``corpus`` by ``batch``, exact-verified at Jaccard >= 0.5.
 
     The probe twin of :func:`_minhash_pairs`: same signature family,
-    banding layout, threshold and merge-hint verify discipline, but the
-    candidate stage is a batch-bands x corpus-bands EQUI-join instead
-    of a corpus self-join — in production the corpus side is the
-    persisted index relation and only the batch side is computed.
+    banding layout and threshold, but the candidate stage is a
+    batch-bands x corpus-bands EQUI-join instead of a corpus self-join
+    — in production the corpus side is the persisted index relation and
+    only the batch side is computed. Both callers pass exact-duplicate
+    COLLAPSED rep sides, so the per-side set arrays are bounded by
+    distinct-content mass and the set-array verify applies (r13, same
+    move as _minhash_pairs' collapsed path): signatures become pure
+    projections over the two checkpoints and the verify two equi-joins
+    — the r12 shape re-derived each side's lazy ssets per verify
+    consumer (shingle explode + distinct, twice for the corpus side).
     """
-    b_bands = _bands_of(_sig_wide(batch)).localCheckpoint(eager=True)
-    c_bands = _bands_of(_sig_wide(corpus)).localCheckpoint(eager=True)
+    b_arr = _hset_arrays(batch).localCheckpoint(eager=True)
+    c_arr = _hset_arrays(corpus).localCheckpoint(eager=True)
+    b_bands = _bands_of(_sig_wide_from_sets(b_arr)).localCheckpoint(
+        eager=True
+    )
+    c_bands = _bands_of(_sig_wide_from_sets(c_arr)).localCheckpoint(
+        eager=True
+    )
     cand = _lsh_candidates(b_bands, c_bands)
-    # verify via the shared stage (same merge-hint discipline; see
-    # _verify_pairs)
-    return _verify_pairs(cand, batch, corpus)
+    return _verify_pairs_sets(cand, b_arr, c_arr)
 
 
 def _lsh_index_table(spark: SparkSession, sf_dir: str) -> str:
