@@ -215,6 +215,9 @@ EXTRA = [
     "dedup_soft_weights",
     "corpus_diversity_sample",
     "corpus_boilerplate_strip",
+    # round-13 addition (the persisted co-located shingle-set layout;
+    # the timed cost INCLUDES the in-query bucketed write — no memo)
+    "sink_bucketed_hsets",
 ]
 
 #: per-query soft budgets at sf0.1 (seconds): BENCH_r03 medians x ~1.5
@@ -266,9 +269,15 @@ BUDGETS = {
     # init (one propagation round removed), na free in the verify
     # aggregation (one sizes join removed), and explode-symmetrized
     # edges (pair pipeline runs once, not twice, into the cache).
-    "dedup_soft_weights": 9.0,
+    # r13: set-array verify (per-doc shingle-hash sets as one array row;
+    # signatures a projection, verify two equi-joins + array_intersect)
+    # took the honest solo median to ~3.2-3.5 s — re-based to ~2x that.
+    "dedup_soft_weights": 7.0,
     "corpus_diversity_sample": 2.2,
     "corpus_boilerplate_strip": 1.2,
+    # r13: solo median 3.0 s (bucketed write + full pair pipeline off
+    # the persisted layout) x ~2 headroom like its family
+    "sink_bucketed_hsets": 6.0,
 }
 
 #: r10 (verdict task #7): the 2x gate only watches sf0.1, so a

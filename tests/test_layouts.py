@@ -129,6 +129,36 @@ def test_declared_bucketed_join_plan(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_declared_bucketed_hsets_plan(spark, sf_dir):
+    """sink_bucketed_hsets' verify joins read the persisted set arrays
+    with ZERO set-side exchange: the only doc-keyed exchanges into the
+    verify joins are the CANDIDATE side, shuffled into the bucket
+    count (8), while both set sides scan q_bucket_hsets directly
+    (Bucketed: true). Broadcast is disabled like the sibling bucketed
+    pin: at fixture scale AQE would broadcast the tiny set side anyway;
+    the bucketed layout is the plan that survives a 100 TB set table."""
+    from mrs_mapreduce_spark.llm.dedup import sink_bucketed_hsets
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sink_bucketed_hsets(spark, sf_dir)
+        plan = executed_plan(df)
+        assert plan.count("Bucketed: true") >= 2, plan
+        # the verify joins run at the bucket width: exactly one 8-wide
+        # exchange per join, and it is the candidate side (the bucketed
+        # set side contributes none)
+        cand_side = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning(doc_" in ln and ", 8)" in ln
+        ]
+        assert len(cand_side) == 2, plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_declared_salted_join_salt_in_partitioning(spark, sf_dir):
     """join_salted really shuffles on (key, salt), not the key alone."""
     from mrs_mapreduce_spark.operators.joins import join_salted
