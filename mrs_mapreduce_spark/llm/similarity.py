@@ -2032,6 +2032,15 @@ def _semdedup_victims(assigned: DataFrame) -> DataFrame:
     wg = Window.partitionBy("cid", "a")
     if "nrm" not in assigned.columns:  # test fixtures pass bare (id, cid, a)
         assigned = assigned.withColumn("nrm", norm("a"))
+    # The checkpoint stays WIDE deliberately (r13 negative result,
+    # verdict task #3): a "narrow" variant keeping (a, nrm) on rep rows
+    # only (when(vec_id == gid, a)) was built, oracle-green, and
+    # measured — sf0.1 a wash, 100-copy tier consistently WORSE (old
+    # {13.6, 12.0, 13.2, 14.0} vs narrow {14.5, 14.4, 14.5, 16.0} s,
+    # four interleaved rounds): the conditional array projection costs
+    # more than the checkpoint bytes it saves, and the member-side
+    # consumers never decode the array columns they skip anyway
+    # (columnar pruning handles that for free).
     m = assigned.select(
         "vec_id", "cid", "a", "nrm", F.min("vec_id").over(wg).alias("gid")
     ).localCheckpoint(eager=True)  # probed 3x below (members x2, reps)
