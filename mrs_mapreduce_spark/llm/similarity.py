@@ -919,9 +919,13 @@ def similarity_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "cand_id")
     )
     hit = F.when(F.col("a_cand").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    # k-bounded witness relations: broadcast the approx side so the
+    # LEFT witness join is a BroadcastHashJoin instead of a sort-merge
+    # of two <= 50-row inputs (r13, guide §3.1 — same fix as the LSH
+    # witness below).
     return (
         exact.join(
-            approx,
+            F.broadcast(approx),
             (exact["q_id"] == approx["q_id"])
             & (exact["cand_id"] == approx["a_cand"]),
             "left",
@@ -1125,9 +1129,13 @@ def similarity_recall_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("cand_id").alias("a_cand"))
     )
     hit = F.when(F.col("a_cand").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    # both witness relations are k-bounded (<= |queries| x 5 rows): the
+    # unhinted plan sort-merge-joined them — two Exchanges + Sorts for
+    # 50-row inputs (r13, guide §3.1); broadcasting the approx side pins
+    # BroadcastHashJoin LeftOuter and removes both witness exchanges.
     return (
         exact.join(
-            approx,
+            F.broadcast(approx),
             (exact["q_id"] == approx["q_id"])
             & (exact["cand_id"] == approx["a_cand"]),
             "left",

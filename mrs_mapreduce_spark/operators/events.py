@@ -479,9 +479,29 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Range partitions per ntile dimension. At 100 TB size this ∝ input bytes
-#: (like any shuffle partition count); 8 keeps the fixture plans readable.
+#: Range partitions per ntile dimension — parameterized, not hard-coded
+#: (r13, verdict task #5). The global rank is n-invariant (range order +
+#: per-partition offsets give the same closed-form ntile for ANY count —
+#: oracle-checked at 8 and 32), so this is purely a throughput knob. The
+#: core-count derivation (max(8, defaultParallelism), §2.2) was A/B'd at
+#: sf0.1 and REJECTED: new slower in 6/7 interleaved paired rounds
+#: (medians 2.46 -> 3.46 s) — the per-user relation is entity-sized, and
+#: 3 x 32 range partitions pay range-sampling plus task waves for rows
+#: that fit in 8. At 100 TB set SPARK_GRAFT_NTILE_PARTS so each range
+#: partition holds ~100 MB-1 GB of the per-entity relation (§2.2), e.g.
+#: ~1k for a billion-user profile table.
 _NTILE_PARTS = 8
+
+
+def _ntile_parts() -> int:
+    """Range-partition count per ntile dimension (env-tunable, default 8)."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_NTILE_PARTS",
+                                         _NTILE_PARTS)))
+    except ValueError:
+        return _NTILE_PARTS
 
 
 def _global_ntile(df: DataFrame, order: list, out: str) -> DataFrame:
@@ -514,16 +534,26 @@ def _global_ntile(df: DataFrame, order: list, out: str) -> DataFrame:
     return _global_rank(df, order).withColumn(out, bucket).drop("_r", "_n")
 
 
+def _ranked_chain(df: DataFrame, order: list) -> DataFrame:
+    """The pre-checkpoint range-rank chain of :func:`_global_rank`.
+
+    Split out so tests/test_scale_plans.py can pin the plan each ntile
+    dimension EXECUTES at checkpoint time (the eager localCheckpoint
+    hides it from the final query plan): exactly ONE range exchange —
+    AQE must not insert a second around the repartitionByRange (r13,
+    verdict task #5 plan pin)."""
+    return (
+        df.repartitionByRange(_ntile_parts(), *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+
+
 def _global_rank(df: DataFrame, order: list) -> DataFrame:
     """Attach exact 1-based global rank ``_r`` (by ``order``) and total
     count ``_n`` — no single-partition window (see :func:`_global_ntile`'s
     docstring for the mechanism)."""
-    ranked = (
-        df.repartitionByRange(_NTILE_PARTS, *order)
-        .sortWithinPartitions(*order)
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
-    )
+    ranked = _ranked_chain(df, order).localCheckpoint(eager=True)
     ranked = ranked.withColumn("_pid", F.shiftrightunsigned("_mid", 33))
     counts = ranked.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_cnt"), F.min("_mid").alias("_base")

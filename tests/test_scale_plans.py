@@ -241,6 +241,30 @@ def test_rfm_no_global_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_rfm_rank_chain_single_range_exchange(spark, sf_dir):
+    """Each ntile dimension's checkpoint-time plan must carry exactly ONE
+    range exchange (the declared irreducible shuffle per total order) —
+    AQE must not insert a second around the repartitionByRange, and the
+    sortWithinPartitions must ride the range partitioning, not add an
+    exchange of its own (r13, verdict task #5 plan pin; the eager
+    localCheckpoint hides this plan from the final query, so pin the
+    pre-checkpoint chain the helper actually executes)."""
+    from pyspark.sql import functions as F
+
+    from mrs_mapreduce_spark.catalog import table
+    from mrs_mapreduce_spark.operators.events import _ranked_chain
+
+    per_user = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chain = _ranked_chain(per_user, [F.desc("freq"), F.asc("user_id")])
+    plan = chain._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("rangepartitioning") == 1, plan
+
+
 def test_bm25_topk_and_broadcast_scoring(spark, sf_dir):
     """BM25: the scoring join must broadcast the query-term/df side and
     the global top-10 must be TakeOrderedAndProject, not a
