@@ -178,6 +178,15 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("vec_id", "embedding", "nrm", "code_id")
     )
+    # assigned is consumed twice (q block + candidate side) and stays
+    # UNcheckpointed — re-decided on fresh tier measurements (r13,
+    # verdict task #7): sf1-synth favored the checkpoint 3/4 (medians
+    # 2.37 -> 1.56 s) but the 100-copy tier ran WORSE in 3/3 interleaved
+    # rounds (9.6 -> 29.7 s medians) and sf0.1 is a wash-to-worse —
+    # materializing the corpus-wide embedding-array relation grows with
+    # the corpus while the 16-centroid argmin it saves stays cheap, so
+    # the checkpoint loses exactly where scale matters (the TRAINED
+    # variant keeps its checkpoint: its assignment embeds a Lloyd round).
     q = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
         F.col("code_id").alias("q_code"),

@@ -1127,6 +1127,15 @@ def _bpe_learn(
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     merges = []
     for _ in range(rounds):
+        # paired is consumed twice per round (argmax collect + merge) and
+        # deliberately NOT checkpointed: the r12 argument was finally
+        # MEASURED at the 100-copy tier (r13, verdict task #6) — a
+        # per-round localCheckpoint of paired ran WORSE in 3/3
+        # interleaved rounds (text_bpe_encode medians 2.56 -> 4.53 s;
+        # sf0.1 siblings unaffected): materializing the vocab x
+        # word-length relation (+nxt) costs more than re-running one
+        # codegen lead window over the round's tok checkpoint, at every
+        # tier — the histogram is vocab-bounded, so this never flips.
         paired = tok.withColumn("nxt", F.lead("token").over(w))
         top = (
             paired.filter(F.col("nxt").isNotNull())

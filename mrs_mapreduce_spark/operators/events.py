@@ -629,6 +629,11 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts_ns").alias("t0"))
     )
+    # s/c stay UNcheckpointed — the r12 rejection re-confirmed at the
+    # sf1-synth tier (r13, verdict task #7): checkpoint arms ran worse
+    # in 3/4 interleaved rounds (medians 1.77 -> 2.26 s); the barriers
+    # serialize subtrees the scheduler overlaps, same as the 100-copy
+    # finding.
     c = first_after("click", s, "t0", "t1")
     p = first_after("purchase", c, "t1", "t2")
     return (

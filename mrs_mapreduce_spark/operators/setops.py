@@ -395,7 +395,21 @@ def table_diff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     fa, fb = finger(a), finger(b)
-    dirty = checksum_dirty_buckets(fa, fb)
+    # The <=4096-row dirty list is checkpointed (it feeds two broadcast
+    # semi-joins; uncheckpointed each replays both corpus digest
+    # aggregations) and BOTH snapshot sides are pruned by it before the
+    # row-level join — result-identical, since the row join is on k and
+    # bucket = k % 4096 on both sides, so a b row outside the dirty
+    # buckets can never match a pruned a row. Re-decided at the
+    # sf1-synth tier (r13, verdict task #7): the b-prune won 4/4
+    # interleaved rounds there (medians 6.36 -> 2.46 s — the phase-2
+    # join's shuffle shrinks from |snapshot| to |dirty rows|, a win that
+    # grows with the data) against a ~+20-30% fixed-overhead cost at
+    # sf0.1 (r12's measurement, re-confirmed) — the 100 TB call, where
+    # bucket-partitioned snapshots turn this prune into free partition
+    # pruning (the scale note above).
+    dirty = checksum_dirty_buckets(fa, fb).localCheckpoint(eager=True)
+    fb = fb.join(F.broadcast(dirty), "bucket", "left_semi")
     pruned_a = fa.join(F.broadcast(dirty), "bucket", "left_semi")
     return (
         pruned_a.alias("a")
